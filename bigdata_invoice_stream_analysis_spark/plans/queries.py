@@ -1,0 +1,396 @@
+"""Query registry: every implemented operator from SURVEY.md §2 gets a
+named query over the driver test tables plus (where SQL-expressible) a
+DuckDB oracle that computes the same result.
+
+Conventions (driver contract, __spark_entry__.py):
+  * Each query callable takes (spark, sf_dir) and returns a DataFrame.
+  * Column names are aliased identically in Spark and oracle SQL.
+  * Float outputs are rounded to 6 decimals on BOTH sides so the
+    order-insensitive value hash is robust to summation-order ulp noise.
+  * The purchase-line role is played by lineitem ⋈ orders
+    (FIXTURES.md §6): InvoiceNo ↔ o_orderkey ('C'-prefixed when
+    o_orderstatus='F' to model cancellations), Quantity ↔ l_quantity,
+    UnitPrice ↔ l_extendedprice/l_quantity, CustomerID ↔ o_custkey,
+    invoice timestamp ↔ o_orderdate + (o_orderkey % 1440) minutes.
+  * Deterministic "dirt" is injected by key so the validation operators
+    have non-empty outputs: l_orderkey%97=0 → empty CustomerID,
+    %89=0 → non-numeric Quantity, %83=0 → 9-field line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.operators import validate
+from bigdata_invoice_stream_analysis_spark.operators.topk import top_k
+from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and its DuckDB oracle, if SQL-expressible)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def r6(col):
+    """Round a float column to 6 decimals (hash-stability convention)."""
+    return F.round(col, 6)
+
+
+# ---------------------------------------------------------------------------
+# Shared purchase-line synthesis (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+def purchase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed purchase rows derived from lineitem ⋈ orders — the batch
+    analog of the reference's parsed purchase stream. The join is on the
+    natural key (orderkey) — at scale both sides are huge, so this is a
+    shuffle join on the join key; AQE picks SMJ/SHJ. Orders is the
+    smaller side; at 100 TB pre-bucketing both tables on orderkey makes
+    this a zero-shuffle join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    order_ts = F.timestamp_add(
+        "MINUTE", (F.col("o_orderkey") % 1440).cast("int"), F.col("o_orderdate")
+    )
+    return j.select(
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.concat(F.lit("C"), F.col("l_orderkey").cast("string")),
+        )
+        .otherwise(F.col("l_orderkey").cast("string"))
+        .alias("InvoiceNo"),
+        F.col("l_partkey").cast("string").alias("StockCode"),
+        F.lit("item").alias("Description"),
+        F.col("l_quantity").cast("int").alias("Quantity"),
+        F.date_format(order_ts, "MM/dd/yyyy HH:mm").alias("InvoiceDate"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("UnitPrice"),
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(""))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("CustomerID"),
+        F.lit("ES").alias("Country"),
+        F.col("l_extendedprice").alias("ExtPrice"),
+        F.col("l_orderkey").alias("line_order"),
+        F.col("l_linenumber").alias("line_no"),
+    )
+
+
+# DuckDB twin of purchase_rows (CTE named `purchase`).
+PURCHASE_CTE = """
+purchase AS (
+  SELECT
+    CASE WHEN o.o_orderstatus = 'F'
+         THEN 'C' || CAST(l.l_orderkey AS VARCHAR)
+         ELSE CAST(l.l_orderkey AS VARCHAR) END AS InvoiceNo,
+    CAST(l.l_partkey AS VARCHAR) AS StockCode,
+    'item' AS Description,
+    CAST(l.l_quantity AS INT) AS Quantity,
+    strftime(o.o_orderdate + (o.o_orderkey % 1440) * INTERVAL 1 MINUTE,
+             '%m/%d/%Y %H:%M') AS InvoiceDate,
+    l.l_extendedprice / l.l_quantity AS UnitPrice,
+    CASE WHEN l.l_orderkey % 97 = 0 THEN ''
+         ELSE CAST(o.o_custkey AS VARCHAR) END AS CustomerID,
+    'ES' AS Country,
+    l.l_extendedprice AS ExtPrice,
+    l.l_orderkey AS line_order,
+    l.l_linenumber AS line_no
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+"""
+
+
+def raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw comma-joined 8-field lines (the Kafka `value` shape,
+    InvoiceDataProducer.scala:28-32) with deterministic dirt."""
+    p = purchase_rows(spark, sf_dir)
+    qty = F.when(F.col("line_order") % 89 == 0, F.lit("x")).otherwise(
+        F.col("Quantity").cast("string")
+    )
+    # Exact price string: l_extendedprice is a 2-decimal double, so
+    # round(x*100) is an exact integer in both engines — formatting via
+    # integer cents avoids engine-specific double→decimal rounding.
+    cents = F.round(F.col("ExtPrice") * 100).cast("long")
+    price = F.format_string("%d.%02d", (cents / 100).cast("long"), cents % 100)
+    base = F.concat_ws(
+        ",",
+        F.col("InvoiceNo"),
+        F.col("StockCode"),
+        F.col("Description"),
+        qty,
+        F.col("InvoiceDate"),
+        price,
+        F.col("CustomerID"),
+        F.col("Country"),
+    )
+    line = F.when(F.col("line_order") % 83 == 0, F.concat(base, F.lit(",extra"))).otherwise(base)
+    return p.select(
+        F.col("line_order"), F.col("line_no"), line.alias("value")
+    )
+
+
+# DuckDB twin of raw_lines (CTE named `lines`; requires PURCHASE_CTE).
+LINES_CTE = """
+lines AS (
+  SELECT line_order, line_no,
+    CASE WHEN line_order % 83 = 0 THEN base || ',extra' ELSE base END AS value
+  FROM (
+    SELECT line_order, line_no,
+      concat_ws(',', InvoiceNo, StockCode, Description,
+        CASE WHEN line_order % 89 = 0 THEN 'x' ELSE CAST(Quantity AS VARCHAR) END,
+        InvoiceDate,
+        printf('%d.%02d', CAST(ROUND(ExtPrice * 100) AS BIGINT) // 100,
+               CAST(ROUND(ExtPrice * 100) AS BIGINT) % 100),
+        CustomerID, Country) AS base
+    FROM purchase
+  )
+)
+"""
+
+# DuckDB twin of operators.validate predicates over `lines`.
+SQL_FIELDS = "string_split(value, ',')"
+SQL_INVALID = (
+    f"(len({SQL_FIELDS}) != 8 OR list_contains({SQL_FIELDS}, '')"
+    f" OR (len({SQL_FIELDS}) = 8 AND ("
+    f"NOT regexp_matches({SQL_FIELDS}[4], '^-?\\d+$')"
+    f" OR NOT regexp_matches({SQL_FIELDS}[6], '^-?\\d+(\\.\\d+)?$'))))"
+)
+SQL_CANCELLED = f"starts_with({SQL_FIELDS}[1], 'C')"
+
+
+# ---------------------------------------------------------------------------
+# Q: invoice featurization (A1 + P6-P9 — the flagship batch query)
+# ---------------------------------------------------------------------------
+
+@query(
+    "invoice_features",
+    oracle=f"""
+WITH {PURCHASE_CTE}
+SELECT InvoiceNo AS invoice_no,
+       CAST(SUM(CAST(ROUND(UnitPrice * 100) AS BIGINT)) AS BIGINT)
+         / (100.0 * COUNT(*)) AS avg_unit_price,
+       MIN(UnitPrice) AS min_unit_price,
+       MAX(UnitPrice) AS max_unit_price,
+       CAST(SUM(EXTRACT(hour FROM strptime(InvoiceDate, '%m/%d/%Y %H:%M')) * 60
+                + EXTRACT(minute FROM strptime(InvoiceDate, '%m/%d/%Y %H:%M'))) AS BIGINT)
+         / (60.0 * COUNT(*)) AS time,
+       CAST(CAST(SUM(Quantity) AS BIGINT) AS DOUBLE) AS number_items
+FROM purchase
+WHERE NOT starts_with(InvoiceNo, 'C')
+  AND NOT (CustomerID IS NULL OR trim(CustomerID) = '')
+GROUP BY InvoiceNo
+HAVING SUM(CAST(ROUND(UnitPrice * 100) AS BIGINT)) > 0
+   AND MIN(UnitPrice) > 0 AND MAX(UnitPrice) > 0 AND SUM(Quantity) > 0
+""",
+)
+def q_invoice_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering.scala:47-107 semantics over the purchase analog:
+    derive Time/HasCustomer, aggregate per invoice, validity-filter.
+
+    FP-determinism note: averages are computed by summing in an exact
+    integer domain (price cents / minutes-of-day) and dividing after
+    aggregation — double summation order differs between engines, so a
+    raw AVG(double) is not reproducible at the last ulp, while an
+    integer SUM is exact and the final division maps identical operands
+    to the identical double. operators/featurize.py keeps the natural
+    double semantics for the production/training path (unit-tested);
+    this query is the hash-stable twin for the oracle gate."""
+    from bigdata_invoice_stream_analysis_spark.functions.time_fns import parse_invoice_ts
+
+    p = purchase_rows(spark, sf_dir)
+    p = p.filter(
+        ~F.col("InvoiceNo").startswith("C")
+        & ~(F.col("CustomerID").isNull() | (F.trim(F.col("CustomerID")) == ""))
+    )
+    ts = parse_invoice_ts(F.col("InvoiceDate"))
+    cents = F.round(F.col("UnitPrice") * 100).cast("long")
+    minutes = (F.hour(ts) * 60 + F.minute(ts)).cast("long")
+    agg = p.groupBy("InvoiceNo").agg(
+        F.sum(cents).alias("sum_cents"),
+        F.min("UnitPrice").alias("min_unit_price"),
+        F.max("UnitPrice").alias("max_unit_price"),
+        F.sum(minutes).alias("sum_minutes"),
+        F.sum("Quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.filter(
+        (F.col("sum_cents") > 0)
+        & (F.col("min_unit_price") > 0)
+        & (F.col("max_unit_price") > 0)
+        & (F.col("sum_qty") > 0)
+    ).select(
+        F.col("InvoiceNo").alias("invoice_no"),
+        (F.col("sum_cents") / (F.lit(100.0) * F.col("n_lines"))).alias("avg_unit_price"),
+        F.col("min_unit_price"),
+        F.col("max_unit_price"),
+        (F.col("sum_minutes") / (F.lit(60.0) * F.col("n_lines"))).alias("time"),
+        F.col("sum_qty").cast("double").alias("number_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: line validation + routing (P1-P4, A2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "invalid_lines",
+    oracle=f"""
+WITH {PURCHASE_CTE}, {LINES_CTE}
+SELECT line_order, line_no, value FROM lines WHERE {SQL_INVALID}
+""",
+)
+def q_invalid_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — lines routed to the invalid sink (InvoicePipeline.scala:57-62)."""
+    lines = raw_lines(spark, sf_dir)
+    return lines.filter(validate.is_invalid_line(F.col("value")))
+
+
+@query(
+    "route_counts",
+    oracle=f"""
+WITH {PURCHASE_CTE}, {LINES_CTE}
+SELECT CASE WHEN {SQL_INVALID} THEN 'invalid'
+            WHEN {SQL_CANCELLED} THEN 'cancelled'
+            ELSE 'good' END AS route,
+       COUNT(*) AS n_lines
+FROM lines GROUP BY 1
+""",
+)
+def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3 — the three-way stream routing, as counts."""
+    lines = raw_lines(spark, sf_dir)
+    route = (
+        F.when(validate.is_invalid_line(F.col("value")), F.lit("invalid"))
+        .when(validate.is_cancelled_line(F.col("value")), F.lit("cancelled"))
+        .otherwise(F.lit("good"))
+    )
+    return lines.groupBy(route.alias("route")).agg(F.count("*").alias("n_lines"))
+
+
+@query(
+    "parse_purchases",
+    oracle=f"""
+WITH {PURCHASE_CTE}, {LINES_CTE}
+SELECT line_order, line_no,
+       {SQL_FIELDS}[1] AS invoice_no,
+       {SQL_FIELDS}[2] AS stock_code,
+       CAST({SQL_FIELDS}[4] AS INT) AS quantity,
+       CAST({SQL_FIELDS}[6] AS DOUBLE) AS unit_price,
+       {SQL_FIELDS}[7] AS customer_id,
+       {SQL_FIELDS}[8] AS country
+FROM lines
+WHERE NOT {SQL_INVALID} AND NOT {SQL_CANCELLED}
+""",
+)
+def q_parse_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — CSV→typed projection of good lines (InvoicePipeline.scala:85-90)."""
+    lines = raw_lines(spark, sf_dir)
+    good = lines.filter(validate.is_good_line(F.col("value")))
+    fields = validate.split_line(F.col("value"))
+    return good.select(
+        "line_order",
+        "line_no",
+        fields[0].alias("invoice_no"),
+        fields[1].alias("stock_code"),
+        fields[3].cast("int").alias("quantity"),
+        fields[5].cast("double").alias("unit_price"),
+        fields[6].alias("customer_id"),
+        fields[7].alias("country"),
+    )
+
+
+@query(
+    "cancelled_invoices",
+    oracle=f"""
+WITH {PURCHASE_CTE}, {LINES_CTE}
+SELECT DISTINCT {SQL_FIELDS}[1] AS invoice_no
+FROM lines WHERE NOT {SQL_INVALID} AND {SQL_CANCELLED}
+""",
+)
+def q_cancelled_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 + A2 — distinct cancelled invoice ids (the per-batch dedup
+    reduceByKey((_,_)⇒1), InvoicePipeline.scala:65-71)."""
+    lines = raw_lines(spark, sf_dir)
+    cancelled = lines.filter(
+        ~validate.is_invalid_line(F.col("value"))
+        & validate.is_cancelled_line(F.col("value"))
+    )
+    return cancelled.select(
+        validate.split_line(F.col("value"))[0].alias("invoice_no")
+    ).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Q: top-K threshold (T1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "topk_threshold",
+    oracle="""
+SELECT MIN(l_extendedprice) AS threshold, CAST(COUNT(*) AS BIGINT) AS k
+FROM (SELECT l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC LIMIT 2000)
+""",
+)
+def q_topk_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — 2000th-largest value = anomaly-threshold rule
+    (train.scala:45-46). Physical plan: TakeOrderedAndProject, no full
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = top_k(li.select("l_extendedprice"), "l_extendedprice", 2000)
+    return top.agg(
+        F.min("l_extendedprice").alias("threshold"), F.count("*").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: time scalar functions (P6) over events
+# ---------------------------------------------------------------------------
+
+@query(
+    "hourly_event_stats",
+    oracle="""
+SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / (100.0 * COUNT(*)) AS avg_value,
+       CAST(SUM(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) AS BIGINT)
+         / (60.0 * COUNT(*)) AS avg_frac_hour
+FROM events GROUP BY 1, 2
+""",
+)
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 scalar coverage — hour/minute/fractional-hour over the events
+    table (the streaming-side time math, InvoicePipeline.scala:104-105).
+    Averages via exact integer sums (see q_invoice_features note)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").alias("hour_of_day"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.sum((F.hour("ts") * 60 + F.minute("ts")).cast("long")).alias("sum_minutes"),
+        )
+        .select(
+            "hour_of_day",
+            "event_type",
+            "n_events",
+            (F.col("sum_cents") / (F.lit(100.0) * F.col("n_events"))).alias("avg_value"),
+            (F.col("sum_minutes") / (F.lit(60.0) * F.col("n_events"))).alias("avg_frac_hour"),
+        )
+    )
+
+
+def register(name: str):
+    """Expose the registry for __spark_entry__."""
+    return QUERIES[name]

@@ -1,0 +1,69 @@
+"""Parquet/CSV table loading (reference S1/S2, SURVEY.md §2.1).
+
+The reference reads CSV with header + inferSchema via the external
+spark-csv package (Clustering.scala:37-41). The rebuild prefers parquet
+(columnar, statistics, predicate pushdown) and explicit schemas for CSV.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_invoice_stream_analysis_spark.schemas import PURCHASE_RAW_SCHEMA, TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table. Plain parquet scan — Catalyst handles
+    column pruning + filter pushdown at the source.
+
+    The events table is written with TIMESTAMP(NANOS) parquet type,
+    which Spark's vectorized reader rejects; read nanos as long and
+    convert (integer division truncates to micros, matching how DuckDB
+    reads the same file)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_purchases_csv(
+    spark: SparkSession, path: str, header: bool = True
+) -> DataFrame:
+    """S1 — batch CSV scan of raw purchase lines (Clustering.scala:37-41).
+
+    Explicit schema (all-string at the edge) instead of inferSchema: one
+    file pass instead of two, and dirty values (non-numeric Quantity)
+    survive to be routed by operators.validate instead of crashing.
+    """
+    return (
+        spark.read.option("header", str(header).lower())
+        .schema(PURCHASE_RAW_SCHEMA)
+        .csv(path)
+    )
+
+
+def read_raw_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Read a CSV file as unparsed lines (column ``value``) — the shape
+    a Kafka value stream has, so batch tests exercise the exact
+    streaming parse path."""
+    return spark.read.text(path).withColumnRenamed("value", "value")
