@@ -1,0 +1,291 @@
+"""Text-analysis primitives for the training-data pipeline extensions
+(BASELINE.json north star; SURVEY.md §7 stage 5): tokenization, shingling,
+deterministic hashing, language-ID scoring, quality scoring, and document
+fingerprinting.
+
+Design rules
+------------
+* Everything is a native Column expression (split/transform/aggregate/
+  filter higher-order functions) — zero Python in the hot path, the whole
+  computation stays inside WholeStageCodegen and scales linearly with
+  executors. No UDFs anywhere in this module.
+* All hashes are **exact integer arithmetic** (polynomial rolling hash
+  mod 1e9+7) so the DuckDB oracle can reproduce them bit-for-bit —
+  Spark's builtin hash()/xxhash64() have no DuckDB twin. Intermediate
+  products stay < 2^63 (hash < p ≈ 2^30, multiplier 31 → acc*31+255 <
+  2^35; permuted (a*h+b) with a,b < p → < 2^60).
+* At 100 TB: these expressions run per-row with no shuffle at all —
+  the scan parallelism is the only knob. Shingling multiplies row width
+  (~n_tokens arrays); downstream exploding operators (dedup) manage
+  their own shuffle strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Polynomial-hash modulus (prime) and multiplier, shared with every
+# DuckDB oracle that re-computes hashes.
+HASH_P = 1_000_000_007
+HASH_MULT = 31
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased word tokens: split on runs of non-alphanumerics and
+    drop empties. (Idiomatic twin of pyspark.ml.feature.RegexTokenizer,
+    kept as an expression so downstream ops stay in codegen.)"""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+# DuckDB twin of tokenize() over a text column `{col}`:
+SQL_TOKENIZE = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t != '')"
+)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punctuation token count."""
+    return F.size(tokenize(text))
+
+
+def poly_hash(token: Column) -> Column:
+    """Deterministic polynomial hash of a string → [0, 1e9+7).
+    h = fold(chars, h*31 + ascii(char)) mod p. Cross-engine exact."""
+    return F.aggregate(
+        F.transform(F.split(token, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_MULT + x) % HASH_P,
+    )
+
+
+# DuckDB twin of poly_hash over an expression `{t}`:
+SQL_POLY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(string_split({t}, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    f" (acc, x) -> (acc * {HASH_MULT} + x) % {HASH_P})"
+)
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (space-joined strings).
+    Documents shorter than n tokens yield their full token join as the
+    single shingle, so no document hashes to an empty set."""
+    k = F.size(tokens)
+    full = F.array(F.concat_ws(" ", tokens))
+    grams = F.transform(
+        F.sequence(F.lit(1), k - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(k >= n, grams).otherwise(full)
+
+
+def sql_shingles(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB twin of shingles(): list of space-joined n-grams."""
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({tokens_expr}) - {n - 1}),"
+        f" i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' ')) "
+        f"ELSE [array_to_string({tokens_expr}, ' ')] END"
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct polynomial hashes of a document's word n-gram shingles —
+    the set representation used by MinHash / Jaccard dedup."""
+    return F.array_distinct(
+        F.transform(shingles(tokenize(text), n), lambda s: _poly_hash_expr(s))
+    )
+
+
+def _poly_hash_expr(s: Column) -> Column:
+    return F.aggregate(
+        F.transform(F.split(s, ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_MULT + x) % HASH_P,
+    )
+
+
+def sql_shingle_hashes(col: str, n: int = 3) -> str:
+    """DuckDB twin of shingle_hashes()."""
+    toks = SQL_TOKENIZE.format(col=col)
+    sh = sql_shingles(toks, n)
+    return (
+        f"list_distinct(list_transform({sh}, s -> "
+        + SQL_POLY_HASH.format(t="s")
+        + "))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram heuristic)
+# ---------------------------------------------------------------------------
+# Character-trigram profile scoring: score(lang) = |trigrams(text) ∩
+# profile(lang)| / |trigrams(text)|; predicted language = argmax score
+# (ties → lexicographically first). Profiles here are tiny hand-built
+# stopword-trigram sets for 5 languages; on real corpora they would be
+# learned from labeled samples — the operator shape (per-row set
+# intersection against broadcast profiles) is what scales.
+
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "ing", "ion", " th", "he ", " of", "of ", " to", "is "],
+    "es": ["de ", " de", "la ", " la", "os ", "as ", "ión", " el", "el ", "que"],
+    "fr": ["le ", " le", "es ", " la", "la ", "ent", " et", "et ", "une", " un"],
+    "de": ["er ", "en ", "ch ", " de", "der", "ein", "ung", "sch", "ie ", "das"],
+    "zh": ["de ", "shi", "le ", " bu", "bu ", "zhe", " yi", "yi ", "ren", "wo "],
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Distinct character trigrams of the lowercased text."""
+    t = F.lower(text)
+    n = F.length(t)
+    return F.array_distinct(
+        F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(2)),
+                lambda i: F.substring(t, i, F.lit(3)),
+            ),
+        ).otherwise(F.array(t))
+    )
+
+
+SQL_CHAR_TRIGRAMS = (
+    "list_distinct(CASE WHEN length(lower({col})) >= 3 THEN "
+    "list_transform(generate_series(1, length(lower({col})) - 2),"
+    " i -> substring(lower({col}), CAST(i AS INT), 3)) "
+    "ELSE [lower({col})] END)"
+)
+
+
+def lang_scores(text: Column) -> Column:
+    """Map lang → hit count (|trigrams ∩ profile|) as a struct column."""
+    tg = char_trigrams(text)
+    fields = []
+    for lang in sorted(LANG_PROFILES):
+        profile = F.array(*[F.lit(g) for g in LANG_PROFILES[lang]])
+        hits = F.size(F.array_intersect(tg, profile))
+        fields.append(hits.alias(lang))
+    return F.struct(*fields)
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax-language of lang_scores (ties → lexicographically first
+    language; all-zero scores → 'und')."""
+    s = lang_scores(text)
+    langs = sorted(LANG_PROFILES)
+    best_lang, best_score = F.lit(langs[0]), s[langs[0]]
+    for lang in langs[1:]:
+        better = s[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def sql_detect_language(col: str) -> tuple[str, dict[str, str]]:
+    """DuckDB twin: (predicted_lang_expr, {lang: hit_count_expr})."""
+    tg = SQL_CHAR_TRIGRAMS.format(col=col)
+    hit_exprs = {}
+    for lang in sorted(LANG_PROFILES):
+        lits = ", ".join("'" + g.replace("'", "''") + "'" for g in LANG_PROFILES[lang])
+        hit_exprs[lang] = f"len(list_intersect({tg}, [{lits}]))"
+    langs = sorted(LANG_PROFILES)
+    best_lang, best_score = f"'{langs[0]}'", hit_exprs[langs[0]]
+    for lang in langs[1:]:
+        cond = f"({hit_exprs[lang]}) > ({best_score})"
+        best_lang = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {cond} THEN {hit_exprs[lang]} ELSE {best_score} END"
+    pred = f"CASE WHEN ({best_score}) > 0 THEN {best_lang} ELSE 'und' END"
+    return pred, hit_exprs
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "a", "an", "of", "to", "in", "and", "is", "on", "for"]
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals (all ratios in exact integer
+    numerators over integer denominators → identical doubles in both
+    engines):
+      n_chars, n_tokens, mean_token_len, stopword_ratio,
+      alnum_ratio (alphanumeric chars / chars), digit_ratio.
+    """
+    toks = tokenize(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alnum = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.when(
+            n_tokens > 0, sum_tok_len / n_tokens.cast("double")
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_tokens > 0, n_stop.cast("double") / n_tokens
+        ).otherwise(F.lit(0.0)),
+        "alnum_ratio": F.when(
+            n_chars > 0, n_alnum.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(
+            n_chars > 0, n_digit.cast("double") / n_chars
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def sql_quality_features(col: str) -> dict[str, str]:
+    toks = SQL_TOKENIZE.format(col=col)
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return {
+        "n_chars": f"CAST(length({col}) AS BIGINT)",
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "mean_token_len": (
+            f"CASE WHEN len({toks}) > 0 THEN "
+            f"CAST(list_sum(list_transform({toks}, t -> CAST(length(t) AS BIGINT))) AS BIGINT)"
+            f" / CAST(len({toks}) AS DOUBLE) ELSE 0.0 END"
+        ),
+        "stopword_ratio": (
+            f"CASE WHEN len({toks}) > 0 THEN "
+            f"CAST(len(list_filter({toks}, t -> list_contains([{stop}], t))) AS DOUBLE)"
+            f" / len({toks}) ELSE 0.0 END"
+        ),
+        "alnum_ratio": (
+            f"CASE WHEN length({col}) > 0 THEN "
+            f"CAST(length(regexp_replace(lower({col}), '[^a-z0-9]', '', 'g')) AS DOUBLE)"
+            f" / length({col}) ELSE 0.0 END"
+        ),
+        "digit_ratio": (
+            f"CASE WHEN length({col}) > 0 THEN "
+            f"CAST(length(regexp_replace({col}, '[^0-9]', '', 'g')) AS DOUBLE)"
+            f" / length({col}) ELSE 0.0 END"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash of the token-normalized document (tokens
+    re-joined with single spaces) — a canonical-form content hash that
+    ignores whitespace/punctuation variance. Exact cross-engine."""
+    return _poly_hash_expr(F.concat_ws(" ", tokenize(text)))
+
+
+def sql_fingerprint(col: str) -> str:
+    toks = SQL_TOKENIZE.format(col=col)
+    return SQL_POLY_HASH.format(t=f"array_to_string({toks}, ' ')")

@@ -1,0 +1,322 @@
+"""Deduplication operators for the training-data pipeline extensions:
+exact (content-hash groupBy), n-gram Jaccard (inverted-index self-join),
+MinHash + LSH banding, and SimHash with block-candidate generation.
+(Embedding-cosine near-dup lives in operators/similarity.py.)
+
+The reference has no dedup of any kind (SURVEY.md §2.12); these are the
+north-star extensions (BASELINE.json) built Spark-first.
+
+Scale design (the 100 TB posture)
+---------------------------------
+* Exact dedup: one hash-shuffle on the content fingerprint — the
+  minimum possible; AQE handles skew from pathological duplicate
+  explosions.
+* Jaccard via inverted index: explode distinct shingles → self-join on
+  shingle hash → per-pair intersection counts. The shuffle is keyed by
+  shingle hash; hot shingles (stopword-ish n-grams) create quadratic
+  pair blowup, so ``max_df`` drops shingles whose document frequency
+  exceeds a cap — the standard prefix-filtering degenerate. Joins and
+  aggs all run as native hash joins/aggs under AQE.
+* MinHash+LSH: per-doc signature is a pure per-row expression (no
+  shuffle); candidate generation shuffles only (band_key) pairs —
+  O(docs × bands) rows, independent of pair count; verification joins
+  shingle sets back by doc id. This is the scalable path: candidate
+  count ≈ true-positive count at a well-chosen (bands, rows) operating
+  point.
+* SimHash: per-row 32-bit fingerprint; candidates via 4×8-bit block
+  equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical block), verified
+  with exact popcount. One shuffle keyed by (block_idx, block_value).
+
+Every hash here is exact integer arithmetic (functions/text.poly_hash)
+so DuckDB oracles reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.functions.text import (
+    HASH_P,
+    fingerprint,
+    shingle_hashes,
+)
+
+# ---------------------------------------------------------------------------
+# MinHash permutation family: h_i(x) = (a_i·x + b_i) mod p over the
+# shingle poly-hash. Constants from a fixed LCG so the DuckDB oracle can
+# embed the identical literals (lcg seed 42, glibc multiplier).
+# ---------------------------------------------------------------------------
+
+N_PERMS = 32
+N_BANDS = 16
+ROWS_PER_BAND = N_PERMS // N_BANDS  # 2
+
+
+def _lcg_constants(n: int = N_PERMS, seed: int = 42) -> tuple[list[int], list[int]]:
+    x = seed
+    a_list, b_list = [], []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a_list.append((x % (HASH_P - 1)) + 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b_list.append(x % HASH_P)
+    return a_list, b_list
+
+
+MINHASH_A, MINHASH_B = _lcg_constants()
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact row dedup — dropDuplicates (hash shuffle on the subset)."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Content-hash duplicate groups: token-normalized fingerprint →
+    groups with >1 member. Output: (fingerprint, canonical_id = min id,
+    n_dups). One hash-aggregate shuffle on the fingerprint."""
+    fp = df.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), n).alias("sh"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Plan: distinct-shingle explode → (optional hot-shingle drop via
+    ``max_df``) → self-join on shingle hash → count shared shingles per
+    pair → join per-doc set sizes → |∩| / (|A|+|B|-|∩|) ≥ t.
+    """
+    sh = _shingled(df, id_col, text_col, n).cache()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("h"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("h").agg(F.count("*").alias("df_h"))
+            .filter(F.col("df_h") > max_df)
+            .select("h")
+        )
+        inv = inv.join(hot, "h", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(sh: Column) -> Column:
+    """K-perm MinHash signature (array<long>) of a shingle-hash array.
+    Pure per-row expression — scales with zero shuffle."""
+    def perm_min(a: int, b: int) -> Column:
+        def permuted(h: Column) -> Column:
+            return (F.lit(a) * h + F.lit(b)) % HASH_P
+
+        return F.array_min(F.transform(sh, permuted))
+
+    return F.array(*[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)])
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    sh = _shingled(df, id_col, text_col, n)
+    return sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+
+
+def band_keys(sig: Column) -> Column:
+    """LSH band keys: bands of ROWS_PER_BAND signature values packed
+    into one long each (band index folded in so bands don't collide
+    across positions). With r=2 and values < p ≈ 2^30, the packed key
+    band·p² + s0·p + s1 stays < 16·2^60 — overflow-free in int64? No:
+    p² ≈ 2^60, 16·2^60 = 2^64 — so fold the band index by addition
+    after a mod instead: key = ((s0·p + s1) mod 2^61) ·16 + band is
+    still too wide. Use a string key — exact, collision-free, and
+    cross-engine."""
+    parts = []
+    for band in range(N_BANDS):
+        vals = [
+            sig[band * ROWS_PER_BAND + r].cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        parts.append(F.concat_ws(":", F.lit(str(band)), *vals))
+    return F.array(*parts)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature → band buckets → candidate
+    pairs sharing ≥1 bucket → exact-Jaccard verification ≥ t.
+
+    Output (id_a < id_b, jaccard) contains only LSH-surfaced pairs —
+    pairs missed by every band are absent by design (that's the
+    accuracy/cost knob: 16 bands × 2 rows ⇒ P(caught) = 1-(1-j²)^16).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    buckets = sigs.select(
+        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sh = sigs.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4  # 4 × 8-bit blocks → finds all pairs with hamming ≤ 3
+
+
+def simhash(token_hashes: Column) -> Column:
+    """32-bit SimHash of a token-hash array: bit b of the fingerprint is
+    the sign of Σ_tokens (±1 by bit b of the token hash). Per-row
+    expression, no shuffle."""
+    def bit_vote(b: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            is_set = F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, 1).otherwise(-1)
+
+        return F.aggregate(token_hashes, F.lit(0).cast("long"), merge)
+
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        out = out + F.when(bit_vote(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc (doc_id, simhash) over unigram token hashes."""
+    from bigdata_invoice_stream_analysis_spark.functions.text import poly_hash, tokenize
+
+    toks = F.transform(tokenize(F.col(text_col)), lambda t: poly_hash(t))
+    return df.select(F.col(id_col).alias("doc_id"), simhash(toks).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``
+    (must be ≤ SIMHASH_BLOCKS-1 for the block-candidate generation to be
+    lossless by pigeonhole). Output: (id_a < id_b, hamming)."""
+    if max_hamming > SIMHASH_BLOCKS - 1:
+        raise ValueError("block candidate generation is lossy beyond hamming 3")
+    fps = simhash_fingerprints(df, id_col, text_col).cache()
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

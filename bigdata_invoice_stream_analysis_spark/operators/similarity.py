@@ -1,0 +1,298 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, an IVF-style cell-partitioned
+variant as the scale path, and embedding-cosine near-dup pairs.
+
+The reference has no vector search (SURVEY.md §2.12); this is a
+north-star extension (BASELINE.json) built Spark-first.
+
+Determinism convention
+----------------------
+All distance math runs on embeddings **quantized to a 1e-4 integer
+grid** (round(x·10⁴) per element). Dot products and squared norms are
+then exact BIGINT sums (|x|≤~10 → elements ≤ 1e5, 64-dim dot ≤ 1e12 ≪
+2^63), and the final cosine = dot / (sqrt(na)·sqrt(nb)) maps identical
+integer operands to identical doubles in every IEEE-754 engine — so the
+DuckDB oracle hash-matches bit-for-bit regardless of summation order.
+The ~1e-4 relative quantization error is far below any useful
+similarity threshold.
+
+Scale design (100 TB posture)
+-----------------------------
+* Brute-force top-k: queries ⋈ corpus is a broadcast nested-loop join
+  (queries are small by construction — broadcast them, stream the
+  corpus). Per-row cosine is a native higher-order-function expression
+  inside codegen; ranking is a window partitioned by query id — the
+  only shuffle, keyed by query, O(n_queries × corpus) rows reduced
+  map-side by nothing (full scan is inherent to exact search).
+* IVF: corpus is assigned to cells once (argmin over a broadcast
+  centroid table — per-row expression), then each query probes only
+  its own cell: the corpus side of the join shrinks by ~n_cells×. In a
+  real deployment the cell assignment is written partitioned-by-cell so
+  a probe prunes partitions at the scan.
+* Near-dup pairs: same quantized-cosine filter over candidate pairs;
+  for pair generation at scale use the sign-LSH blocking here
+  (hyperplane sketch → band join) rather than the all-pairs oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 10_000  # 1e-4 grid
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<long> on the 1e-4 grid (exact cross-engine)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+SQL_QUANTIZE = "list_transform({v}, x -> CAST(round(x * 10000) AS BIGINT))"
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    """Exact integer squared L2 norm."""
+    return int_dot(a, a)
+
+
+def quant_cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors: exact-int dot / product of
+    correctly-rounded sqrts — bit-identical across engines."""
+    return int_dot(a, b).cast("double") / (
+        F.sqrt(int_norm2(a).cast("double")) * F.sqrt(int_norm2(b).cast("double"))
+    )
+
+
+def quant_sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance (as BIGINT, on the 1e-4 grid —
+    grid units², so comparable but not equal to float-domain sqdist)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+def knn_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank) with rank 1..k by
+    (cosine DESC, neighbor_id ASC) — the deterministic tie-break. Self
+    matches (same id) are excluded.
+
+    The query side is broadcast (small by construction); the window
+    ranking shuffles by query_id only.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style cell-partitioned ANN
+# ---------------------------------------------------------------------------
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "qv",
+    cent_id: str = "cell_id",
+    cent_vec: str = "cent_v",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (exact integer L2,
+    ties → lowest cell_id). Centroids are broadcast; assignment is one
+    narrow pass (min_by over the exploded centroid list per row)."""
+    cents = F.broadcast(centroids).select(
+        F.col(cent_id), F.col(cent_vec)
+    )
+    joined = df.crossJoin(cents).select(
+        "*",
+        quant_sqdist(F.col(vec_col), F.col(cent_vec)).alias("_d"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc(cent_id))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_d", "_rn", cent_vec)
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 97,
+) -> DataFrame:
+    """IVF(probe=1) approximate top-k: corpus vectors with
+    id % centroid_mod == 0 serve as the deterministic coarse codebook;
+    every vector (and every query) is assigned to its nearest centroid,
+    and each query searches only its own cell.
+
+    Compared to knn_topk the scanned candidate set shrinks ~n_cells×;
+    recall depends on the planted cell structure (classic IVF trade).
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    c_all = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    cents = (
+        corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            quantize(F.col(vec_col)).alias("cent_v"),
+        )
+    )
+    c_cells = assign_cells(
+        c_all, cents, id_col="neighbor_id", vec_col="cv"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    q_cells = assign_cells(q, cents, id_col="query_id", vec_col="qv")
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            quant_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: bool = False,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with quantized cosine ≥ threshold.
+
+    All-pairs is the exact small-N baseline (the DuckDB-checkable
+    semantics); at corpus scale swap the pair source for the sign-LSH
+    bucketing in sign_lsh_pairs — same verify step, sub-quadratic
+    candidates.
+    """
+    v = F.col(vec_col) if quantized else quantize(F.col(vec_col))
+    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
+    a = base.withColumnsRenamed({"id": "id_a", "v": "va"})
+    b = base.withColumnsRenamed({"id": "id_b", "v": "vb"})
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", quant_cosine(F.col("va"), F.col("vb")).alias("cosine")
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+# Sign-LSH (random-hyperplane sketch) — scalable candidate generation.
+# Hyperplane h_j has ±1 components decided by bit j of a per-dimension
+# LCG stream; the 16-bit sketch groups vectors into buckets, candidates
+# are same-bucket pairs. Deterministic integer arithmetic throughout.
+
+N_PLANES = 16
+
+
+def _plane_signs(dim: int, seed: int = 7) -> list[list[int]]:
+    x = seed
+    planes = []
+    for _ in range(N_PLANES):
+        row = []
+        for _ in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(1 if (x >> 16) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def sign_sketch(v: Column, dim: int) -> Column:
+    """16-bit hyperplane-sign sketch of a quantized vector."""
+    planes = _plane_signs(dim)
+    out = F.lit(0).cast("long")
+    for j, signs in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(s).cast("long") for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        out = out + F.when(proj >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def sign_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH bucketing + exact cosine verify.
+    Near-identical vectors agree on every hyperplane sign with high
+    probability, so candidates = same-sketch pairs — one shuffle keyed
+    by the 16-bit sketch instead of an all-pairs join."""
+    base = df.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("sk", sign_sketch(F.col("v"), dim))
+    a = base.withColumnsRenamed({"id": "id_a", "v": "va", "sk": "sk_a"})
+    b = base.withColumnsRenamed({"id": "id_b", "v": "vb", "sk": "sk_b"})
+    cand = a.join(
+        b, (F.col("sk_a") == F.col("sk_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", quant_cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    return cand.filter(F.col("cosine") >= threshold)

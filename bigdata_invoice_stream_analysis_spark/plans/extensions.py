@@ -1,0 +1,447 @@
+"""North-star extension queries (BASELINE.json): text analysis, dedup,
+similarity search, multimodal — each registered with a DuckDB oracle
+that reproduces the result bit-for-bit (all hash/distance math is exact
+integer arithmetic; see functions/text.py and operators/similarity.py).
+
+Planted-structure convention: the synthetic documents/embeddings tables
+contain no natural duplicates, so dedup queries run over a
+deterministically AUGMENTED corpus (original rows + derived near/exact
+duplicates), mirroring the "deterministic dirt" pattern of
+plans/queries.py. Both engines construct the augmentation from the same
+arithmetic:
+  * near-dup text mutants: doc_id%10==0 → drop every 7th token,
+    new id = doc_id + 1_000_000;
+  * exact-dup texts: doc_id%13==0 → whitespace-doubled copy (same
+    token-normalized fingerprint), new id = doc_id + 2_000_000;
+  * near-dup vectors: vec_id%10==0 → per-element floor(q·101/100) on
+    the 1e-4 quantized grid (cosine ≈ 0.99999996 to the original),
+    new id = vec_id + 1_000_000.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.functions import text as TX
+from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
+from bigdata_invoice_stream_analysis_spark.operators import multimodal as MM
+from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
+from bigdata_invoice_stream_analysis_spark.plans.queries import query
+from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Augmented corpora (Spark + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+def docs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + token-dropped mutants of every 10th doc."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mutant = F.concat_ws(
+        " ", F.filter(toks, lambda x, i: (i + 1) % 7 != 0)
+    )
+    m = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), mutant.alias("text"))
+    )
+    return d.unionAll(m)
+
+
+DOCS_NEARDUP_CTE = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 7 != 0), ' ')
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def docs_exactdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + whitespace-doubled copies of every 13th doc (same
+    token-normalized content, different raw bytes)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " ", "  ").alias("text"),
+        )
+    )
+    return d.unionAll(c)
+
+
+DOCS_EXACTDUP_CTE = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, replace(text, ' ', '  ')
+  FROM documents WHERE doc_id % 13 = 0
+)
+"""
+
+
+def vecs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized embeddings + perturbed copies of every 10th vector.
+    Output columns: vec_id, qv (array<long> on the 1e-4 grid)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.quantize(F.col("embedding")).alias("qv")
+    )
+    pert = F.transform(
+        F.col("qv"), lambda x: F.floor(x * 101 / F.lit(100.0)).cast("long")
+    )
+    m = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), pert.alias("qv"))
+    )
+    return e.unionAll(m)
+
+
+VECS_NEARDUP_CTE = """
+vecs_aug AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)),
+                        x -> CAST(floor((x * 101) / 100.0) AS BIGINT))
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+# Shared DuckDB snippets over a (doc_id, text) relation `docs_aug`:
+_SQL_TOKS = TX.SQL_TOKENIZE.format(col="text")
+_SQL_SHINGLE_HASHES = TX.sql_shingle_hashes("text", n=3)
+
+SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id, {_SQL_SHINGLE_HASHES} AS s FROM docs_aug
+)
+"""
+
+_SQL_INT_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+
+
+def _sql_quant_cosine(a: str, b: str) -> str:
+    dot = _SQL_INT_DOT.format(a=a, b=b)
+    na = _SQL_INT_DOT.format(a=a, b=a)
+    nb = _SQL_INT_DOT.format(a=b, b=b)
+    return f"CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _sql_quality_select() -> str:
+    q = TX.sql_quality_features("text")
+    fp = TX.sql_fingerprint("text")
+    return (
+        f"SELECT doc_id, {q['n_chars']} AS n_chars, {q['n_tokens']} AS n_tokens,\n"
+        f" {q['mean_token_len']} AS mean_token_len,\n"
+        f" {q['stopword_ratio']} AS stopword_ratio,\n"
+        f" {q['alnum_ratio']} AS alnum_ratio,\n"
+        f" {q['digit_ratio']} AS digit_ratio,\n"
+        f" {fp} AS fingerprint\n"
+        f"FROM documents"
+    )
+
+
+@query("text_quality", oracle=_sql_quality_select())
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring + content fingerprint per document — pure
+    per-row expressions, zero shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["alnum_ratio"].alias("alnum_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _sql_langid() -> str:
+    pred, hits = TX.sql_detect_language("text")
+    hit_cols = ",\n ".join(
+        f"CAST({expr} AS BIGINT) AS hits_{lang}" for lang, expr in sorted(hits.items())
+    )
+    return (
+        f"SELECT doc_id, {pred} AS pred_lang,\n {hit_cols}\nFROM documents"
+    )
+
+
+@query("language_id", oracle=_sql_langid())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character-trigram profile scoring (n-gram
+    heuristic). The synthetic corpus shares one vocabulary across its
+    lang labels, so this measures the operator, not label recovery."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = TX.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.detect_language(F.col("text")).alias("pred_lang"),
+        *[
+            scores[lang].cast("long").alias(f"hits_{lang}")
+            for lang in sorted(TX.LANG_PROFILES)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_dedup_groups",
+    oracle=f"""
+WITH {DOCS_EXACTDUP_CTE},
+fp AS (SELECT doc_id, {TX.sql_fingerprint("text")} AS fp FROM docs_aug)
+SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+""",
+)
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by token-normalized content hash: the planted
+    whitespace-variant copies collapse onto their originals. One
+    hash-agg shuffle — the minimal exact-dedup plan at any scale."""
+    return DD.exact_dup_groups(docs_exactdup(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "ngram_jaccard_dedup",
+    oracle=f"""
+WITH {DOCS_NEARDUP_CTE}, {SHINGLES_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+""",
+)
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) via the
+    inverted-index self-join. The oracle brute-forces all pairs —
+    identical result, quadratic cost it can afford at sf0.01."""
+    return DD.jaccard_pairs(
+        docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    # Per-perm min over permuted shingle hashes; band keys; candidate
+    # pairs; exact-Jaccard verify — the literal twin of
+    # operators/dedup.minhash_lsh_pairs.
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(s, h -> ({a} * h + {b}) % {TX.HASH_P})) AS m{i}"
+        for i, (a, b) in enumerate(zip(DD.MINHASH_A, DD.MINHASH_B))
+    )
+    band_elems = ", ".join(
+        "concat_ws(':', '{b}', m{r0}, m{r1})".format(
+            b=b, r0=b * DD.ROWS_PER_BAND, r1=b * DD.ROWS_PER_BAND + 1
+        )
+        for b in range(DD.N_BANDS)
+    )
+    return f"""
+WITH {DOCS_NEARDUP_CTE}, {SHINGLES_CTE},
+sig AS (SELECT doc_id, s, {sig_cols} FROM sh),
+bk AS (SELECT doc_id, unnest([{band_elems}]) AS bk FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.2
+"""
+
+
+@query("minhash_lsh_dedup", oracle=_sql_minhash_lsh())
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(16 bands × 2 rows) near-dup pairs with
+    exact-Jaccard verification — the scalable dedup path: candidates
+    are generated per band bucket, never all-pairs."""
+    return DD.minhash_lsh_pairs(
+        docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+_SQL_TOKEN_HASHES = (
+    "list_transform(" + _SQL_TOKS + ", s -> " + TX.SQL_POLY_HASH.format(t="s") + ")"
+)
+
+_SQL_SIMHASH = f"""
+CAST(list_sum(list_transform(generate_series(0, {DD.SIMHASH_BITS - 1}), b ->
+  CASE WHEN list_sum(list_transform({_SQL_TOKEN_HASHES},
+      h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM documents",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (unigram token hashes) — the per-row
+    sketch behind hamming-distance dedup."""
+    return DD.simhash_fingerprints(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "simhash_dedup_pairs",
+    oracle=f"""
+WITH {DOCS_NEARDUP_CTE},
+sim AS (SELECT doc_id, {_SQL_SIMHASH.replace("documents", "docs_aug")} AS sh
+        FROM docs_aug)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 1
+""",
+)
+def q_simhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 1) via 4×8-bit block candidate
+    generation (pigeonhole-lossless ≤ 3). Oracle brute-forces all
+    pairs; the Spark plan shuffles only same-block candidates."""
+    return DD.simhash_pairs(
+        docs_neardup(spark, sf_dir), "doc_id", "text", max_hamming=1
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_AB = _sql_quant_cosine("a.qv", "b.qv")
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_AB} AS cosine
+  FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 20 — the
+    exact ANN baseline (broadcast queries × corpus scan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.knn_topk(e.filter(F.col("vec_id") < 20), e, k=5).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell_id, qv AS cv FROM qv WHERE vec_id % 97 = 0),
+assign AS (
+  SELECT vec_id, qv, cell_id FROM (
+    SELECT v.vec_id, v.qv, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_SQL_INT_DOT.format(a="list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] - c.cv[i])", b="list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] - c.cv[i])")} ASC,
+             c.cell_id ASC) AS rn
+    FROM qv v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_AB} AS cosine
+  FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND b.vec_id != a.vec_id
+  WHERE a.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(probe=1) cosine top-5: deterministic coarse codebook
+    (vec_id % 97 == 0), nearest-centroid cell assignment, per-cell
+    search — the sub-linear scale path for ANN."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e.filter(F.col("vec_id") < 20), e, k=5).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
+    "embedding_dup_pairs",
+    oracle=f"""
+WITH {VECS_NEARDUP_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_AB} AS cosine
+FROM vecs_aug a JOIN vecs_aug b ON a.vec_id < b.vec_id
+WHERE {_COSINE_AB} >= 0.99
+""",
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.99) — the planted
+    perturbed copies sit at cosine ≈ 0.9999999, random pairs < 0.6.
+    Spark side runs the all-pairs exact baseline here (the LSH variant
+    is sign_lsh_pairs, covered by unit tests)."""
+    v = vecs_neardup(spark, sf_dir)
+    return SIM.cosine_dup_pairs(
+        v, threshold=0.99, id_col="vec_id", vec_col="qv", quantized=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@query(
+    "media_byte_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
+       CAST(list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS byte_min,
+       CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS byte_max,
+       'image' AS kind
+FROM documents
+""",
+)
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents as binary media payloads →
+    Arrow-batched mapInPandas feature extraction (byte stats as the
+    deterministic decode stand-in; the corpus is ASCII so byte codes ==
+    char codes, which the oracle recomputes from the text)."""
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return MM.extract_byte_stats(media)

@@ -394,3 +394,9 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register(name: str):
     """Expose the registry for __spark_entry__."""
     return QUERIES[name]
+
+
+# Extension queries (text analysis / dedup / similarity / multimodal)
+# register themselves on import; keep this at module bottom so the
+# @query decorator above is defined first.
+from bigdata_invoice_stream_analysis_spark.plans import extensions  # noqa: E402,F401

@@ -1,0 +1,102 @@
+"""Unit tests for operators/dedup.py — planted duplicates must be found,
+unrelated docs must not pair up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river"),  # near-dup of 1
+    (3, "completely different text about spark query engines and shuffles"),
+    (4, "another unrelated document mentioning kafka topics and streams only"),
+    (5, "The  quick brown fox jumps over the lazy dog near the river bank"),  # exact (normalized) dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dup_groups(corpus):
+    groups = DD.exact_dup_groups(corpus, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 1
+    assert groups[0]["n_dups"] == 2
+
+
+def test_jaccard_pairs_finds_neardup(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (2, 5) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    # every doc shares the hot shingle "a a a"; max_df kills it so no pairs
+    df = spark.createDataFrame(
+        [(i, "a a a x%d y%d z%d" % (i, i, i)) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    with_hot = DD.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01)
+    without = DD.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01, max_df=5)
+    assert with_hot.count() > 0
+    assert without.count() == 0
+
+
+def test_minhash_lsh_finds_neardup(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    # exact dup is always caught (identical signature); near-dup at
+    # j≈0.77 is caught with prob 1-(1-j²)^16 ≈ 1 under the fixed perms
+    assert (1, 5) in pairs
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_signature_identical_for_identical_sets(corpus):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in DD.minhash_signatures(corpus, "doc_id", "text").collect()
+    }
+    assert sigs[1] == sigs[5]
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == DD.N_PERMS
+
+
+def test_simhash_close_for_neardups(corpus):
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.simhash_fingerprints(corpus, "doc_id", "text").collect()
+    }
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert fps[1] == fps[5]
+    assert ham(fps[1], fps[2]) <= 3
+    assert ham(fps[1], fps[3]) > 3
+
+
+def test_simhash_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_pairs(corpus, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs[(1, 5)] == 0
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_simhash_pairs_rejects_lossy_threshold(corpus):
+    with pytest.raises(ValueError):
+        DD.simhash_pairs(corpus, "doc_id", "text", max_hamming=5)
