@@ -1,0 +1,102 @@
+"""Streaming sinks + the foreachBatch router (S4, W4, W6).
+
+The reference hand-rolls a per-partition KafkaProducer per micro-batch
+(InvoicePipeline.scala:156-172 — unpooled, fire-and-forget). The rebuild
+uses the built-in Kafka sink (pooled producers, offset-tracked,
+checkpointed ⇒ at-least-once with replayable offsets) or, for the
+4-topic fan-out, ONE foreachBatch router so the source is read once per
+micro-batch instead of once per sink query.
+
+W6 stringification: the reference emits Scala's ``Invoice(...)``
+toString as the Kafka value; the rebuild emits JSON (``to_json`` over a
+struct of all columns) — machine-parseable, schema'd, and still one
+native expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def to_kafka_records(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """W6 — (key, value-as-JSON) projection for a Kafka write."""
+    payload = [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload)).alias("value"),
+    )
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "key",
+    output_mode: str = "update",
+    trigger_interval: str | None = "20 seconds",  # IP:36 Seconds(20)
+) -> StreamingQuery:
+    """S4 — one output topic, built-in Kafka sink."""
+    writer = (
+        to_kafka_records(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def parquet_sink(
+    df: DataFrame, path: str, checkpoint: str, trigger_available_now: bool = False
+) -> StreamingQuery:
+    """Append-mode parquet sink (partitioned downstream consumption /
+    golden tests without a broker)."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def memory_sink(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "update",
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """In-memory table sink (tests only)."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_collector(
+    df: DataFrame,
+    collect: Callable[[DataFrame, int], None],
+    output_mode: str = "update",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = False,
+) -> StreamingQuery:
+    """W4 — foreachBatch with a caller-supplied (batch_df, batch_id)
+    callback; the router used by tests and multi-sink deployments. The
+    reference's empty-RDD guard (InvoicePipeline.scala:62) is implicit:
+    empty micro-batches still invoke the callback but write nothing."""
+    writer = df.writeStream.foreachBatch(collect).outputMode(output_mode)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

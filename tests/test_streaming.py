@@ -1,0 +1,204 @@
+"""Streaming E2E + semantics tests (SURVEY.md §5.3-5.4).
+
+Broker-free: the producer's dir-replay drops chunk files consumed by the
+file source with maxFilesPerTrigger=1, so each chunk ≙ one micro-batch
+(the deterministic stand-in for the reference's 20 s Kafka batches).
+All queries run with trigger(availableNow=True) and block to completion.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.streaming import pipeline as P
+from bigdata_invoice_stream_analysis_spark.streaming import scoring, sinks, state
+from bigdata_invoice_stream_analysis_spark.streaming.producer import replay_to_dir
+from bigdata_invoice_stream_analysis_spark.streaming.sources import file_lines_source
+
+
+def line(inv, qty, date, price, cust="7", country="ES", stock="S1", desc="item"):
+    return f"{inv},{stock},{desc},{qty},{date},{price},{cust},{country}"
+
+
+# Chunk 1 (micro-batch 1): two invoices + dirt + a cancellation.
+CHUNK1 = [
+    line("I1", 2, "1/4/2011 9:15", "10.0"),
+    line("I1", 1, "1/4/2011 9:20", "30.0"),
+    line("I2", 5, "1/4/2011 10:00", "2.0"),
+    line("C9", 1, "1/4/2011 10:01", "5.0"),  # cancelled
+    "bad,line,with,7,fields,only,x",  # invalid: arity 7
+    line("I3", "x", "1/4/2011 10:02", "1.0"),  # invalid: non-numeric qty
+    line("I4", 1, "1/4/2011 10:03", "1.0", cust=""),  # invalid: empty field
+]
+# Chunk 2 (micro-batch 2): I1 gets more lines; I2 is quiet; new C-invoice.
+CHUNK2 = [
+    line("I1", 3, "1/4/2011 11:30", "20.0"),
+    line("C9", 1, "1/4/2011 11:31", "5.0"),  # same cancelled invoice again
+    line("C10", 2, "1/4/2011 11:32", "7.0"),
+    # watermark pusher: far-future event closes all earlier windows
+    line("I5", 1, "1/4/2011 23:59", "4.0"),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    src = tmp_path_factory.mktemp("stream_src")
+    raw = src / "raw.csv"
+    raw.write_text("\n".join(CHUNK1 + CHUNK2) + "\n")
+    out = str(src / "chunks")
+    n = replay_to_dir(str(raw), out, chunk=len(CHUNK1))
+    assert n == len(CHUNK1) + len(CHUNK2)
+    assert sorted(os.listdir(out)) == ["chunk-000000.txt", "chunk-000001.txt"]
+    return out
+
+
+def run_collect(spark, df, output_mode="update", checkpoint=None):
+    """Run a streaming DF to completion, collecting (batch_id, rows)."""
+    batches: list[tuple[int, list]] = []
+
+    def collect(bdf, bid):
+        batches.append((bid, bdf.collect()))
+
+    q = sinks.foreach_batch_collector(
+        df, collect, output_mode=output_mode, checkpoint=checkpoint,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    return batches
+
+
+def test_invalid_routing(spark, stream_dir):
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    batches = run_collect(spark, P.invalid_lines(lines), output_mode="append")
+    got = sorted(r.value for _, rows in batches for r in rows)
+    assert got == sorted(
+        [CHUNK1[4], CHUNK1[5], CHUNK1[6]]
+    ), "exactly the three dirty lines route to the invalid sink"
+
+
+def test_cancellation_window_counts(spark, stream_dir):
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    counts = P.cancellation_counts(
+        lines, window="8 minutes", slide="1 minute", watermark="1 minute",
+        time_mode="event",
+    )
+    batches = run_collect(spark, counts, output_mode="append")
+    rows = {
+        (r.window_start.strftime("%H:%M"), r.n_cancelled)
+        for _, bat in batches for r in bat
+    }
+    # C9 at 10:01 → 8 sliding windows [09:54..10:01]; C9+C10 at 11:31/11:32
+    # → windows covering both (C9 counted once per window despite two
+    # lines). The 23:59 event pushes the watermark past all of them.
+    assert ("10:01", 1) in rows
+    assert ("09:54", 1) in rows
+    assert ("11:31", 2) in rows  # both C9 and C10 in-window
+    assert ("11:25", 2) in rows
+    # dedup within window: no window ever counts C9 twice
+    assert all(n <= 2 for _, n in rows)
+
+
+def test_invoice_updates_match_batch(spark, stream_dir):
+    """Train/serve consistency: the streaming update-mode aggregation's
+    final state equals the batch aggregation over the same lines."""
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    updates = P.invoice_updates(P.good_purchases(lines), weighted_avg=True)
+    batches = run_collect(spark, updates, output_mode="update")
+    final = {}
+    for _, rows in batches:
+        for r in rows:
+            final[r.InvoiceNo] = r  # later batches overwrite
+
+    # Batch twin over the same files.
+    batch_lines = spark.read.text(stream_dir).select(
+        F.col("value"), F.current_timestamp().alias("ingest_ts"),
+        F.split("value", ",")[0].alias("key"),
+    )
+    expected = {
+        r.InvoiceNo: r
+        for r in P.invoice_updates(
+            P.good_purchases(batch_lines), weighted_avg=True
+        ).collect()
+    }
+    assert set(final) == set(expected) == {"I1", "I2", "I5"}
+    for k in expected:
+        for col in ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time",
+                    "NumberItems", "Lines"]:
+            assert final[k][col] == pytest.approx(expected[k][col]), (k, col)
+    # weighted mean: I1 = (2·10 + 1·30 + 3·20) / 6
+    assert final["I1"].AvgUnitPrice == pytest.approx(110.0 / 6)
+    assert final["I1"].NumberItems == 6.0
+
+
+def test_legacy_state_semantics(spark, stream_dir, tmp_path):
+    """W2 exact semantics: per-batch emission, batch-count Lines,
+    head-of-batch Time, weighted running mean across batches."""
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    updates = state.apply_invoice_state(P.good_purchases(lines))
+    batches = run_collect(
+        spark, updates, output_mode="update",
+        checkpoint=str(tmp_path / "ckpt_state"),
+    )
+    assert len(batches) >= 2, "maxFilesPerTrigger=1 must yield 2+ micro-batches"
+    by_batch = {bid: {r.InvoiceNo: r for r in rows} for bid, rows in batches}
+    b1, b2 = by_batch[0], by_batch[1]
+
+    # Batch 1: I1 seen with 2 lines (one fold), I2 with 1.
+    assert set(b1) == {"I1", "I2"}
+    assert b1["I1"].Lines == 1
+    assert b1["I1"].AvgUnitPrice == pytest.approx((2 * 10 + 1 * 30) / 3)
+    assert b1["I1"].Time == pytest.approx(9 + 15 / 60)  # head of batch 1
+    # Batch 2: only updated keys emitted — I2 is quiet and absent.
+    assert set(b2) == {"I1", "I5"}
+    assert b2["I1"].Lines == 2
+    assert b2["I1"].AvgUnitPrice == pytest.approx(110.0 / 6)
+    assert b2["I1"].Time == pytest.approx(11 + 30 / 60)  # head of batch 2
+    assert b2["I1"].MinUnitPrice == 10.0
+    assert b2["I1"].MaxUnitPrice == 30.0
+    assert b2["I1"].NumberItems == 6.0
+
+
+def test_stream_anomaly_scoring(spark, stream_dir):
+    """M3/M4 on the update stream: plan-literal centroid scoring flags
+    exactly the far-from-centroid invoices."""
+    centers = [[2.0, 2.0, 2.0, 10.0, 5.0], [20.0, 10.0, 30.0, 10.0, 4.0]]
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    updates = P.invoice_updates(P.good_purchases(lines), weighted_avg=True)
+    flagged = scoring.anomalies_with_centroids(updates, centers, threshold=9.0)
+    batches = run_collect(spark, flagged, output_mode="update")
+    got = {r.InvoiceNo for _, rows in batches for r in rows}
+    # I2 ≈ centroid0 (dist 0), I1-final ≈ centroid1 (dist < 9);
+    # I5 (4,4,4,23.98,1) is far from both. I1's batch-1 interim state
+    # (13.33,10,30,…) is also far — update-mode interim emissions flag it.
+    assert "I5" in got
+    assert "I2" not in got
+
+
+def test_scoring_matches_numpy(spark):
+    import numpy as np
+
+    centers = [[1.0, 0.0, 2.0, 3.0, 4.0], [5.0, 5.0, 5.0, 5.0, 5.0]]
+    rows = [(float(a), float(b), float(c), float(d), float(e))
+            for a, b, c, d, e in np.random.default_rng(7).uniform(0, 8, (50, 5))]
+    df = spark.createDataFrame(
+        rows, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]
+    )
+    got = scoring.score_with_centroids(df, centers).collect()
+    c = np.array(centers)
+    for r in got:
+        v = np.array([r.AvgUnitPrice, r.MinUnitPrice, r.MaxUnitPrice, r.Time,
+                      r.NumberItems])
+        d = ((c - v) ** 2).sum(axis=1)
+        assert r.prediction == int(d.argmin())
+        assert r.dist == pytest.approx(float(d.min()))
+
+
+def test_rate_source_shape(spark):
+    from bigdata_invoice_stream_analysis_spark.streaming.sources import rate_lines_source
+
+    df = rate_lines_source(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["key", "value", "ingest_ts"]
