@@ -174,10 +174,8 @@ SQL_CANCELLED = f"starts_with({SQL_FIELDS}[1], 'C')"
 # Q: invoice featurization (A1 + P6-P9 — the flagship batch query)
 # ---------------------------------------------------------------------------
 
-@query(
-    "invoice_features",
-    oracle=f"""
-WITH {PURCHASE_CTE}
+# Reused as a CTE body by centroid_anomalies below.
+FEATS_SELECT = """
 SELECT InvoiceNo AS invoice_no,
        CAST(SUM(CAST(ROUND(UnitPrice * 100) AS BIGINT)) AS BIGINT)
          / (100.0 * COUNT(*)) AS avg_unit_price,
@@ -193,8 +191,10 @@ WHERE NOT starts_with(InvoiceNo, 'C')
 GROUP BY InvoiceNo
 HAVING SUM(CAST(ROUND(UnitPrice * 100) AS BIGINT)) > 0
    AND MIN(UnitPrice) > 0 AND MAX(UnitPrice) > 0 AND SUM(Quantity) > 0
-""",
-)
+"""
+
+
+@query("invoice_features", oracle=f"WITH {PURCHASE_CTE}\n{FEATS_SELECT}")
 def q_invoice_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering.scala:47-107 semantics over the purchase analog:
     derive Time/HasCustomer, aggregate per invoice, validity-filter.
@@ -388,6 +388,137 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_cents") / (F.lit(100.0) * F.col("n_events"))).alias("avg_value"),
             (F.col("sum_minutes") / (F.lit(60.0) * F.col("n_events"))).alias("avg_frac_hour"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: sliding event-time window (W1 semantics, batch twin)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sliding_window_errors",
+    oracle="""
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(window_start + INTERVAL 8 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (
+  SELECT time_bucket(INTERVAL 1 MINUTE, ts) - k * INTERVAL 1 MINUTE AS window_start,
+         user_id
+  FROM events, generate_series(0, 7) AS t(k)
+  WHERE event_type = 'error'
+)
+GROUP BY window_start
+""",
+)
+def q_sliding_window_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — 8-minute/1-minute sliding-window count of distinct erroring
+    users (the batch twin of streaming.pipeline.cancellation_counts; the
+    reference's reduceByKeyAndWindow, InvoicePipeline.scala:72-79).
+    F.window explodes each event into its 8 covering windows BEFORE the
+    grouping shuffle — at scale, pre-filtering to the rare event type
+    keeps the 8× row expansion off the main stream."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = F.window("ts", "8 minutes", "1 minute")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: anomaly scoring (M3/M4) — literal centroids, fully oracle-checked
+# ---------------------------------------------------------------------------
+
+# Two fixed centroids in feature space (avg, min, max price / time /
+# items) — representative of the sf-series invoice distribution; values
+# are plan literals in BOTH engines, so the distance math is the operator
+# under test, not the model fit (kmeans_anomalies below covers the fit).
+SCORING_CENTROIDS = [
+    [3000.0, 1000.0, 8000.0, 12.0, 100.0],
+    [15000.0, 5000.0, 40000.0, 12.0, 120.0],
+]
+SCORING_THRESHOLD = 4.0e9
+
+_FEATURE_ALIASES = [
+    "avg_unit_price", "min_unit_price", "max_unit_price", "time", "number_items",
+]
+
+
+def _sql_sqdist(center: list[float]) -> str:
+    terms = [
+        f"(f.{c} - {v!r}) * (f.{c} - {v!r})"
+        for c, v in zip(_FEATURE_ALIASES, center)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@query(
+    "centroid_anomalies",
+    oracle=f"""
+WITH {PURCHASE_CTE}, feats AS ({FEATS_SELECT})
+SELECT invoice_no,
+       CASE WHEN {_sql_sqdist(SCORING_CENTROIDS[0])} <= {_sql_sqdist(SCORING_CENTROIDS[1])}
+            THEN 0 ELSE 1 END AS prediction,
+       ROUND(LEAST({_sql_sqdist(SCORING_CENTROIDS[0])}, {_sql_sqdist(SCORING_CENTROIDS[1])}), -3) AS dist,
+       LEAST({_sql_sqdist(SCORING_CENTROIDS[0])}, {_sql_sqdist(SCORING_CENTROIDS[1])})
+         > {SCORING_THRESHOLD!r} AS is_anomaly
+FROM feats f
+""",
+)
+def q_centroid_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 + M4 — nearest-centroid assignment, squared distance, and
+    threshold flag (InvoicePipeline.scala:206-236) with plan-literal
+    centroids: the per-row math runs inside WholeStageCodegen, no join,
+    no shuffle beyond the upstream feature aggregation."""
+    from bigdata_invoice_stream_analysis_spark.streaming.scoring import score_with_centroids
+
+    feats = QUERIES["invoice_features"](spark, sf_dir)
+    scored = score_with_centroids(feats, SCORING_CENTROIDS, _FEATURE_ALIASES)
+    return scored.select(
+        "invoice_no",
+        "prediction",
+        # dist ≈ 1e9; round to the nearest 1000 (6 significant digits)
+        # — the engines' doubles can differ in the last ulp (FMA
+        # contraction), and a coarse grid makes a boundary hit ~1e-8.
+        F.round(F.col("dist"), -3).alias("dist"),
+        (F.col("dist") > F.lit(SCORING_THRESHOLD)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: trained-model anomaly pipeline (M1 + A5/A6 + T1 + M3/M4) — rows-only
+# ---------------------------------------------------------------------------
+
+@query("kmeans_anomalies")  # no oracle: iterative MLlib fit (driver rows-only check)
+def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full batch-train → score pipeline (train.scala):
+    featurize → KMeans(k=4, seeded) → threshold = 2000th-largest squared
+    distance (T1) → anomalous invoices. Not SQL-expressible (iterative
+    fit), so the driver records the weaker rows+schema check; the
+    distance/threshold math itself is oracle-gated via
+    centroid_anomalies and topk_threshold."""
+    from bigdata_invoice_stream_analysis_spark.ml import anomaly
+    from bigdata_invoice_stream_analysis_spark.ml.train import assemble_features, train_sweep
+
+    feats = QUERIES["invoice_features"](spark, sf_dir).withColumnsRenamed(
+        dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
+    )
+    vecs = assemble_features(feats).cache()
+    model = train_sweep(vecs, algo="kmeans", ks=[4], seed=42)[0].model
+    threshold = anomaly.train_threshold(vecs, model)
+    out = anomaly.anomalies(vecs, model, threshold)
+    return out.select(
+        "invoice_no",
+        F.col("prediction").cast("int").alias("prediction"),
+        F.col("dist").cast("double").alias("dist"),
     )
 
 

@@ -24,9 +24,13 @@ from bigdata_invoice_stream_analysis_spark.schemas import FEATURE_COLS
 
 def _sqdist_lit(center: list[float], cols: list[str]) -> Column:
     """Squared distance to one literal centroid, as a codegen-friendly
-    sum of squares (Vectors.sqdist twin, InvoicePipeline.scala:224)."""
+    sum of squares (Vectors.sqdist twin, InvoicePipeline.scala:224).
+    Squares are explicit multiplications, not POWER(x, 2) — multiply is
+    bit-identical across engines (the DuckDB oracle twin repeats the
+    same expression), POWER may route through exp/log."""
     terms = [
-        (F.col(c).cast("double") - F.lit(float(v))) ** 2
+        (F.col(c).cast("double") - F.lit(float(v)))
+        * (F.col(c).cast("double") - F.lit(float(v)))
         for c, v in zip(cols, center)
     ]
     out = terms[0]
