@@ -244,20 +244,39 @@ SIMHASH_BLOCKS = 4  # 4 × 8-bit blocks → finds all pairs with hamming ≤ 3
 def simhash(token_hashes: Column) -> Column:
     """32-bit SimHash of a token-hash array: bit b of the fingerprint is
     the sign of Σ_tokens (±1 by bit b of the token hash). Per-row
-    expression, no shuffle."""
-    def bit_vote(b: int) -> Column:
-        def merge(acc: Column, h: Column) -> Column:
-            is_set = F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(is_set, 1).otherwise(-1)
+    expression, no shuffle.
 
-        return F.aggregate(token_hashes, F.lit(0).cast("long"), merge)
+    Single traversal: ONE fold carries an array of 32 bit-counters
+    (zip_with add per token) instead of 32 independent folds — the
+    naive form re-walked the token array (and re-evaluated the
+    tokenize/hash expression feeding it) once per bit, 32× the work.
+    Counter arithmetic is identical, so fingerprints are unchanged."""
 
-    out = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        out = out + F.when(bit_vote(b) >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0)
+    def bits_pm(h: Column) -> Column:
+        # ±1 vote per bit of one token hash.
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ]
         )
-    return out
+
+    votes = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bits_pm(h), lambda a, v: a + v),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_fingerprints(
@@ -302,21 +321,31 @@ def simhash_pairs(
     ).select("doc_id", "simhash", "b.blk", "b.val")
     a = blocks.alias("a")
     b = blocks.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(xor)
+    # A pair sharing k blocks would surface k times; instead of a
+    # dropDuplicates shuffle over millions of candidate rows, each pair
+    # is emitted exactly once — by the FIRST block the two fingerprints
+    # agree on (a pure integer condition on the xor, evaluated inside
+    # the join). The hamming cut is applied in the join condition too,
+    # so nothing downstream ever materializes the candidate explosion.
+    block_eq = [
+        F.shiftright(xor, j * width).bitwiseAND(F.lit((1 << width) - 1)) == 0
+        for j in range(SIMHASH_BLOCKS)
+    ]
+    first_eq = F.when(block_eq[0], 0)
+    for j in range(1, SIMHASH_BLOCKS):
+        first_eq = first_eq.when(block_eq[j], j)
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (ham <= F.lit(max_hamming))
+        & (F.col("a.blk") == first_eq),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        ham.alias("hamming"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return cand

@@ -104,17 +104,22 @@ def knn_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", F.sqrt(int_norm2(F.col("qv")).cast("double")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", F.sqrt(int_norm2(F.col("cv")).cast("double")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            quant_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            # norms precomputed per side (N + Q sqrts, not N·Q) —
+            # bit-identical to the inline quant_cosine form
+            (
+                int_dot(F.col("qv"), F.col("cv")).cast("double")
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -192,12 +197,21 @@ def ivf_topk(
     )
     q_cells = assign_cells(q, cents, id_col="query_id", vec_col="qv")
     scored = (
-        c_cells.join(F.broadcast(q_cells), "cell_id")
+        c_cells.withColumn("cn", F.sqrt(int_norm2(F.col("cv")).cast("double")))
+        .join(
+            F.broadcast(
+                q_cells.withColumn("qn", F.sqrt(int_norm2(F.col("qv")).cast("double")))
+            ),
+            "cell_id",
+        )
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            quant_cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            (
+                int_dot(F.col("qv"), F.col("cv")).cast("double")
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -229,11 +243,53 @@ def cosine_dup_pairs(
     candidates.
     """
     v = F.col(vec_col) if quantized else quantize(F.col(vec_col))
-    base = df.select(F.col(id_col).alias("id"), v.alias("v"))
-    a = base.withColumnsRenamed({"id": "id_a", "v": "va"})
-    b = base.withColumnsRenamed({"id": "id_b", "v": "vb"})
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", quant_cosine(F.col("va"), F.col("vb")).alias("cosine")
+    # Precompute each vector's sqrt-norm ONCE (N rows) instead of per
+    # pair (N² rows): the pair expression then does a single integer
+    # dot. sqrt over the identical integer operand yields the identical
+    # double, so cosine values are bit-equal to the inline form the
+    # DuckDB oracle uses.
+    #
+    # Prefix-bound prune (exact, Cauchy-Schwarz): split v = [p | r] at
+    # dim 16. dot(a,b) = dot(pa,pb) + dot(ra,rb) ≤ dot(pa,pb) +
+    # ‖ra‖·‖rb‖, so  cosine ≤ (dot16 + ‖ra‖‖rb‖) / (‖a‖‖b‖).  The
+    # 16-dim bound costs ¼ of the full dot and eliminates every pair
+    # whose bound misses the threshold — for a high threshold that is
+    # almost all random pairs, so the 64-dim dot runs only on true
+    # near-dups. A 1e-9 slack absorbs double rounding in the bound (the
+    # integer dots themselves are exact).
+    prefix = 16
+    base = (
+        df.select(F.col(id_col).alias("id"), v.alias("v"))
+        .withColumn("vp", F.slice("v", 1, prefix))
+        .withColumn("n2", int_norm2(F.col("v")))
+        .withColumn(
+            "rnrm",
+            F.sqrt((F.col("n2") - int_norm2(F.col("vp"))).cast("double")),
+        )
+        .withColumn("nrm", F.sqrt(F.col("n2").cast("double")))
+        .drop("n2")
+    )
+    a = base.withColumnsRenamed(
+        {"id": "id_a", "v": "va", "vp": "vpa", "nrm": "na", "rnrm": "ra"}
+    )
+    b = base.withColumnsRenamed(
+        {"id": "id_b", "v": "vb", "vp": "vpb", "nrm": "nb", "rnrm": "rb"}
+    )
+    bound = (
+        int_dot(F.col("vpa"), F.col("vpb")).cast("double")
+        + F.col("ra") * F.col("rb")
+    ) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(bound >= F.lit(threshold - 1e-9))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                int_dot(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
+        )
     )
     return pairs.filter(F.col("cosine") >= threshold)
 
