@@ -55,12 +55,15 @@ def is_invalid_line(line: Column, strict_numeric: bool = True) -> Column:
         fields, lambda x: x == F.lit("")
     )
     if strict_numeric:
+        # F.get (NULL past the end) not [] — SQL AND does not
+        # short-circuit, so the index is evaluated even for short lines
+        # and would raise under ANSI mode.
         arity_ok = F.size(fields) == F.lit(N_FIELDS)
         numeric_bad = arity_ok & (
-            ~fields[_POS["Quantity"]].rlike(_INT_RE)
-            | ~fields[_POS["UnitPrice"]].rlike(_NUM_RE)
+            ~F.get(fields, _POS["Quantity"]).rlike(_INT_RE)
+            | ~F.get(fields, _POS["UnitPrice"]).rlike(_NUM_RE)
         )
-        bad = bad | numeric_bad
+        bad = bad | F.coalesce(numeric_bad, F.lit(False))
     return bad
 
 
@@ -98,6 +101,17 @@ def parse_purchases(df: DataFrame, line_col: str = "value") -> DataFrame:
         fields[_POS["CustomerID"]].alias("CustomerID"),
         fields[_POS["Country"]].alias("Country"),
     )
+
+
+def coerce_purchase_types(df: DataFrame) -> DataFrame:
+    """P9 for an all-string raw purchase DataFrame (the CSV edge shape,
+    schemas.PURCHASE_RAW_SCHEMA): try_cast Quantity→int and
+    UnitPrice→double, so dirty values become NULL and are dropped by the
+    feature validity filter instead of failing the job (the reference's
+    inferSchema made Spark guess; Clustering.scala:77-82 then re-cast)."""
+    return df.withColumn(
+        "Quantity", F.col("Quantity").try_cast("int")
+    ).withColumn("UnitPrice", F.col("UnitPrice").try_cast("double"))
 
 
 def route_lines(df: DataFrame, line_col: str = "value") -> dict[str, DataFrame]:

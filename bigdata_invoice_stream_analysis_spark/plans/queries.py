@@ -522,6 +522,30 @@ def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("kmeans_elbow_sweep")  # no oracle: iterative fits (rows-only check)
+def q_kmeans_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + A6 — the model-selection cost loop and elbow pick
+    (train.scala:55-66, Clustering.scala:125-136, off-by-one fixed):
+    one row per swept k with its WSSSE and whether the elbow chose it."""
+    from bigdata_invoice_stream_analysis_spark.ml.train import (
+        assemble_features,
+        select_model,
+        train_sweep,
+    )
+
+    feats = QUERIES["invoice_features"](spark, sf_dir).withColumnsRenamed(
+        dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
+    )
+    vecs = assemble_features(feats).cache()
+    sweep = train_sweep(vecs, algo="kmeans", ks=range(2, 7), seed=42)
+    best = select_model(sweep)
+    vecs.unpersist()
+    return spark.createDataFrame(
+        [(r.k, float(r.cost), r.k == best.k) for r in sweep],
+        "k int, cost double, selected boolean",
+    )
+
+
 def register(name: str):
     """Expose the registry for __spark_entry__."""
     return QUERIES[name]

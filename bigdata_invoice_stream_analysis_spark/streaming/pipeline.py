@@ -26,8 +26,10 @@ DEFAULT_WATERMARK = "10 minutes"
 
 
 def event_time(line: Column) -> Column:
-    """Event time = parsed InvoiceDate (field 4) of the line."""
-    return parse_invoice_ts(validate.split_line(line)[4])
+    """Event time = parsed InvoiceDate (field 4) of the line. F.get, not
+    [], so a short (invalid) line yields NULL instead of an ANSI
+    out-of-bounds error."""
+    return parse_invoice_ts(F.get(validate.split_line(line), 4))
 
 
 def with_time(lines: DataFrame, time_mode: str = "event") -> DataFrame:
