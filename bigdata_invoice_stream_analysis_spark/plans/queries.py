@@ -392,6 +392,95 @@ def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q: weighted invoice featurization (A4 streaming semantics, batch twin)
+# ---------------------------------------------------------------------------
+
+@query(
+    "weighted_invoice_features",
+    oracle=f"""
+WITH {PURCHASE_CTE}
+SELECT InvoiceNo AS invoice_no,
+       CAST(SUM(CAST(ROUND(UnitPrice * 100) AS BIGINT) * Quantity) AS BIGINT)
+         / (100.0 * SUM(Quantity)) AS avg_unit_price,
+       MIN(UnitPrice) AS min_unit_price,
+       MAX(UnitPrice) AS max_unit_price,
+       CAST(CAST(SUM(Quantity) AS BIGINT) AS DOUBLE) AS number_items,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM purchase
+WHERE NOT starts_with(InvoiceNo, 'C')
+  AND NOT (CustomerID IS NULL OR trim(CustomerID) = '')
+GROUP BY InvoiceNo
+HAVING SUM(Quantity) > 0
+""",
+)
+def q_weighted_invoice_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the QUANTITY-WEIGHTED running mean the reference's streaming
+    state maintains (InvoicePipeline.scala:110), expressed as its
+    algebraic batch closed form: Σ(price·qty)/Σqty. This is the
+    train/serve-skew counterpart of invoice_features' row mean
+    (SURVEY.md §3.1); both are registered so the skew is pinned by the
+    oracle gate. Exact-integer: price is whole cents, so cents·qty sums
+    are exact BIGINTs in both engines."""
+    p = purchase_rows(spark, sf_dir)
+    p = p.filter(
+        ~F.col("InvoiceNo").startswith("C")
+        & ~(F.col("CustomerID").isNull() | (F.trim(F.col("CustomerID")) == ""))
+    )
+    cents = F.round(F.col("UnitPrice") * 100).cast("long")
+    agg = p.groupBy("InvoiceNo").agg(
+        F.sum(cents * F.col("Quantity")).alias("sum_cq"),
+        F.min("UnitPrice").alias("min_unit_price"),
+        F.max("UnitPrice").alias("max_unit_price"),
+        F.sum("Quantity").cast("long").alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return agg.filter(F.col("sum_qty") > 0).select(
+        F.col("InvoiceNo").alias("invoice_no"),
+        (F.col("sum_cq") / (F.lit(100.0) * F.col("sum_qty"))).alias("avg_unit_price"),
+        "min_unit_price",
+        "max_unit_price",
+        F.col("sum_qty").cast("double").alias("number_items"),
+        "n_lines",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q: token counting (whitespace + BPE-ish subword regex)
+# ---------------------------------------------------------------------------
+
+# BPE-ish pieces: letter runs up to 4 chars, digit runs up to 3, or a
+# single non-alnum mark — a deterministic proxy for subword vocabularies
+# (real BPE needs a merges table; the *plumbing* — regex extraction,
+# per-row counts, corpus totals — is identical).
+BPE_RE = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
+
+@query(
+    "token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_pieces,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace tokens and
+    BPE-ish subword pieces per document — pure per-row regex expressions,
+    no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0)))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_pieces"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q: sliding event-time window (W1 semantics, batch twin)
 # ---------------------------------------------------------------------------
 

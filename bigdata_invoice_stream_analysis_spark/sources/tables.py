@@ -62,6 +62,29 @@ def read_purchases_csv(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and sorted) by its join key — the 100 TB
+    posture for the recurring lineitem⋈orders-shaped join: two tables
+    bucketed on the same key with the same bucket count join with NO
+    Exchange on either side (and no sort, if sorted), because Catalyst
+    recognizes the co-partitioning from catalog metadata. Bucket count
+    rule of thumb at scale: total_size / bucket ≈ 128-512 MB.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def read_raw_lines(spark: SparkSession, path: str) -> DataFrame:
     """Read a CSV file as unparsed lines (column ``value``) — the shape
     a Kafka value stream has, so batch tests exercise the exact

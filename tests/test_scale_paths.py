@@ -1,0 +1,95 @@
+"""Scale-path proofs: the claims the 100 TB posture rests on, verified
+against actual physical plans / alternate state-store providers at
+small SF (SURVEY.md §7 Stage 5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.sources.tables import load_table, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key removes the shuffle:
+    the joined plan must contain no Exchange, and match the plain join's
+    result."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", "l_orderkey", 4, path=str(tmp_path / "li_b"))
+    write_bucketed(o, "o_b", "o_orderkey", 4, path=str(tmp_path / "o_b"))
+    try:
+        lib, ob = spark.table("li_b"), spark.table("o_b")
+        joined = lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        # disable broadcast so the co-partitioned path is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+            assert joined.count() == expected
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_legacy_state_on_rocksdb(spark, tmp_path):
+    """The keyed invoice state (W2) runs unchanged on the RocksDB state
+    store provider — the provider that holds billion-key state off-heap
+    on a real cluster."""
+    from bigdata_invoice_stream_analysis_spark.streaming import pipeline as P
+    from bigdata_invoice_stream_analysis_spark.streaming import sinks, state
+    from bigdata_invoice_stream_analysis_spark.streaming.producer import replay_to_dir
+    from bigdata_invoice_stream_analysis_spark.streaming.sources import file_lines_source
+
+    raw = tmp_path / "raw.csv"
+    raw.write_text(
+        "I1,S1,item,2,1/4/2011 9:15,10.0,7,ES\n"
+        "I1,S1,item,1,1/4/2011 9:20,30.0,7,ES\n"
+        "I2,S1,item,5,1/4/2011 10:00,2.0,7,ES\n"
+    )
+    src = str(tmp_path / "chunks")
+    replay_to_dir(str(raw), src, chunk=2)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        lines = file_lines_source(spark, src, max_files_per_trigger=1)
+        updates = state.apply_invoice_state(P.good_purchases(lines))
+        rows: dict[str, object] = {}
+
+        def collect(bdf, bid):
+            for r in bdf.collect():
+                rows[r.InvoiceNo] = r
+
+        q = sinks.foreach_batch_collector(
+            updates, collect, output_mode="update",
+            checkpoint=str(tmp_path / "ckpt"), trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    assert set(rows) == {"I1", "I2"}
+    assert rows["I1"].AvgUnitPrice == pytest.approx((2 * 10 + 1 * 30) / 3)
+    assert rows["I1"].Lines == 1  # both I1 lines arrive in chunk 0
+    assert rows["I1"].MinUnitPrice == 10.0
+    assert rows["I2"].NumberItems == 5.0
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """The invoice aggregation must partial-aggregate map-side (shuffle
+    volume O(invoices), not O(lines))."""
+    from bigdata_invoice_stream_analysis_spark.plans.queries import QUERIES
+
+    plan = (
+        QUERIES["invoice_features"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(InvoiceNo" in plan, plan
+    assert "partial_" in plan, plan  # map-side combine present
