@@ -162,6 +162,42 @@ def assign_cells(
     )
 
 
+def _sqdist_to_literal(v: Column, center: list[int]) -> Column:
+    """Exact integer squared distance from an array<long> column to a
+    literal centroid."""
+    lits = F.array(*[F.lit(int(x)).cast("long") for x in center])
+    return F.aggregate(
+        F.zip_with(v, lits, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def assign_cells_literal(
+    df: DataFrame, codebook: list[tuple[int, list[int]]], vec_col: str
+) -> DataFrame:
+    """Nearest-centroid cell assignment with the codebook folded into
+    the plan as literals: a per-row array_min over (dist, cell_id)
+    structs — lexicographic struct ordering gives the (min dist, lowest
+    cell_id) tie-break. ZERO shuffle, unlike the window-ranking
+    formulation (assign_cells), which repartitions the full corpus by
+    vector id just to rank k centroid candidates per row. A codebook is
+    small by definition (k_cells × dim ints), so plan-literal is the
+    scale-correct form — same reasoning as streaming.scoring."""
+    scored = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist_to_literal(F.col(vec_col), vec).alias("d"),
+                    F.lit(int(cid)).alias("cell_id"),
+                )
+                for cid, vec in codebook
+            ]
+        )
+    )
+    return df.withColumn("cell_id", scored["cell_id"])
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -182,20 +218,17 @@ def ivf_topk(
     c_all = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
-    cents = (
-        corpus.filter(F.col(id_col) % centroid_mod == 0)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            quantize(F.col(vec_col)).alias("cent_v"),
-        )
-    )
-    c_cells = assign_cells(
-        c_all, cents, id_col="neighbor_id", vec_col="cv"
-    )
+    codebook = [
+        (r[0], r[1])
+        for r in corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(F.col(id_col), quantize(F.col(vec_col)))
+        .collect()
+    ]
+    c_cells = assign_cells_literal(c_all, codebook, "cv")
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     )
-    q_cells = assign_cells(q, cents, id_col="query_id", vec_col="qv")
+    q_cells = assign_cells_literal(q, codebook, "qv")
     scored = (
         c_cells.withColumn("cn", F.sqrt(int_norm2(F.col("cv")).cast("double")))
         .join(
