@@ -22,12 +22,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
-def to_kafka_records(df: DataFrame, key_col: str = "key") -> DataFrame:
-    """W6 — (key, value-as-JSON) projection for a Kafka write."""
+def to_kafka_records(
+    df: DataFrame, key_col: str = "key", legacy_tuple: bool = False
+) -> DataFrame:
+    """W6 — (key, value) projection for a Kafka write. Default value is
+    JSON over all non-key columns; ``legacy_tuple=True`` emits the
+    reference's Scala ``Invoice(a,b,...)`` toString byte format
+    (InvoicePipeline.scala:141,147 map ``v.toString``) for consumers
+    pinned to the old wire format."""
     payload = [c for c in df.columns if c != key_col]
+    if legacy_tuple:
+        value = F.concat(
+            F.lit("Invoice("),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in payload]),
+            F.lit(")"),
+        )
+    else:
+        value = F.to_json(F.struct(*payload))
     return df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*payload)).alias("value"),
+        F.col(key_col).cast("string").alias("key"), value.alias("value")
     )
 
 
