@@ -103,6 +103,30 @@ def parse_purchases(df: DataFrame, line_col: str = "value") -> DataFrame:
     )
 
 
+def with_routing(
+    df: DataFrame, line_col: str = "value", strict_numeric: bool = True
+) -> DataFrame:
+    """Add ``fields`` (the split array), ``is_invalid`` and
+    ``is_cancelled`` columns with ONE split per row. The predicate
+    helpers above each embed their own ``split``; chaining several of
+    them in one query re-splits the line per predicate (codegen CSE only
+    catches textually identical trees inside one operator), which shows
+    up at scale — this is the fused form the line-routing queries use."""
+    fields = split_line(F.col(line_col))
+    out = df.withColumn("fields", fields)
+    fc = F.col("fields")
+    bad = (F.size(fc) != F.lit(N_FIELDS)) | F.exists(fc, lambda x: x == F.lit(""))
+    if strict_numeric:
+        numeric_bad = (F.size(fc) == F.lit(N_FIELDS)) & (
+            ~F.get(fc, _POS["Quantity"]).rlike(_INT_RE)
+            | ~F.get(fc, _POS["UnitPrice"]).rlike(_NUM_RE)
+        )
+        bad = bad | F.coalesce(numeric_bad, F.lit(False))
+    return out.withColumn("is_invalid", bad).withColumn(
+        "is_cancelled", F.get(fc, _POS["InvoiceNo"]).startswith("C")
+    )
+
+
 def coerce_purchase_types(df: DataFrame) -> DataFrame:
     """P9 for an all-string raw purchase DataFrame (the CSV edge shape,
     schemas.PURCHASE_RAW_SCHEMA): try_cast Quantity→int and

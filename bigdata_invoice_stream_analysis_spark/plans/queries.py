@@ -253,8 +253,8 @@ SELECT line_order, line_no, value FROM lines WHERE {SQL_INVALID}
 )
 def q_invalid_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 — lines routed to the invalid sink (InvoicePipeline.scala:57-62)."""
-    lines = raw_lines(spark, sf_dir)
-    return lines.filter(validate.is_invalid_line(F.col("value")))
+    routed = validate.with_routing(raw_lines(spark, sf_dir))
+    return routed.filter(F.col("is_invalid")).select("line_order", "line_no", "value")
 
 
 @query(
@@ -270,13 +270,13 @@ FROM lines GROUP BY 1
 )
 def q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P2+P3 — the three-way stream routing, as counts."""
-    lines = raw_lines(spark, sf_dir)
+    routed = validate.with_routing(raw_lines(spark, sf_dir))
     route = (
-        F.when(validate.is_invalid_line(F.col("value")), F.lit("invalid"))
-        .when(validate.is_cancelled_line(F.col("value")), F.lit("cancelled"))
+        F.when(F.col("is_invalid"), F.lit("invalid"))
+        .when(F.col("is_cancelled"), F.lit("cancelled"))
         .otherwise(F.lit("good"))
     )
-    return lines.groupBy(route.alias("route")).agg(F.count("*").alias("n_lines"))
+    return routed.groupBy(route.alias("route")).agg(F.count("*").alias("n_lines"))
 
 
 @query(
@@ -296,9 +296,9 @@ WHERE NOT {SQL_INVALID} AND NOT {SQL_CANCELLED}
 )
 def q_parse_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 — CSV→typed projection of good lines (InvoicePipeline.scala:85-90)."""
-    lines = raw_lines(spark, sf_dir)
-    good = lines.filter(validate.is_good_line(F.col("value")))
-    fields = validate.split_line(F.col("value"))
+    routed = validate.with_routing(raw_lines(spark, sf_dir))
+    good = routed.filter(~F.col("is_invalid") & ~F.col("is_cancelled"))
+    fields = F.col("fields")
     return good.select(
         "line_order",
         "line_no",
@@ -322,13 +322,10 @@ FROM lines WHERE NOT {SQL_INVALID} AND {SQL_CANCELLED}
 def q_cancelled_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 + A2 — distinct cancelled invoice ids (the per-batch dedup
     reduceByKey((_,_)⇒1), InvoicePipeline.scala:65-71)."""
-    lines = raw_lines(spark, sf_dir)
-    cancelled = lines.filter(
-        ~validate.is_invalid_line(F.col("value"))
-        & validate.is_cancelled_line(F.col("value"))
-    )
+    routed = validate.with_routing(raw_lines(spark, sf_dir))
+    cancelled = routed.filter(~F.col("is_invalid") & F.col("is_cancelled"))
     return cancelled.select(
-        validate.split_line(F.col("value"))[0].alias("invoice_no")
+        F.col("fields")[0].alias("invoice_no")
     ).dropDuplicates()
 
 
