@@ -30,6 +30,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
+    # Untimed warmup: JIT/codegen/parquet-footer caches, so query #1
+    # (alphabetical) doesn't absorb session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(QUERIES.items()):

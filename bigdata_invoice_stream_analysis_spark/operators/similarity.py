@@ -145,20 +145,21 @@ def assign_cells(
     cent_vec: str = "cent_v",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (exact integer L2,
-    ties → lowest cell_id). Centroids are broadcast; assignment is one
-    narrow pass (min_by over the exploded centroid list per row)."""
-    cents = F.broadcast(centroids).select(
-        F.col(cent_id), F.col(cent_vec)
+    ties → lowest cell_id). Centroids are broadcast and exploded against
+    each row; the argmin is ``min(struct(dist, cell_id))`` — an
+    ALGEBRAIC aggregate, so it partial-aggregates map-side before its
+    one shuffle (one row per vector crosses the wire). The earlier
+    window-ranking form shuffled all N×k scored rows and sorted each
+    partition; a lexicographic struct-min needs neither."""
+    cents = F.broadcast(centroids.select(F.col(cent_id), F.col(cent_vec)))
+    joined = df.crossJoin(cents)
+    d = quant_sqdist(F.col(vec_col), F.col(cent_vec))
+    best = joined.groupBy(id_col).agg(
+        F.min(F.struct(d.alias("d"), F.col(cent_id).alias(cent_id))).alias("_best"),
+        F.any_value(F.col(vec_col)).alias(vec_col),  # constant per group
     )
-    joined = df.crossJoin(cents).select(
-        "*",
-        quant_sqdist(F.col(vec_col), F.col(cent_vec)).alias("_d"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc(cent_id))
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_d", "_rn", cent_vec)
+    return best.select(
+        F.col(id_col), F.col(vec_col), F.col(f"_best.{cent_id}").alias(cent_id)
     )
 
 
@@ -218,17 +219,18 @@ def ivf_topk(
     c_all = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
-    codebook = [
-        (r[0], r[1])
-        for r in corpus.filter(F.col(id_col) % centroid_mod == 0)
-        .select(F.col(id_col), quantize(F.col(vec_col)))
-        .collect()
-    ]
-    c_cells = assign_cells_literal(c_all, codebook, "cv")
+    cents = (
+        corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            quantize(F.col(vec_col)).alias("cent_v"),
+        )
+    )
+    c_cells = assign_cells(c_all, cents, id_col="neighbor_id", vec_col="cv")
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     )
-    q_cells = assign_cells_literal(q, codebook, "qv")
+    q_cells = assign_cells(q, cents, id_col="query_id", vec_col="qv")
     scored = (
         c_cells.withColumn("cn", F.sqrt(int_norm2(F.col("cv")).cast("double")))
         .join(
