@@ -598,7 +598,7 @@ def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
     )
     vecs = assemble_features(feats).cache()
-    model = train_sweep(vecs, algo="kmeans", ks=[4], seed=42)[0].model
+    model = train_sweep(vecs, algo="kmeans", ks=[4], seed=42, max_iter=10)[0].model
     threshold = anomaly.train_threshold(vecs, model)
     out = anomaly.anomalies(vecs, model, threshold)
     return out.select(
@@ -623,7 +623,7 @@ def q_kmeans_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
     )
     vecs = assemble_features(feats).cache()
-    sweep = train_sweep(vecs, algo="kmeans", ks=range(2, 7), seed=42)
+    sweep = train_sweep(vecs, algo="kmeans", ks=range(2, 7), seed=42, max_iter=10)
     best = select_model(sweep)
     vecs.unpersist()
     return spark.createDataFrame(
