@@ -477,6 +477,21 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3's scale path — approx_count_distinct (HyperLogLog++) per event
+    type, next to the exact count for error measurement. At 100 TB the
+    exact distinct needs a full shuffle of the key universe; the sketch
+    is fixed-size per group and merges map-side. Rows-only check: HLL
+    implementations differ across engines by design."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: sliding event-time window (W1 semantics, batch twin)
 # ---------------------------------------------------------------------------
