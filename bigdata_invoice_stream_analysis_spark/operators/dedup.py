@@ -33,6 +33,8 @@ so DuckDB oracles reproduce results bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -100,6 +102,11 @@ def exact_dup_groups(
 # ---------------------------------------------------------------------------
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # Shingling + hashing is the CPU-heavy map stage; spread an
+    # under-parallel scan (one-row-group local files) across cores.
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, df.sparkSession)
     return df.select(
         F.col(id_col).alias("doc_id"),
         shingle_hashes(F.col(text_col), n).alias("sh"),
@@ -167,11 +174,45 @@ def minhash_signature(sh: Column) -> Column:
     return F.array(*[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)])
 
 
+def minhash_signature_np():
+    """Arrow-vectorized MinHash signature: one numpy broadcast
+    ``(A·h + B) mod p`` + row min per document, replacing 32 interpreted
+    higher-order ``transform`` passes. Bit-identical integer math to
+    ``minhash_signature`` (products < 2^60 fit int64). Measured SLOWER
+    than the fenced column-expression path at 5k docs (Python worker +
+    Arrow transfer overhead dominates), so it is opt-in — kept as the
+    pattern for much larger per-row payloads. Returns the pandas UDF."""
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+    B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def _sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh:
+            h = np.asarray(arr, dtype=np.int64)[None, :]
+            if h.size == 0:
+                # parity with array_min(empty) = NULL per permutation
+                out.append([None] * N_PERMS)
+            else:
+                out.append(((A * h + B) % HASH_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, use_arrow: bool = False
 ) -> DataFrame:
-    sh = _shingled(df, id_col, text_col, n)
-    return sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    from bigdata_invoice_stream_analysis_spark.operators.fence import optimizer_fence
+
+    # Fence the shingle array: without it CollapseProject inlines the
+    # shingling expression into each of the N_PERMS array_min/transform
+    # references — re-tokenizing every document 32×.
+    sh = optimizer_fence(_shingled(df, id_col, text_col, n))
+    sig = minhash_signature_np()(F.col("sh")) if use_arrow else minhash_signature(F.col("sh"))
+    return sh.select("doc_id", "sh", sig.alias("sig"))
 
 
 def band_keys(sig: Column) -> Column:
@@ -284,7 +325,9 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-doc (doc_id, simhash) over unigram token hashes."""
     from bigdata_invoice_stream_analysis_spark.functions.text import poly_hash, tokenize
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
 
+    df = ensure_min_parallelism(df, df.sparkSession)
     toks = F.transform(tokenize(F.col(text_col)), lambda t: poly_hash(t))
     return df.select(F.col(id_col).alias("doc_id"), simhash(toks).alias("simhash"))
 

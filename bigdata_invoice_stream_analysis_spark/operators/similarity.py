@@ -105,7 +105,11 @@ def knn_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     ).withColumn("qn", F.sqrt(int_norm2(F.col("qv")).cast("double")))
-    c = corpus.select(
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
+
+    # The corpus is the streamed side of the broadcast cross join — an
+    # under-parallel scan would serialize all N·Q dot products.
+    c = ensure_min_parallelism(corpus, corpus.sparkSession).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     ).withColumn("cn", F.sqrt(int_norm2(F.col("cv")).cast("double")))
     scored = (
@@ -292,9 +296,15 @@ def cosine_dup_pairs(
     # almost all random pairs, so the 64-dim dot runs only on true
     # near-dups. A 1e-9 slack absorbs double rounding in the bound (the
     # integer dots themselves are exact).
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
+
     prefix = 16
+    # The pair loop is a broadcast nested-loop join; its STREAMED side
+    # inherits the scan's partitioning, so an under-parallel scan makes
+    # the whole N² probe serial. Repartition before the join when needed.
     base = (
-        df.select(F.col(id_col).alias("id"), v.alias("v"))
+        ensure_min_parallelism(df, df.sparkSession)
+        .select(F.col(id_col).alias("id"), v.alias("v"))
         .withColumn("vp", F.slice("v", 1, prefix))
         .withColumn("n2", int_norm2(F.col("v")))
         .withColumn(
@@ -378,6 +388,9 @@ def sign_lsh_pairs(
     Near-identical vectors agree on every hyperplane sign with high
     probability, so candidates = same-sketch pairs — one shuffle keyed
     by the 16-bit sketch instead of an all-pairs join."""
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, df.sparkSession)
     base = df.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
     ).withColumn("sk", sign_sketch(F.col("v"), dim))

@@ -103,15 +103,20 @@ def parse_purchases(df: DataFrame, line_col: str = "value") -> DataFrame:
     )
 
 
+from bigdata_invoice_stream_analysis_spark.operators.fence import optimizer_fence  # noqa: E402
+
+
 def with_routing(
     df: DataFrame, line_col: str = "value", strict_numeric: bool = True
 ) -> DataFrame:
     """Add ``fields`` (the split array), ``is_invalid`` and
-    ``is_cancelled`` columns with ONE split per row. The predicate
-    helpers above each embed their own ``split``; chaining several of
-    them in one query re-splits the line per predicate (codegen CSE only
-    catches textually identical trees inside one operator), which shows
-    up at scale — this is the fused form the line-routing queries use."""
+    ``is_cancelled`` columns with ONE split per row, behind an
+    optimizer fence. The predicate helpers above each embed their own
+    ``split``; chaining several of them in one query re-splits the line
+    per predicate (codegen CSE only catches textually identical trees
+    inside one operator), and downstream filters would otherwise be
+    alias-inlined and pushed below this projection entirely — this is
+    the fused form the line-routing queries use."""
     fields = split_line(F.col(line_col))
     out = df.withColumn("fields", fields)
     fc = F.col("fields")
@@ -122,9 +127,10 @@ def with_routing(
             | ~F.get(fc, _POS["UnitPrice"]).rlike(_NUM_RE)
         )
         bad = bad | F.coalesce(numeric_bad, F.lit(False))
-    return out.withColumn("is_invalid", bad).withColumn(
+    routed = out.withColumn("is_invalid", bad).withColumn(
         "is_cancelled", F.get(fc, _POS["InvoiceNo"]).startswith("C")
     )
+    return optimizer_fence(routed)
 
 
 def coerce_purchase_types(df: DataFrame) -> DataFrame:

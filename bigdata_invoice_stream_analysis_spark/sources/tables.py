@@ -36,6 +36,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition iff the plan currently has fewer partitions than the
+    session has cores. The driver's small-SF parquet is written as ONE
+    row group, so a scan is one task and every downstream per-row
+    expression runs serially no matter how many cores exist; a
+    production-scale table has thousands of properly sized row groups
+    and this is a no-op (the partition check is driver-side plan
+    inspection — no job runs). Use upstream of CPU-heavy per-row work
+    (string synthesis, hashing, shingling); skip for scans that feed
+    straight into a shuffle, which redistributes anyway."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
