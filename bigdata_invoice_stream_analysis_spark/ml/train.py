@@ -50,6 +50,7 @@ def train_sweep(
     ks: range | list[int] = DEFAULT_K_RANGE,
     seed: int = 42,
     max_iter: int = 20,
+    rows_per_partition: int | None = 50_000,
 ) -> list[SweepResult]:
     """M1/M2 + A5 — fit one model per k and record its training cost.
 
@@ -57,8 +58,22 @@ def train_sweep(
     train.scala:33); 20 sequential fits re-scan it otherwise. Each fit
     is internally distributed (per-iteration treeAggregate of cluster
     sums); the sweep itself is sequential like the reference.
+
+    ``rows_per_partition`` right-sizes partitioning before the sweep:
+    every KMeans iteration is one Spark job, so len(ks) × maxIter jobs
+    run over the same data, and with tiny per-partition work the task
+    scheduling dominates (measured 2.4× on a 97k-row sweep at 32
+    partitions vs 4). Only coalesces DOWN — at production row counts
+    the existing (larger) partitioning is kept. Costs one count(),
+    which also materializes the caller's cache up front.
     """
     features_df = features_df.select("features")
+    if rows_per_partition:
+        n = features_df.count()
+        cur = features_df.rdd.getNumPartitions()
+        want = max(1, min(cur, n // rows_per_partition + 1))
+        if want < cur:
+            features_df = features_df.coalesce(want)
     results: list[SweepResult] = []
     for k in ks:
         if algo == "kmeans":
