@@ -622,6 +622,74 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "segment_order_gap",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_without_orders
+FROM customer c
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+)
+def q_segment_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: per market segment, how many customers never
+    ordered. Spark plans the NOT-EXISTS as a LEFT ANTI hash join —
+    semi/anti joins ship only the join key, no payload shuffle. The
+    distinct on orders runs as a partial+final agg before the join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    missing = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    totals = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_customers")
+    )
+    return (
+        totals.join(missing, "segment", "left")
+        .select(
+            "segment",
+            "n_customers",
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+@query(
+    "unordered_parts",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p_partkey) AS BIGINT) AS min_partkey,
+       CAST(MAX(p_partkey) AS BIGINT) AS max_partkey
+FROM (
+  SELECT p_partkey FROM part
+  EXCEPT
+  SELECT l_partkey FROM lineitem
+)
+""",
+)
+def q_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (§2.8): part keys never ordered, via
+    EXCEPT (distinct). Catalyst rewrites except into a left-anti join
+    on the whole row — same physical shape as the anti join above, so
+    it scales identically (key-only shuffle)."""
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    gone = p.subtract(li)  # EXCEPT (distinct)
+    return gone.agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+        F.max("p_partkey").alias("max_partkey"),
+    )
+
+
 SESSION_GAP_SEC = 14400  # 4 h: per-user inter-event gaps in the test data average hours
 
 

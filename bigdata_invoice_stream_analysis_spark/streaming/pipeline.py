@@ -130,6 +130,49 @@ def good_purchases(lines: DataFrame, time_mode: str = "event") -> DataFrame:
     )
 
 
+def customer_sessions(
+    purchases: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Gap-based per-customer sessionization with Spark's native
+    ``session_window`` (absent from the reference — SURVEY.md §2.12
+    lists session windows as an explicit gap; the batch twin is
+    plans.queries.q_user_sessions).
+
+    The state store merges overlapping windows per key as events
+    arrive; the watermark closes a session once no event can extend it,
+    so output is append-mode final sessions — at scale, state is
+    O(open sessions), not O(events). Boundary note: an event exactly
+    ``gap`` after the previous one starts a NEW session here (window
+    span is half-open), while the batch twin's ``> gap`` rule keeps it
+    — tests use non-boundary data.
+    """
+    return (
+        purchases.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"),
+            F.col("CustomerID"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("Quantity").cast("double").alias("n_items"),
+            # exact count_distinct is unsupported in streaming aggs
+            # (would need the full value set in state); the HLL sketch
+            # is mergeable state — exact for small per-session counts
+            F.approx_count_distinct("InvoiceNo").alias("n_invoices"),
+        )
+        .select(
+            F.col("CustomerID"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_lines",
+            "n_items",
+            "n_invoices",
+        )
+    )
+
+
 def invoice_updates(
     purchases: DataFrame,
     watermark: str | None = None,

@@ -101,6 +101,29 @@ def test_cancellation_window_counts(spark, stream_dir):
     assert all(n <= 2 for _, n in rows)
 
 
+def test_customer_sessions(spark, stream_dir):
+    """Native session_window sessionization: 30-min gap per customer.
+    Customer 7's good lines land at 9:15, 9:20 / 10:00 / 11:30 / 23:59
+    → sessions A (two lines), B, C; the 23:59 line pushes the watermark
+    past A-C (append mode emits only closed sessions, so 23:59's own
+    session stays open and unemitted)."""
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    sessions = P.customer_sessions(
+        P.good_purchases(lines), gap="30 minutes", watermark="10 minutes"
+    )
+    batches = run_collect(spark, sessions, output_mode="append")
+    rows = sorted(
+        (r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M"),
+         r.n_lines, float(r.n_items), r.n_invoices)
+        for _, bat in batches for r in bat
+    )
+    assert rows == [
+        ("09:15", "09:50", 2, 3.0, 1),   # I1 ×2, window end = last event + gap
+        ("10:00", "10:30", 1, 5.0, 1),   # I2
+        ("11:30", "12:00", 1, 3.0, 1),   # I1 again, new session
+    ]
+
+
 def test_invoice_updates_match_batch(spark, stream_dir):
     """Train/serve consistency: the streaming update-mode aggregation's
     final state equals the batch aggregation over the same lines."""
