@@ -173,6 +173,56 @@ def customer_sessions(
     )
 
 
+def cancellation_matches(
+    lines: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    within: str = "2 hours",
+    time_mode: str = "event",
+) -> DataFrame:
+    """Stream-stream interval join (absent from the reference —
+    SURVEY.md §2.12): match each cancellation line ``C<no>`` to the
+    purchase lines of invoice ``<no>`` that arrived up to ``within``
+    before it. Both sides are branches of the SAME source stream.
+
+    Scale semantics: watermarks on both sides plus the time-range join
+    condition bound the join state — each side keeps only rows younger
+    than watermark + ``within``, so state is O(recent traffic), not
+    O(stream history). Output is append-mode (matches are final once
+    the watermark passes)."""
+    purchases = (
+        good_purchases(lines, time_mode)
+        .select(
+            F.col("InvoiceNo"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("Quantity"),
+            F.col("UnitPrice"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    with_t = with_time(lines, time_mode)
+    cancels = (
+        with_t.filter(
+            ~validate.is_invalid_line(F.col("value"))
+            & validate.is_cancelled_line(F.col("value"))
+        )
+        .select(
+            F.substring(
+                F.get(validate.split_line(F.col("value")), 0), 2, 1_000_000
+            ).alias("base_no"),
+            F.col("ts").alias("cancel_ts"),
+        )
+        .withWatermark("cancel_ts", watermark)
+    )
+    return purchases.join(
+        cancels,
+        (F.col("InvoiceNo") == F.col("base_no"))
+        & (F.col("cancel_ts") >= F.col("purchase_ts"))
+        & (F.col("cancel_ts") <= F.col("purchase_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        "InvoiceNo", "purchase_ts", "cancel_ts", "Quantity", "UnitPrice"
+    )
+
+
 def invoice_updates(
     purchases: DataFrame,
     watermark: str | None = None,

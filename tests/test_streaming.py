@@ -124,6 +124,31 @@ def test_customer_sessions(spark, stream_dir):
     ]
 
 
+def test_cancellation_matches(spark, tmp_path):
+    """Stream-stream interval join: cancellations match the purchase
+    lines of their base invoice within 2 h; older purchases don't."""
+    d = tmp_path / "chunks"
+    d.mkdir()
+    (d / "chunk-000000.txt").write_text(
+        "\n".join([
+            line("77", 2, "1/4/2011 9:00", "10.0"),
+            line("77", 1, "1/4/2011 9:30", "5.0"),
+            line("C77", 1, "1/4/2011 10:00", "0.0"),   # within 2 h of both
+            line("88", 1, "1/4/2011 8:00", "3.0"),
+            line("C88", 1, "1/4/2011 11:00", "0.0"),   # 3 h later: no match
+            line("99", 1, "1/4/2011 23:00", "1.0"),    # watermark pusher
+        ]) + "\n"
+    )
+    lines = file_lines_source(spark, str(d))
+    matches = P.cancellation_matches(lines, watermark="10 minutes", within="2 hours")
+    batches = run_collect(spark, matches, output_mode="append")
+    got = sorted(
+        (r.InvoiceNo, r.purchase_ts.strftime("%H:%M"), r.cancel_ts.strftime("%H:%M"))
+        for _, bat in batches for r in bat
+    )
+    assert got == [("77", "09:00", "10:00"), ("77", "09:30", "10:00")]
+
+
 def test_invoice_updates_match_batch(spark, stream_dir):
     """Train/serve consistency: the streaming update-mode aggregation's
     final state equals the batch aggregation over the same lines."""
