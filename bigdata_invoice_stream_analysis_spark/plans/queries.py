@@ -623,6 +623,122 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+         AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) / 1000000.0
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / (1.0 * COUNT(*)) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / (100.0 * COUNT(*)) AS avg_price,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+         / (100.0 * COUNT(*)) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    scan-heavy aggregate. The shipdate predicate reaches the parquet
+    scan (PushedFilters + row-group stats pruning); the aggregate is
+    partial+final hash agg over a 6-value group-key universe, so the
+    shuffle carries one row per (flag, status) per map task regardless
+    of input size. All money math in exact integer cents (×100 per
+    discount/tax factor) — see q_invoice_features' determinism note."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    agg = li.groupBy(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_c"),
+        F.sum(cents * (100 - disc)).alias("sum_disc_c"),
+        F.sum(cents * (100 - disc) * (100 + tax)).alias("sum_charge_c"),
+        F.sum(disc).alias("sum_disc_pct"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "return_flag",
+        "line_status",
+        "sum_qty",
+        (F.col("sum_base_c") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("sum_disc_c") / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.col("sum_charge_c") / F.lit(1000000.0)).alias("sum_charge"),
+        (F.col("sum_qty") / (F.lit(1.0) * F.col("count_order"))).alias("avg_qty"),
+        (F.col("sum_base_c") / (F.lit(100.0) * F.col("count_order"))).alias("avg_price"),
+        (F.col("sum_disc_pct") / (F.lit(100.0) * F.col("count_order"))).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@query(
+    "top_suppliers",
+    oracle="""
+SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name, n.n_name AS nation_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, suppkey ASC
+LIMIT 10
+""",
+)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by discounted revenue: fact ⋈ broadcast dims →
+    agg → TakeOrderedAndProject (no global sort; each partition keeps
+    its local top-10, the driver merges). Deterministic tie-break on
+    suppkey. At 100 TB the supplier dim may exceed the broadcast
+    threshold — then AQE falls back to a shuffle join keyed on suppkey
+    and the agg reuses that partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    joined = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    agg = joined.groupBy(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supp_name"),
+        F.col("n_name").alias("nation_name"),
+    ).agg(
+        F.sum(cents * (100 - disc)).alias("rev_c"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        agg.select(
+            "suppkey",
+            "supp_name",
+            "nation_name",
+            (F.col("rev_c") / F.lit(10000.0)).alias("revenue"),
+            "n_lines",
+        )
+        .orderBy(F.desc("revenue"), F.asc("suppkey"))
+        .limit(10)
+    )
+
+
+@query(
     "segment_order_gap",
     oracle="""
 SELECT c_mktsegment AS segment,
