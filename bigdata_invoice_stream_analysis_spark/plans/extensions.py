@@ -445,3 +445,63 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     char codes, which the oracle recomputes from the text)."""
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
     return MM.extract_byte_stats(media)
+
+
+@query(
+    "term_doc_frequency",
+    oracle=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(list_distinct({TX.SQL_TOKENIZE.format(col='text')})) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY doc_freq DESC, token ASC
+LIMIT 20
+""",
+)
+def q_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency: distinct tokens per doc → explode →
+    count docs per token → top-20 (doc_freq DESC, token ASC). The
+    per-doc array_distinct happens BEFORE the explode, so the shuffle
+    carries each (doc, token) once; the final top-k is
+    TakeOrderedAndProject. At 100 TB this is the vocabulary-building
+    pass of a TF-IDF / BPE pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.array_distinct(TX.tokenize(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "media_frame_samples",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(((n_chars % 16) + 1 + 3) // 4 AS BIGINT) AS n_kept_frames
+FROM documents
+""",
+)
+def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: documents as fake video
+    payloads (n_frames derived from n_chars), every-4th-frame sampling
+    through the row-expanding mapInPandas stub, then kept-frame counts
+    per media id. The oracle computes ceil(n_frames/4) arithmetically —
+    the Spark side must route every row through the real Arrow batch
+    iterator to match."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs).withColumn(
+        "meta",
+        F.col("meta").withField(
+            "n_frames", (F.col("meta.width") % 16 + 1).cast("int")
+        ),
+    )
+    sampled = MM.frame_sample_stub(media, every_n=4)
+    return sampled.groupBy("media_id").agg(
+        F.count("*").alias("n_kept_frames")
+    )
