@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis): operator semantics pinned against
+pure-Python models over generated inputs, batched so each example set
+costs ONE Spark job.
+
+These guard the invariants the DuckDB oracles rely on: the line-routing
+predicates, the polynomial hash, tokenization, and the top-k threshold
+rule must each match an independent reimplementation on arbitrary
+inputs, not just the synthesized test corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.functions.text import (
+    HASH_MULT,
+    HASH_P,
+    poly_hash,
+    tokenize,
+)
+from bigdata_invoice_stream_analysis_spark.operators import validate
+from bigdata_invoice_stream_analysis_spark.operators.topk import kth_largest
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Field values: printable ASCII minus the comma (a comma would change
+# the line's arity — covered separately by the arity cases).
+field = st.text(
+    st.characters(min_codepoint=32, max_codepoint=126, exclude_characters=","),
+    max_size=8,
+)
+lines = st.lists(
+    st.lists(field, min_size=1, max_size=12).map(",".join),
+    min_size=1,
+    max_size=60,
+)
+
+
+def py_invalid(line: str) -> bool:
+    """Python model of validate.is_invalid_line(strict_numeric=True)."""
+    f = line.split(",")
+    if len(f) != 8 or "" in f:
+        return True
+    return not re.fullmatch(r"-?\d+", f[3]) or not re.fullmatch(
+        r"-?\d+(\.\d+)?", f[5]
+    )
+
+
+@SETTINGS
+@given(lines)
+def test_invalid_line_matches_python_model(spark, batch):
+    df = spark.createDataFrame([(l,) for l in batch], ["value"])
+    got = [
+        r.inv
+        for r in df.select(
+            validate.is_invalid_line(F.col("value")).alias("inv")
+        ).collect()
+    ]
+    assert got == [py_invalid(l) for l in batch]
+
+
+@SETTINGS
+@given(lines)
+def test_cancelled_line_matches_python_model(spark, batch):
+    df = spark.createDataFrame([(l,) for l in batch], ["value"])
+    got = [
+        r.c
+        for r in df.select(
+            validate.is_cancelled_line(F.col("value")).alias("c")
+        ).collect()
+    ]
+    assert got == [l.split(",")[0].startswith("C") for l in batch]
+
+
+def py_poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * HASH_MULT + ord(ch)) % HASH_P
+    return h
+
+
+@SETTINGS
+@given(st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=20), min_size=1, max_size=60))
+def test_poly_hash_matches_python_model(spark, batch):
+    df = spark.createDataFrame([(s,) for s in batch], ["t"])
+    got = [r.h for r in df.select(poly_hash(F.col("t")).alias("h")).collect()]
+    assert got == [py_poly_hash(s) for s in batch]
+
+
+@SETTINGS
+@given(st.lists(st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=30), min_size=1, max_size=40))
+def test_tokenize_matches_python_model(spark, batch):
+    df = spark.createDataFrame([(s,) for s in batch], ["t"])
+    got = [r.toks for r in df.select(tokenize(F.col("t")).alias("toks")).collect()]
+    expected = [
+        [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t != ""]
+        for s in batch
+    ]
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+def test_kth_largest_matches_sorted(spark, values, k):
+    df = spark.createDataFrame([(float(v),) for v in values], ["x"])
+    got = kth_largest(df, "x", k)
+    ranked = sorted(values, reverse=True)
+    expected = float(ranked[min(k, len(ranked)) - 1])
+    assert got == expected
