@@ -220,7 +220,11 @@ def ivf_topk(
     recall depends on the planted cell structure (classic IVF trade).
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    c_all = corpus.select(
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
+
+    # Cell assignment + per-cell probe dots are the CPU stage; spread an
+    # under-parallel corpus scan before them.
+    c_all = ensure_min_parallelism(corpus, corpus.sparkSession).select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
     cents = (

@@ -130,6 +130,29 @@ def good_purchases(lines: DataFrame, time_mode: str = "event") -> DataFrame:
     )
 
 
+def deduped_lines(
+    lines: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    time_mode: str = "event",
+) -> DataFrame:
+    """A2 generalized across micro-batches: drop replayed duplicate
+    lines within the watermark horizon via
+    ``dropDuplicatesWithinWatermark``. The reference deduplicated only
+    WITHIN one 20 s batch (reduceByKey, InvoicePipeline.scala:70-71) —
+    an at-least-once Kafka source re-delivers lines across batch
+    boundaries on recovery, which this absorbs. State is bounded by the
+    watermark: a line's fingerprint is evicted once no duplicate can
+    still arrive. Lines whose event time cannot be parsed are passed
+    through (they route to the invalid sink downstream)."""
+    wt = with_time(lines, time_mode)
+    parsed = wt.filter(F.col("ts").isNotNull())
+    unparsed = wt.filter(F.col("ts").isNull())
+    deduped = parsed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["value"]
+    )
+    return deduped.unionByName(unparsed)
+
+
 def customer_sessions(
     purchases: DataFrame,
     gap: str = "30 minutes",

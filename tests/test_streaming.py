@@ -124,6 +124,31 @@ def test_customer_sessions(spark, stream_dir):
     ]
 
 
+def test_deduped_lines_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a line replayed in a later
+    micro-batch (at-least-once redelivery) is emitted once; distinct
+    lines all survive; an unparseable-time line passes through."""
+    d = tmp_path / "chunks"
+    d.mkdir()
+    dup = line("55", 1, "1/4/2011 9:00", "2.0")
+    (d / "chunk-000000.txt").write_text(
+        "\n".join([dup, line("56", 1, "1/4/2011 9:05", "3.0")]) + "\n"
+    )
+    (d / "chunk-000001.txt").write_text(
+        "\n".join([dup, line("57", 1, "1/4/2011 9:10", "4.0"), "no,time,here"]) + "\n"
+    )
+    lines_df = file_lines_source(spark, str(d), max_files_per_trigger=1)
+    deduped = P.deduped_lines(lines_df, watermark="1 hour")
+    batches = run_collect(spark, deduped, output_mode="append")
+    got = sorted(r.value for _, bat in batches for r in bat)
+    assert got == sorted([
+        dup,
+        line("56", 1, "1/4/2011 9:05", "3.0"),
+        line("57", 1, "1/4/2011 9:10", "4.0"),
+        "no,time,here",
+    ])
+
+
 def test_cancellation_matches(spark, tmp_path):
     """Stream-stream interval join: cancellations match the purchase
     lines of their base invoice within 2 h; older purchases don't."""
