@@ -956,6 +956,31 @@ def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bisecting_anomalies")  # no oracle: iterative MLlib fit (rows-only check)
+def q_bisecting_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — the A/B twin of kmeans_anomalies with BisectingKMeans
+    (trainBisecting.scala): same featurize → fit(k=4) → top-2000
+    threshold → anomaly pipeline, different clusterer. The reference
+    ran both models side by side on the stream
+    (anomalias_bisect_kmeans, InvoicePipeline.scala:144-148)."""
+    from bigdata_invoice_stream_analysis_spark.ml import anomaly
+    from bigdata_invoice_stream_analysis_spark.ml.train import assemble_features, train_sweep
+
+    feats = QUERIES["invoice_features"](spark, sf_dir).withColumnsRenamed(
+        dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
+    )
+    vecs = assemble_features(feats).cache()
+    model = train_sweep(vecs, algo="bisecting", ks=[4], seed=42, max_iter=10)[0].model
+    threshold = anomaly.train_threshold(vecs, model)
+    out = anomaly.anomalies(vecs, model, threshold)
+    vecs.unpersist()
+    return out.select(
+        "invoice_no",
+        F.col("prediction").cast("int").alias("prediction"),
+        F.col("dist").cast("double").alias("dist"),
+    )
+
+
 @query("kmeans_elbow_sweep")  # no oracle: iterative fits (rows-only check)
 def q_kmeans_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 + A6 — the model-selection cost loop and elbow pick
