@@ -739,6 +739,35 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "price_percentiles",
+    oracle="""
+SELECT l_returnflag AS return_flag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY 1
+""",
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of line price per return flag —
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    h = (n-1)·q linear-interpolation definition, so the doubles agree.
+    Scale caveat (in-plan, deliberate): exact percentile buffers each
+    group's values — fine for bounded groups; the 100 TB path for
+    high-cardinality groups is ``percentile_approx`` (t-digest sketch,
+    mergeable map-side like the HLL in approx_distinct_users)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50"),
+        F.percentile("l_extendedprice", 0.9).alias("p90"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
     "segment_order_gap",
     oracle="""
 SELECT c_mktsegment AS segment,
