@@ -392,3 +392,58 @@ def simhash_pairs(
         ham.alias("hamming"),
     )
     return cand
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected connected components over a near-dup pair graph —
+    the step that turns pairwise dedup output into canonical document
+    groups (every member of a component labels itself with the
+    component's minimum id, the canonical survivor).
+
+    Iterative min-label propagation: each round, every node takes the
+    minimum label among itself and its neighbors (one join + one
+    hash-agg per round); converged when the global label sum stops
+    decreasing (labels are monotonically non-increasing, so the sum is
+    an exact fixpoint witness — no full-table comparison needed).
+    Rounds needed = graph diameter; near-dup components are shallow
+    (mutant chains of depth 1-2), so 2-3 rounds in practice.
+    ``localCheckpoint`` truncates the growing lineage each round so the
+    plan stays O(1) per iteration. At 100 TB the same loop runs with
+    the edge list hash-partitioned by node; the O(log n) large-star /
+    small-star variant is the upgrade path for adversarially deep
+    graphs.
+
+    Returns (node, component) — one row per distinct node in ``edges``.
+    """
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    # Seed: label(n) = min(n, min neighbor) — folds the first
+    # propagation round into initialization.
+    labels = (
+        sym.unionAll(sym.select(F.col("node"), F.col("node").alias("nbr")))
+        .groupBy("node")
+        .agg(F.min("nbr").alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        nbr_labels = sym.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "component")
+        labels = (
+            nbr_labels.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -113,13 +113,30 @@ def extract_byte_stats(media: DataFrame) -> DataFrame:
     Arrow batches of (media_id, payload, meta) through a pandas
     iterator and emits BYTE_STATS_SCHEMA rows. This is the pattern a
     real decode/resize/frame-sample pipeline uses — swap fake_decode
-    for decode_media and the plumbing is unchanged."""
+    for decode_media and the plumbing is unchanged.
+
+    The worker function is a self-contained closure (no references to
+    this module's globals): cloudpickle then ships it BY VALUE, so the
+    query runs no matter what sys.path/cwd the driver process has —
+    Python workers never need to import this package."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        # Nested (pickled by value), NOT the module-level fake_decode:
+        # a module-level function would serialize as a by-name import.
+        def decode(payload):
+            if payload is None or len(payload) == 0:
+                return {"n_bytes": 0, "byte_sum": 0, "byte_min": None, "byte_max": None}
+            return {
+                "n_bytes": len(payload),
+                "byte_sum": sum(payload),
+                "byte_min": min(payload),
+                "byte_max": max(payload),
+            }
+
         for pdf in it:
-            feats = [fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

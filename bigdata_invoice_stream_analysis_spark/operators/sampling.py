@@ -1,0 +1,71 @@
+"""Deterministic hash-based sampling and dataset splitting — the
+train/val/test assignment step of a training-data pipeline (north-star
+extension; the reference has no sampling of any kind).
+
+Why md5-prefix instead of ``rand()`` or ``hash()``: the assignment must
+be (a) reproducible across runs and engines (Spark's ``hash`` is
+Murmur3-with-Spark-seed, DuckDB's is its own — md5 is bit-identical
+everywhere), (b) stable under repartitioning/insertion order (a pure
+function of the key, unlike ``rand``), and (c) uniform. The first 4 hex
+chars give 65536 buckets — granular enough for per-mille split weights.
+
+Pure per-row expressions: zero shuffle at any scale; the split column
+is computed map-side and survives pushdown/pruning like any projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 16  # 4 hex chars
+
+
+def split_thresholds(train: float = 0.8, val: float = 0.1) -> tuple[str, str]:
+    """Hex bucket-boundary literals for (train, train+val) — shared by
+    the Spark expression and the DuckDB oracle so both engines compare
+    the same md5 prefix against the same strings."""
+    t1 = format(int(_BUCKETS * train), "04x")
+    t2 = format(int(_BUCKETS * (train + val)), "04x")
+    return t1, t2
+
+
+def md5_bucket(key: Column, nchars: int = 4) -> Column:
+    """Lowercase-hex md5 prefix of the key's string form."""
+    return F.substring(F.md5(key.cast("string")), 1, nchars)
+
+
+def split_column(key: Column, train: float = 0.8, val: float = 0.1) -> Column:
+    """'train' / 'val' / 'test' assignment, a pure function of the key."""
+    t1, t2 = split_thresholds(train, val)
+    h = md5_bucket(key)
+    return (
+        F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(F.lit("test"))
+    )
+
+
+def with_split(
+    df: DataFrame, key_col: str, train: float = 0.8, val: float = 0.1
+) -> DataFrame:
+    """Attach a deterministic 'split' column keyed on ``key_col``."""
+    return df.withColumn("split", split_column(F.col(key_col), train, val))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose md5 bucket
+    falls below the fraction boundary. Unlike ``df.sample`` this is
+    reproducible across runs, engines, and repartitionings, and the
+    same key always samples the same way in every table it appears in
+    (consistent entity-level sampling across joined tables)."""
+    bound = format(int(_BUCKETS * fraction), "04x")
+    return df.filter(md5_bucket(F.col(key_col)) < bound)
+
+
+def sql_split_case(key_sql: str, train: float = 0.8, val: float = 0.1) -> str:
+    """DuckDB twin of split_column over an SQL key expression."""
+    t1, t2 = split_thresholds(train, val)
+    h = f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, 4)"
+    return (
+        f"CASE WHEN {h} < '{t1}' THEN 'train' "
+        f"WHEN {h} < '{t2}' THEN 'val' ELSE 'test' END"
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from bigdata_invoice_stream_analysis_spark.functions import text as TX
 from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
 from bigdata_invoice_stream_analysis_spark.operators import multimodal as MM
+from bigdata_invoice_stream_analysis_spark.operators import sampling as SAMPLING
 from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
 from bigdata_invoice_stream_analysis_spark.plans.queries import query
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
@@ -504,4 +505,75 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = MM.frame_sample_stub(media, every_n=4)
     return sampled.groupBy("media_id").agg(
         F.count("*").alias("n_kept_frames")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering + deterministic dataset splitting
+# ---------------------------------------------------------------------------
+
+def _sql_components() -> str:
+    # Transitive closure by recursive CTE over the MinHash-LSH pair
+    # graph — the exact (exponential-free, set-based) oracle for the
+    # iterative min-label propagation in dedup.connected_components.
+    pairs = _sql_minhash_lsh()
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs}) q),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.node = s.b
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_components", oracle=_sql_components())
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH
+    pair graph, labeling every involved doc with its component's min id
+    (the canonical survivor). This is the step that turns pairwise
+    dedup output into keep/drop decisions; see
+    operators/dedup.connected_components for the iteration/convergence
+    design."""
+    edges = DD.minhash_lsh_pairs(
+        docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    ).select("id_a", "id_b")
+    comps = DD.connected_components(edges, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component_id"),
+    )
+
+
+@query(
+    "stratified_split",
+    oracle=f"""
+WITH s AS (
+  SELECT source, {SAMPLING.sql_split_case("doc_id")} AS split, n_chars
+  FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+""",
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    doc_id (md5-prefix buckets — reproducible across engines, runs,
+    and partitionings; see operators/sampling.py), audited per source:
+    doc and char counts per (source, split). The split itself is a
+    zero-shuffle map-side projection; only the audit aggregates."""
+    d = SAMPLING.with_split(
+        load_table(spark, sf_dir, "documents"), "doc_id", train=0.8, val=0.1
+    )
+    return d.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )

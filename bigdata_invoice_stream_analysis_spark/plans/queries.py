@@ -1043,3 +1043,191 @@ def register(name: str):
 # register themselves on import; keep this at module bottom so the
 # @query decorator above is defined first.
 from bigdata_invoice_stream_analysis_spark.plans import extensions  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Q: window-function + as-of surface (§2.9 was empty in the reference;
+# these complete the SQL-window shapes: rank-per-group, time-RANGE
+# frame, and the point-in-time as-of join a feature pipeline needs).
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_parts_per_nation",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name AS nation_name, l.l_partkey AS part_key,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev_e4,
+         COUNT(*) AS n_lines
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT nation_name, part_key, rev_e4, n_lines,
+         row_number() OVER (PARTITION BY nation_name
+                            ORDER BY rev_e4 DESC, part_key) AS part_rank
+  FROM rev
+)
+SELECT nation_name, CAST(part_key AS BIGINT) AS part_key,
+       ROUND(rev_e4 / 10000.0, 6) AS revenue,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(part_rank AS BIGINT) AS part_rank
+FROM rk WHERE part_rank <= 3
+""",
+)
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by discounted revenue per supplier nation — the
+    rank-per-group window shape (row_number over a partitioned sort).
+    Physical plan: fact-side agg shuffle on (nation, part) with both
+    dims broadcast, then a second shuffle on nation for the window;
+    the rank filter cuts each partition to 3 rows before any further
+    movement. Ties broken by part_key so the result is deterministic.
+    Money math in exact integer 1e-4 dollars (see q_pricing_summary)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.col("l_partkey").alias("part_key"),
+        )
+        .agg(
+            F.sum(cents * (100 - disc)).alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    w = Window.partitionBy("nation_name").orderBy(
+        F.desc("rev_e4"), F.asc("part_key")
+    )
+    return (
+        rev.withColumn("part_rank", F.row_number().over(w))
+        .filter(F.col("part_rank") <= 3)
+        .select(
+            "nation_name",
+            "part_key",
+            r6(F.col("rev_e4") / 10000.0).alias("revenue"),
+            "n_lines",
+            F.col("part_rank").cast("long").alias("part_rank"),
+        )
+    )
+
+
+@query(
+    "rolling_user_value",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(CAST(SUM(vc) OVER w AS BIGINT) / 100.0, 6) AS value_sum_1h,
+       ROUND(CAST(SUM(vc) OVER w AS BIGINT)
+             / (100.0 * COUNT(*) OVER w), 6) AS value_avg_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour count/sum/mean of the user's event
+    values — the time-RANGE window frame (feature engineering's
+    'activity in the last hour'). One shuffle on user_id; the frame is
+    evaluated by a running two-pointer pass per partition, never
+    materializing per-row frames. Values aggregate in integer cents
+    over exact microsecond epochs (ts DIV 1000 truncation matches
+    DuckDB's ns→us read), so both engines see identical frames and
+    identical sums."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("vc").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        n.alias("n_1h"),
+        r6(s / 100.0).alias("value_sum_1h"),
+        r6(s / (100.0 * n)).alias("value_avg_1h"),
+    )
+
+
+@query(
+    "time_since_error",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+),
+err AS (
+  SELECT event_id AS last_error_id, user_id, ts_us AS r_us
+  FROM e WHERE event_type = 'error'
+),
+cand AS (
+  SELECT e.event_id, e.user_id, e.ts_us, err.last_error_id, err.r_us,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY err.r_us DESC, err.last_error_id DESC) AS rn
+  FROM e JOIN err ON err.user_id = e.user_id AND err.r_us < e.ts_us
+)
+SELECT event_id, user_id, ts_us, last_error_id,
+       ROUND((ts_us - r_us) / 1000000.0, 6) AS sec_since_error
+FROM cand WHERE rn = 1
+""",
+)
+def q_time_since_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent strictly
+    earlier error event ('time since last failure'). The oracle is the
+    quadratic per-key inequality join + rank; the Spark plan is
+    operators/joins.asof_join — union + running last(ignorenulls) over
+    one key shuffle, linear in events-per-user. Events with no prior
+    error are dropped (inner as-of)."""
+    from bigdata_invoice_stream_analysis_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("ts_us"),
+        F.col("event_id").alias("last_error_id"),
+        F.col("ts_us").alias("r_us"),
+    )
+    joined = asof_join(
+        ev.drop("event_type"),
+        err,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["last_error_id", "r_us"],
+        strict=True,
+        tiebreak="last_error_id",
+    )
+    return joined.filter(F.col("last_error_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "last_error_id",
+        r6((F.col("ts_us") - F.col("r_us")) / 1_000_000.0).alias("sec_since_error"),
+    )

@@ -29,8 +29,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
+            # Integer division, NOT `/1000` in double: 2024 epochs are
+            # ~2^60 ns, beyond double's 53-bit mantissa, so float
+            # division perturbs the microsecond digit. DuckDB truncates
+            # ns→us integrally; match it exactly.
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
         return df
     return spark.read.parquet(path)

@@ -1,0 +1,103 @@
+"""Unit tests: as-of join, connected components, deterministic splits.
+
+The as-of join and components operators also have full cross-engine
+oracle gates (time_since_error, dedup_components); these tests pin the
+edge-case semantics on hand-built inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.operators.dedup import connected_components
+from bigdata_invoice_stream_analysis_spark.operators.joins import asof_join
+from bigdata_invoice_stream_analysis_spark.operators.sampling import (
+    hash_sample,
+    split_thresholds,
+    with_split,
+)
+
+
+def _asof(spark, strict):
+    left = spark.createDataFrame(
+        [("k", 10, "l1"), ("k", 20, "l2"), ("k", 5, "l0"), ("x", 7, "lx")],
+        "k string, ts long, lid string",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "r10"), ("k", 10, "r10b"), ("k", 15, "r15"), ("y", 1, "ry")],
+        "k string, rts long, rid string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_cols=["rid", "rts"], strict=strict, tiebreak="rid",
+    )
+    return {r.lid: (r.rid, r.rts) for r in out.collect()}
+
+
+def test_asof_strict(spark):
+    m = _asof(spark, strict=True)
+    # ts=10 must NOT see the rts=10 rows (strict <)
+    assert m["l1"] == (None, None)
+    assert m["l0"] == (None, None)
+    # ts=20 sees rts=15 (latest strictly before)
+    assert m["l2"] == ("r15", 15)
+    # key with no right rows at all
+    assert m["lx"] == (None, None)
+
+
+def test_asof_inclusive_with_tiebreak(spark):
+    m = _asof(spark, strict=False)
+    # ts=10 matches rts=10; tie between r10/r10b broken by max rid
+    assert m["l1"] == ("r10b", 10)
+    assert m["l0"] == (None, None)
+    assert m["l2"] == ("r15", 15)
+
+
+def test_asof_single_shuffle(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"), F.col("id").alias("lid")
+    )
+    right = left.select("k", "ts", F.col("lid").alias("rid"))
+    plan = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rid"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+    # pair 10-11, triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_split_deterministic_and_complete(spark):
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    s1 = with_split(df, "k")
+    counts = {r.split: r.c for r in s1.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # uniform md5 buckets: 80/10/10 within a few percent at n=2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.04
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # pure function of the key: same assignment on re-computation
+    again = {r.k: r.split for r in with_split(df, "k").collect()}
+    first = {r.k: r.split for r in s1.collect()}
+    assert first == again
+
+
+def test_hash_sample_is_subset_consistent(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in hash_sample(df, "k", 0.3).collect()}
+    assert small <= big  # nested samples: growing the rate keeps prior keys
+    assert abs(len(big) / 1000 - 0.3) < 0.05
+
+
+def test_split_thresholds_hex():
+    t1, t2 = split_thresholds(0.8, 0.1)
+    assert (t1, t2) == ("cccc", "e666")
