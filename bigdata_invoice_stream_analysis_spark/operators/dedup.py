@@ -420,8 +420,13 @@ def connected_components(
 
     Returns (node, component) — one row per distinct node in ``edges``.
     """
-    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).unionAll(
-        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    # Materialize the symmetric edge list ONCE: every round joins
+    # against it, and without a checkpoint each round would re-run the
+    # whole upstream candidate-generation pipeline (MinHash/LSH etc.).
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .localCheckpoint()
     )
     # Seed: label(n) = min(n, min neighbor) — folds the first
     # propagation round into initialization.
