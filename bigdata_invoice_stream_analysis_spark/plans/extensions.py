@@ -577,3 +577,132 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF + cross-split contamination
+# ---------------------------------------------------------------------------
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+best AS (
+  SELECT t.doc_id, t.token, t.tf, d.doc_freq,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.doc_freq ASC, t.token ASC)
+           AS rn
+  FROM tf t JOIN df d USING (token)
+)
+SELECT doc_id, token AS top_token, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq,
+       ROUND(tf * ln((SELECT n_docs FROM n) * 1.0 / doc_freq), 6) AS tfidf
+FROM best WHERE rn = 1
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's most characteristic token by TF-IDF. Plan: one
+    (doc, token) count shuffle for TF; DF reuses that result with a
+    token-keyed re-aggregation (the corpus-wide vocabulary pass shared
+    with term_doc_frequency); N broadcasts as a 1-row aggregate; the
+    per-doc winner is a rank-1 window cut. The RANKING is pure-integer
+    (tf DESC, doc_freq ASC, token ASC) so it can never flip on a float
+    ulp — ln() only appears in the reported score, rounded to 6dp."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf.cache()
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("token").alias("top_token"),
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "split_contamination",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SAMPLING.sql_split_case("doc_id")} AS split, text
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct({TX.sql_shingle_hashes("text", n=3)})) AS h
+  FROM d
+),
+train_h AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+test AS (SELECT doc_id, h FROM sh WHERE split = 'test')
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(th.h) AS BIGINT) AS n_shared,
+       ROUND(COUNT(th.h) * 1.0 / COUNT(*), 6) AS contamination
+FROM test t LEFT JOIN train_h th ON t.h = th.h
+GROUP BY t.doc_id
+""",
+)
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: for every test-split document,
+    the fraction of its distinct 3-gram shingles that also occur
+    anywhere in the train split — the leakage check a training-data
+    pipeline runs before shipping an eval set. Shingle hashes are
+    distinct per doc BEFORE exploding, so the join carries each
+    (doc, shingle) once; the train side collapses to a distinct-hash
+    set (8-byte keys — at 100 TB this is a hash-partitioned big-big
+    join on the shingle, with a bloom/semi pre-filter as the upgrade
+    path). Counts are integers; the ratio divides after aggregation."""
+    d = SAMPLING.with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(TX.shingle_hashes(F.col("text"), n=3))
+        ).alias("h"),
+    )
+    train_h = (
+        sh.filter(F.col("split") == "train")
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = sh.filter(F.col("split") == "test").select("doc_id", "h")
+    return (
+        test.join(train_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )

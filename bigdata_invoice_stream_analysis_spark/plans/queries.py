@@ -1231,3 +1231,130 @@ def q_time_since_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_error_id",
         r6((F.col("ts_us") - F.col("r_us")) / 1_000_000.0).alias("sec_since_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: remaining relational shapes — semi join (EXISTS), INTERSECT,
+# CUBE, and scalar-subquery comparison. §2.7/2.8 were empty in the
+# reference; with these, every classic SQL shape is first-class and
+# oracle-gated.
+# ---------------------------------------------------------------------------
+
+@query(
+    "segment_active_customers",
+    oracle="""
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+GROUP BY 1
+""",
+)
+def q_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left-semi join: customers with at least one big order,
+    counted per market segment. The semi join carries only the key and
+    stops probing a customer at its first match — no fact-side payload
+    ever shuffles, and the output can't exceed the customer table.
+    Complements segment_order_gap (the anti twin)."""
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    ).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "repeat_customers",
+    oracle="""
+SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT-distinct: customers holding both a finished ('F') and
+    an open ('O') order. Catalyst plans set-intersect as a distinct +
+    left-semi join on the key — one shuffle each side, no payload.
+    Completes the set-op surface next to unordered_parts (EXCEPT) and
+    the corpus-augmentation UNIONs."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("cust_key")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("cust_key")
+    )
+    return f.intersect(op)
+
+
+@query(
+    "order_status_cube",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
+         AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping-set combinations
+    in a single Expand + one aggregation pass — the same plan shape as
+    order_priority_rollup but with the full lattice (×4 row expansion
+    pre-shuffle, partial aggregation keeps the exchange small). Neither
+    column is ever null in the data, so COALESCE('ALL') marks the
+    subtotal rows identically in both engines. Money sums in exact
+    integer cents, divided after (FP-determinism convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("sc"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            r6(F.col("sc") / 100.0).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "orders_above_avg",
+    oracle="""
+WITH t AS (
+  SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM orders
+)
+SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o, t
+WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * t.n > t.s
+GROUP BY 1
+""",
+)
+def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison: orders priced above the global mean,
+    counted per priority. The 1-row global aggregate broadcasts and the
+    predicate is cross-multiplied (cents*n > sum) so the comparison is
+    exact integer arithmetic — no float mean, no engine divergence on
+    the boundary. Two passes over orders (one agg, one filter+agg),
+    both with only the needed columns scanned."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    t = o.agg(
+        F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.select(F.col("o_orderpriority"), cents.alias("cents"))
+        .join(F.broadcast(t))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
