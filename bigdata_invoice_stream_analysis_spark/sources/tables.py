@@ -110,3 +110,32 @@ def read_raw_lines(spark: SparkSession, path: str) -> DataFrame:
     a Kafka value stream has, so batch tests exercise the exact
     streaming parse path."""
     return spark.read.text(path).withColumnRenamed("value", "value")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_within: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist a table hive-partitioned by low-cardinality columns —
+    the lakehouse layout for time/category-sliced scans at 100 TB:
+    a filter on a partition column prunes whole directories at planning
+    time (PartitionFilters, zero IO for excluded partitions), and
+    ``sortWithinPartitions`` clusters rows so parquet row-group min/max
+    stats prune within the files that remain.
+
+    Partition columns must be low-cardinality (dates, categories —
+    thousands of values, not millions): every distinct tuple is a
+    directory, and tiny partitions devolve into the small-files
+    problem. High-cardinality keys belong in write_bucketed instead.
+    ``max_records_per_file`` caps file size without coalescing the
+    write parallelism.
+    """
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    writer = df.write.mode("overwrite").format("parquet")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).save(path)

@@ -47,6 +47,51 @@ _STATE_SCHEMA = (
 )
 
 
+def _fold_batch(pdf_iter, avg, mn, mx, number_items):
+    """The reference's line-by-line fold (InvoicePipeline.scala:104-114)
+    over one micro-batch's Arrow chunks. Returns the updated running
+    values plus the head-of-batch hour/customer artifacts."""
+    head_hour = 0.0
+    customer = ""
+    saw_data = False
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        if not saw_data:
+            # Head purchase of this batch (InvoicePipeline.scala:104).
+            head = pdf.iloc[0]
+            ts = head["ts"]
+            head_hour = (
+                0.0 if pd.isna(ts) else float(ts.hour + ts.minute / 60.0)
+            )
+            customer = str(head["CustomerID"])
+            saw_data = True
+        # Line-by-line weighted-mean fold (InvoicePipeline.scala:109-114).
+        for price, qty in zip(pdf["UnitPrice"], pdf["Quantity"]):
+            price, qty = float(price), float(qty)
+            avg = (avg * number_items + price * qty) / (number_items + qty)
+            mn = min(mn, price)
+            mx = max(mx, price)
+            number_items += qty
+    return avg, mn, mx, number_items, head_hour, customer, saw_data
+
+
+def _emit_row(invoice_no, avg, mn, mx, head_hour, number_items, batch_ms, lines, customer):
+    return pd.DataFrame(
+        {
+            "InvoiceNo": [invoice_no],
+            "AvgUnitPrice": [avg],
+            "MinUnitPrice": [mn],
+            "MaxUnitPrice": [mx],
+            "Time": [head_hour],
+            "NumberItems": [number_items],
+            "LastUpdated": [batch_ms],
+            "Lines": [int(lines)],
+            "CustomerID": [customer],
+        }
+    )
+
+
 def _make_updater(evict_after_ms: int | None):
     def update(
         key: tuple[str],
@@ -63,28 +108,9 @@ def _make_updater(evict_after_ms: int | None):
         else:
             avg, mn, mx, number_items, lines = 0.0, _SEED_MIN, _SEED_MAX, 0.0, 0
 
-        head_hour = 0.0
-        customer = ""
-        saw_data = False
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            if not saw_data:
-                # Head purchase of this batch (InvoicePipeline.scala:104).
-                head = pdf.iloc[0]
-                ts = head["ts"]
-                head_hour = (
-                    0.0 if pd.isna(ts) else float(ts.hour + ts.minute / 60.0)
-                )
-                customer = str(head["CustomerID"])
-                saw_data = True
-            # Line-by-line weighted-mean fold (InvoicePipeline.scala:109-114).
-            for price, qty in zip(pdf["UnitPrice"], pdf["Quantity"]):
-                price, qty = float(price), float(qty)
-                avg = (avg * number_items + price * qty) / (number_items + qty)
-                mn = min(mn, price)
-                mx = max(mx, price)
-                number_items += qty
+        avg, mn, mx, number_items, head_hour, customer, saw_data = _fold_batch(
+            pdf_iter, avg, mn, mx, number_items
+        )
         if not saw_data:
             return
         lines += 1
@@ -92,18 +118,8 @@ def _make_updater(evict_after_ms: int | None):
         state.update((avg, mn, mx, number_items, batch_ms, lines))
         if evict_after_ms is not None:
             state.setTimeoutDuration(evict_after_ms)
-        yield pd.DataFrame(
-            {
-                "InvoiceNo": [key[0]],
-                "AvgUnitPrice": [avg],
-                "MinUnitPrice": [mn],
-                "MaxUnitPrice": [mx],
-                "Time": [head_hour],
-                "NumberItems": [number_items],
-                "LastUpdated": [batch_ms],
-                "Lines": [int(lines)],
-                "CustomerID": [customer],
-            }
+        yield _emit_row(
+            key[0], avg, mn, mx, head_hour, number_items, batch_ms, lines, customer
         )
 
     return update
@@ -129,4 +145,117 @@ def apply_invoice_state(
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def _make_processor(evict_after_ms: int | None):
+    """Build the state-v2 processor as a SELF-CONTAINED dynamic class:
+    transformWithState runs the processor in a separately-spawned
+    long-lived Python driver worker whose sys.path need not contain
+    this package, so the class (and every helper it touches) must
+    cloudpickle BY VALUE — a module-level class would serialize as a
+    by-name import and crash that worker with ModuleNotFoundError.
+    Only pyspark/pandas (always on the worker path) are imported."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    state_schema = (
+        "avg double, mn double, mx double, number_items double, "
+        "last_updated long, lines int"
+    )
+
+    class InvoiceStateProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "invoice", state_schema, evict_after_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            prev = self._state.get()
+            if prev is not None:
+                avg, mn, mx, number_items, _last, lines = prev
+            else:
+                # Reference dummy seeds (InvoicePipeline.scala:96):
+                # Double.MaxValue-equivalent min, MinPositiveValue max.
+                avg, mn, mx, number_items, lines = (
+                    0.0, float("inf"), 4.9e-324, 0.0, 0,
+                )
+            head_hour, customer, saw_data = 0.0, "", False
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                if not saw_data:
+                    head = pdf.iloc[0]
+                    ts = head["ts"]
+                    head_hour = (
+                        0.0 if pd.isna(ts) else float(ts.hour + ts.minute / 60.0)
+                    )
+                    customer = str(head["CustomerID"])
+                    saw_data = True
+                for price, qty in zip(pdf["UnitPrice"], pdf["Quantity"]):
+                    price, qty = float(price), float(qty)
+                    avg = (avg * number_items + price * qty) / (
+                        number_items + qty
+                    )
+                    mn = min(mn, price)
+                    mx = max(mx, price)
+                    number_items += qty
+            if not saw_data:
+                return
+            lines += 1
+            batch_ms = int(timer_values.getCurrentProcessingTimeInMs())
+            if batch_ms <= 0:
+                batch_ms = int(pd.Timestamp.utcnow().value // 1_000_000)
+            self._state.update((avg, mn, mx, number_items, batch_ms, lines))
+            yield pd.DataFrame(
+                {
+                    "InvoiceNo": [key[0]],
+                    "AvgUnitPrice": [avg],
+                    "MinUnitPrice": [mn],
+                    "MaxUnitPrice": [mx],
+                    "Time": [head_hour],
+                    "NumberItems": [number_items],
+                    "LastUpdated": [batch_ms],
+                    "Lines": [int(lines)],
+                    "CustomerID": [customer],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return InvoiceStateProcessor()
+
+
+def transform_invoice_state(
+    purchases: DataFrame, evict_after_ms: int | None = None
+) -> DataFrame:
+    """W2 on the transformWithState (state v2) API — Spark 4's
+    successor to applyInPandasWithState, with identical semantics to
+    apply_invoice_state. What the new API buys at scale: typed named
+    state slots with engine-managed per-value TTL (``evict_after_ms``
+    maps to ttlDurationMs — no hand-rolled timeout dance), composable
+    List/Map state for richer operators, and first-class timers.
+    Requires the RocksDB state store provider; ProcessingTime mode is
+    required for TTL and harmless without it.
+
+    Environment gate: the v2 state-server protocol speaks protobuf
+    between the JVM and its Python workers; on clusters without the
+    ``protobuf`` package this raises immediately (clear error beats a
+    mid-query worker crash), and apply_invoice_state remains the
+    equivalent fallback."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-v2 wire protocol); use apply_invoice_state "
+            "on environments without it"
+        ) from e
+    return purchases.groupBy("InvoiceNo").transformWithStateInPandas(
+        _make_processor(evict_after_ms),
+        outputStructType=INVOICE_STATE_SCHEMA,
+        outputMode="update",
+        timeMode="ProcessingTime",
     )

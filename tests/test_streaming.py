@@ -275,3 +275,50 @@ def test_rate_source_shape(spark):
     df = rate_lines_source(spark, rows_per_second=10)
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["key", "value", "ingest_ts"]
+
+
+def test_state_v2_semantics(spark, stream_dir, tmp_path):
+    """W2 on transformWithStateInPandas (state v2, RocksDB-backed):
+    identical per-batch emission, Lines, head-of-batch Time, and
+    weighted running mean as the applyInPandasWithState path. Skips
+    where the protobuf wire dependency is absent (state.py gates it)."""
+    pytest.importorskip("google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+        updates = state.transform_invoice_state(P.good_purchases(lines))
+        batches = run_collect(
+            spark, updates, output_mode="update",
+            checkpoint=str(tmp_path / "ckpt_state_v2"),
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert len(batches) >= 2
+    by_batch = {bid: {r.InvoiceNo: r for r in rows} for bid, rows in batches}
+    b1, b2 = by_batch[0], by_batch[1]
+    assert set(b1) == {"I1", "I2"}
+    assert b1["I1"].Lines == 1
+    assert b1["I1"].AvgUnitPrice == pytest.approx((2 * 10 + 1 * 30) / 3)
+    assert b1["I1"].Time == pytest.approx(9 + 15 / 60)
+    assert set(b2) == {"I1", "I5"}
+    assert b2["I1"].Lines == 2
+    assert b2["I1"].AvgUnitPrice == pytest.approx(110.0 / 6)
+    assert b2["I1"].MinUnitPrice == 10.0
+    assert b2["I1"].MaxUnitPrice == 30.0
+    assert b2["I1"].NumberItems == 6.0
+
+
+def test_state_v2_gate_message():
+    """Without protobuf, transform_invoice_state must fail fast with an
+    actionable error instead of crashing the streaming python runner."""
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from bigdata_invoice_stream_analysis_spark.streaming import state as st
+    with pytest.raises(RuntimeError, match="apply_invoice_state"):
+        st.transform_invoice_state(None)
