@@ -1358,3 +1358,137 @@ def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: distinct-aggregates, pivot, histogram, SQL front-end — §2.12
+# listed distinct-aggregates among the reference's explicit absences;
+# these make them (and the remaining reshaping shapes) first-class.
+# ---------------------------------------------------------------------------
+
+@query(
+    "priority_distinct_reach",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+""",
+)
+def q_priority_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one pass: per priority, distinct
+    customers AND distinct order days next to a plain count. Catalyst
+    plans multi-distinct as a single Expand (one row replica per
+    distinct clause) + two-level aggregation — one logical pass over
+    orders, not one job per distinct. At extreme cardinality each
+    distinct clause becomes a dedicated HLL/sketch; this is the exact
+    form."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        F.count_distinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "status_priority_pivot",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+FROM orders GROUP BY 1
+""",
+)
+def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts reshaped to one column per status. The pivot
+    values are declared explicitly ('F','O','P'), which keeps this a
+    single aggregation pass — omitting them would cost an extra
+    distinct-scan job to discover the columns, and a skew/typo in the
+    data would silently change the output schema (schema stability
+    matters more than convenience at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
+    "order_value_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
+         AS bucket_value
+FROM orders GROUP BY 1
+""",
+)
+def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram (50k-wide buckets) — the
+    distribution-profiling pass a data-quality pipeline runs per
+    numeric column. Bucketing is a map-side floor-division, so the
+    shuffle carries one row per bucket per partition (partial agg),
+    regardless of input size. Complements price_percentiles (exact
+    quantiles) with the full-shape view."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sc"),
+        )
+        .select("bucket_lo", "n_orders", r6(F.col("sc") / 100.0).alias("bucket_value"))
+    )
+
+
+@query(
+    "region_revenue_sql",
+    oracle="""
+SELECT r.r_name AS region_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def q_region_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL FRONT-END path: this query is authored as a Spark SQL
+    string over registered views (sources.tables.register_views), not
+    the DataFrame API — proving a reference user can bring plain SQL
+    and get the identical Catalyst plan (both front-ends converge on
+    the same logical plan; the dims broadcast all the same). Same
+    integer-cents revenue convention as the DataFrame queries."""
+    from bigdata_invoice_stream_analysis_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT r.r_name AS region_name,
+               COUNT(*) AS n_lines,
+               -- CAST to DOUBLE: a bare 10000.0 literal is DECIMAL in
+               -- Spark SQL and would make revenue a Decimal column.
+               ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                     / CAST(10000 AS DOUBLE), 6) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """)
