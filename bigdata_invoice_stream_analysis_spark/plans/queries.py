@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_invoice_stream_analysis_spark.operators import validate
-from bigdata_invoice_stream_analysis_spark.operators.topk import top_k
+from bigdata_invoice_stream_analysis_spark.operators.topk import kth_largest, top_k
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -976,8 +976,12 @@ def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = assemble_features(feats).cache()
     model = train_sweep(vecs, algo="kmeans", ks=[4], seed=42, max_iter=10)[0].model
-    threshold = anomaly.train_threshold(vecs, model)
-    out = anomaly.anomalies(vecs, model, threshold)
+    # Score ONCE and reuse: the threshold (kth-largest dist) and the
+    # anomaly filter read the same scored frame instead of re-running
+    # model.transform + sqdist over the input twice.
+    scored = anomaly.score(vecs, model).cache()
+    threshold = kth_largest(scored, "dist", anomaly.THRESHOLD_RANK) or 0.0
+    out = scored.filter(F.col("dist") > threshold)
     return out.select(
         "invoice_no",
         F.col("prediction").cast("int").alias("prediction"),
@@ -1000,8 +1004,11 @@ def q_bisecting_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vecs = assemble_features(feats).cache()
     model = train_sweep(vecs, algo="bisecting", ks=[4], seed=42, max_iter=10)[0].model
-    threshold = anomaly.train_threshold(vecs, model)
-    out = anomaly.anomalies(vecs, model, threshold)
+    # Single scoring pass shared by threshold + filter (see
+    # q_kmeans_anomalies).
+    scored = anomaly.score(vecs, model).cache()
+    threshold = kth_largest(scored, "dist", anomaly.THRESHOLD_RANK) or 0.0
+    out = scored.filter(F.col("dist") > threshold)
     vecs.unpersist()
     return out.select(
         "invoice_no",
