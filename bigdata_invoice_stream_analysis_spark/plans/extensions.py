@@ -706,3 +706,44 @@ def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "label_embedding_centroids",
+    oracle="""
+WITH comp AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+                i -> {'dim': i,
+                      'q': CAST(round(embedding[i] * 10000) AS BIGINT)})) AS u
+  FROM embeddings
+)
+SELECT label, CAST(u.dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(SUM(u.q) / (10000.0 * COUNT(*)), 6) AS centroid
+FROM comp GROUP BY label, u.dim
+""",
+)
+def q_label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean over the
+    64-dim vectors) — the class-prototype computation behind
+    centroid-based filtering, retrieval calibration, and IVF codebook
+    seeding. posexplode turns the array into (label, dim, component)
+    rows so ONE hash aggregation computes every (label, dim) mean;
+    the shuffle carries partial integer sums (components quantized to
+    1e-4, the repo-wide embedding convention), never whole vectors.
+    Long format (label, dim) avoids cross-engine array-ordering
+    hazards; dims are 1-based to match SQL subscripts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("x") * 10000).cast("long").alias("q"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("q") / (10000.0 * F.count(F.lit(1))), 6).alias("centroid"),
+    )

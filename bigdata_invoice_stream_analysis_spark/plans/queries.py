@@ -1499,3 +1499,69 @@ def q_region_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """)
+
+
+@query(
+    "user_value_trend",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS yc
+  FROM events
+),
+shifted AS (
+  SELECT user_id,
+         (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 60000000 AS xm,
+         yc
+  FROM e
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(xm) AS sx, SUM(yc) AS sy,
+         SUM(xm * yc) AS sxy, SUM(xm * xm) AS sx2
+  FROM shifted GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sx2 - sx * sx), 6) AS slope_cents_per_min
+FROM s WHERE n * sx2 - sx * sx != 0
+""",
+)
+def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend (least-squares slope) of event value over
+    time — the 'is this metric drifting' aggregate. The regression
+    decomposes into FOUR plain integer sums (n, Σx, Σy, Σxy, Σx²), so
+    one hash aggregation computes an exact closed-form slope: no UDF,
+    no per-group pandas fit, no float summation-order divergence.
+    x is shifted per user (minutes since the user's first event, via a
+    window MIN) — slope is shift-invariant and the shift keeps every
+    sum well inside int64 at any realistic group size. The window and
+    the aggregation share one user_id shuffle (Catalyst reuses the
+    partitioning). Degenerate single-instant users are dropped
+    (denominator 0)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    w = Window.partitionBy("user_id")
+    shifted = e.select(
+        "user_id",
+        F.expr("(ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) DIV 60000000").alias("xm"),
+        "yc",
+    )
+    s = shifted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xm") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sx2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        r6(num.cast("double") / den).alias("slope_cents_per_min"),
+    )

@@ -116,3 +116,74 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     )[1].split("]", 1)[0], "partition predicate must prune at the source"
     expected = ev.filter(F.col("event_type") == "error").count()
     assert pruned.count() == expected
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling: a pathologically hot key (one key owning
+    ~all fact rows) makes one shuffle partition giant; with skewJoin
+    enabled AQE splits it into multiple tasks at runtime — the no-code
+    answer to key skew (the hand-rolled alternative is operators/skew
+    salting). The executed SMJ must be marked skew=true and results
+    must be identical to the unskewed plan."""
+    fact = spark.range(0, 60_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 70_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("dval"))
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k")
+        # Execute THIS DataFrame's plan, then read the same
+        # QueryExecution: AQE finalizes the plan only on execution
+        # (count() would plan a separate query and leave this one
+        # isFinalPlan=false).
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert n == 60_000
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact(spark, sf_dir):
+    """Runtime (bloom) filter: a selective dim-side predicate is
+    compiled into a bloom filter evaluated on the fact side BEFORE the
+    join shuffle — at 100 TB this is the difference between shuffling
+    the whole fact table and shuffling the ~matching slice. The
+    optimized plan must carry bloom_filter_might_contain on the fact
+    side. (Requires file-source scans: the rule keys off scan size
+    statistics, which is why parquet tables are used here.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 3).select(
+            "p_partkey"
+        )
+        joined = li.join(p, li.l_partkey == p.p_partkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+        assert joined.count() > 0
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
