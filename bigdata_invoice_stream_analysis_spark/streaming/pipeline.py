@@ -289,3 +289,25 @@ def invoice_updates(
         F.count(F.lit(1)).alias("Lines"),
         F.last("CustomerID").alias("CustomerID"),
     )
+
+
+def enriched_purchases(
+    purchases: DataFrame,
+    customers: DataFrame,
+    on_stream: str = "CustomerID",
+    on_static: str = "customer_id",
+) -> DataFrame:
+    """Stream-static join (absent from the reference — SURVEY.md
+    §2.12): enrich the purchase stream with customer dimension
+    attributes. Left join keeps purchases whose customer is unknown
+    (nulls beat dropped revenue rows in an enrichment).
+
+    Scale semantics: the static side BROADCASTS — each micro-batch
+    joins against the executor-local copy with no shuffle of the
+    stream and, critically, NO join state (a static side needs no
+    watermark bookkeeping: every batch re-reads the dim, which also
+    means slowly-changing dims refresh mid-query when the underlying
+    files change). A huge dim would instead be pre-bucketed on the key
+    (sources.tables.write_bucketed) so each micro-batch co-locates."""
+    dim = customers.withColumnRenamed(on_static, on_stream)
+    return purchases.join(F.broadcast(dim), on_stream, "left")

@@ -322,3 +322,45 @@ def test_state_v2_gate_message():
     from bigdata_invoice_stream_analysis_spark.streaming import state as st
     with pytest.raises(RuntimeError, match="apply_invoice_state"):
         st.transform_invoice_state(None)
+
+
+def test_enriched_purchases_stream_static(spark, stream_dir):
+    """Stream-static broadcast enrichment: purchases pick up dim
+    attributes; unknown customers survive with nulls."""
+    dim = spark.createDataFrame(
+        [("7", "GOLD", "ES")], "customer_id string, tier string, country string"
+    ).drop("country")
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    enriched = P.enriched_purchases(P.good_purchases(lines), dim)
+    batches = run_collect(spark, enriched, output_mode="append")
+    rows = [r for _, bat in batches for r in bat]
+    assert len(rows) == 5  # all good purchase lines across both chunks
+    tiers = {r.InvoiceNo: r.tier for r in rows}
+    assert tiers["I1"] == "GOLD"  # CustomerID 7 enriched
+    assert all(r.tier == "GOLD" for r in rows if r.CustomerID == "7")
+
+
+def test_idempotent_sink_exactly_once(spark, stream_dir, tmp_path):
+    """Replaying a micro-batch into the idempotent sink overwrites its
+    own partition instead of duplicating rows (exactly-once delivery
+    from a replayable source)."""
+    out = str(tmp_path / "out")
+    lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
+    good = P.good_purchases(lines).select("InvoiceNo", "Quantity", "UnitPrice")
+    q = sinks.idempotent_parquet_sink(
+        good, out, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 == 5
+    # Simulate a crash-replay of batch 0: rerun the SAME batch write.
+    replay = first.filter(F.col("batch_id") == 0).drop("batch_id")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        replay.withColumn("batch_id", F.lit(0)).write.mode("overwrite").partitionBy(
+            "batch_id"
+        ).parquet(out)
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert spark.read.parquet(out).count() == n1, "replay must not duplicate"
