@@ -1565,3 +1565,95 @@ def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_events"),
         r6(num.cast("double") / den).alias("slope_cents_per_min"),
     )
+
+
+@query(
+    "customer_balance_quartiles",
+    oracle="""
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 6)
+         AS total_balance
+FROM q GROUP BY 1
+""",
+)
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing: customers split into account-balance quartiles,
+    then profiled per bucket. The global ORDER BY under ntile is the
+    one genuinely serial shape in SQL (a single total order); the sort
+    key is (acctbal, custkey) so ties can't make bucket membership
+    engine-dependent. At 100 TB the exact-ntile plan range-partitions
+    the sort; the cheap alternative is approx-percentile boundaries +
+    a map-side bucket join, which avoids the total order entirely."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    q = c.select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return q.groupBy(F.col("quartile").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+        r6(F.sum("bal_c") / 100.0).alias("total_balance"),
+    )
+
+
+@query(
+    "orders_profile",
+    oracle="""
+SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS n_filled,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+""",
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling (the completeness/cardinality audit
+    a pipeline runs on every ingested table): one row per profiled
+    column with fill, distinct, and min/max. All columns profile in a
+    SINGLE aggregation pass — the per-column stats are parallel
+    aggregate expressions, unpivoted afterwards with a stack() — not
+    one scan per column (the oracle's UNION ALL form is the naive
+    3-scan equivalent DuckDB can afford at test SF)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__filled"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__filled, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_filled, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select("col_name", "n_rows", "n_filled", "n_distinct", "min_val", "max_val")
