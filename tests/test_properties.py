@@ -123,3 +123,126 @@ def test_kth_largest_matches_sorted(spark, values, k):
     ranked = sorted(values, reverse=True)
     expected = float(ranked[min(k, len(ranked)) - 1])
     assert got == expected
+
+
+# --- as-of join vs naive quadratic model ------------------------------------
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=50),   # ts
+        st.integers(min_value=0, max_value=999),  # payload/id
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(asof_rows, asof_rows, st.booleans())
+def test_asof_join_matches_quadratic_model(spark, lrows, rrows, strict):
+    """asof_join (union + running last) must equal the brute-force
+    definition: for each left row, the right row with max ts at/before
+    (or strictly before) it, ties broken by max id."""
+    from bigdata_invoice_stream_analysis_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for k, t, i in lrows], "k int, lts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rrows], "k int, rts int, rid int"
+    )
+    got = {
+        (r.k, r.lts, r.lid): (r.rid, r.r_ts_out)
+        for r in asof_join(
+            left,
+            right.select("k", "rts", "rid", F.col("rts").alias("r_ts_out")),
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            right_cols=["rid", "r_ts_out"],
+            strict=strict,
+            tiebreak="rid",
+        ).collect()
+    }
+    for k, lts, lid in set(lrows):
+        cands = [
+            (rt, ri)
+            for rk, rt, ri in rrows
+            if rk == k and (rt < lts if strict else rt <= lts)
+        ]
+        want = max(cands) if cands else None
+        have = got[(k, lts, lid)]
+        if want is None:
+            assert have == (None, None)
+        else:
+            assert have == (want[1], want[0])
+
+
+# --- connected components vs union-find -------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SETTINGS
+@given(edge_lists)
+def test_connected_components_match_union_find(spark, edges):
+    """Min-label propagation must produce exactly the components a
+    driver-side union-find computes — including self-loops, duplicate
+    edges, and chains longer than the seeded first round."""
+    from bigdata_invoice_stream_analysis_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == want
+
+
+# --- deterministic sampling -------------------------------------------------
+
+@SETTINGS
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                max_size=50, unique=True))
+def test_split_partition_and_stability(spark, keys):
+    """Every key lands in exactly one split; assignment is a pure
+    function of the key (invariant under repartitioning/order)."""
+    from bigdata_invoice_stream_analysis_spark.operators.sampling import with_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    a = {r.doc_id: r.split for r in with_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in with_split(df.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == len(keys)
