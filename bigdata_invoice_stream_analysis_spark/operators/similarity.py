@@ -47,7 +47,7 @@ def quantize(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
 
 
-SQL_QUANTIZE = "list_transform({v}, x -> CAST(round(x * 10000) AS BIGINT))"
+SQL_QUANTIZE = "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 
 
 def int_dot(a: Column, b: Column) -> Column:

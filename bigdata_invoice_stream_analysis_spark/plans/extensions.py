@@ -103,11 +103,11 @@ def vecs_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VECS_NEARDUP_CTE = """
 vecs_aug AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000,
-         list_transform(list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)),
+         list_transform(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
                         x -> CAST(floor((x * 101) / 100.0) AS BIGINT))
   FROM embeddings WHERE vec_id % 10 = 0
 )
@@ -336,7 +336,7 @@ _COSINE_AB = _sql_quant_cosine("a.qv", "b.qv")
     "ann_cosine_topk",
     oracle=f"""
 WITH qv AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 scored AS (
@@ -366,7 +366,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=f"""
 WITH qv AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings
 ),
 cents AS (SELECT vec_id AS cell_id, qv AS cv FROM qv WHERE vec_id % 97 = 0),
@@ -715,7 +715,7 @@ WITH comp AS (
   SELECT label,
          unnest(list_transform(generate_series(1, len(embedding)),
                 i -> {'dim': i,
-                      'q': CAST(round(embedding[i] * 10000) AS BIGINT)})) AS u
+                      'q': CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)})) AS u
   FROM embeddings
 )
 SELECT label, CAST(u.dim AS BIGINT) AS dim,
