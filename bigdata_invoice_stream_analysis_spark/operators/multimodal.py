@@ -197,3 +197,50 @@ def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_idx": frames})
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+def resize_stub(
+    media: DataFrame, target_w: int, target_h: int, resample: bool = False
+) -> DataFrame:
+    """Resize step of an image pipeline — stand-in for the PIL/opencv
+    resample (decode_media documents the stub policy), in two modes:
+
+    * default (``resample=False``): rewrite the meta dims only and pass
+      the payload through untouched — the minimal stub for pipelines
+      that only need the schema contract downstream;
+    * ``resample=True``: deterministic nearest-neighbor over the
+      payload treated as a width×height byte raster — output pixel
+      (r, c) samples input byte (r*h//th)*w + (c*w//tw), the same index
+      arithmetic a real NN resize does, so payload sizes, meta updates,
+      and Arrow batch shapes behave exactly like production (every
+      output payload is target_w*target_h bytes).
+
+    Plan shape: pure mapInPandas (zero shuffle). The worker closure is
+    self-contained (pickled by value — no package import needed on
+    workers)."""
+    out_schema = media.schema
+
+    def batches(it: Iterator) -> Iterator:
+        def nn_resize(payload, w, h):
+            if payload is None or w is None or h is None or w <= 0 or h <= 0:
+                return None
+            raster = payload[: w * h].ljust(w * h, b"\x00")
+            return bytes(
+                raster[(r * h // target_h) * w + (c * w // target_w)]
+                for r in range(target_h)
+                for c in range(target_w)
+            )
+
+        for pdf in it:
+            metas = list(pdf["meta"])
+            if resample:
+                pdf["payload"] = [
+                    nn_resize(p, m["width"], m["height"])
+                    for p, m in zip(pdf["payload"], metas)
+                ]
+            pdf["meta"] = [
+                {**m, "width": target_w, "height": target_h} for m in metas
+            ]
+            yield pdf
+
+    return media.mapInPandas(batches, schema=out_schema)

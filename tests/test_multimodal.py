@@ -65,3 +65,32 @@ def test_frame_sample_stub(spark):
     assert [(r["media_id"], r["frame_idx"]) for r in out] == [
         (1, 0), (1, 2), (1, 4), (1, 6)
     ]
+
+
+def test_resize_stub_shapes_and_meta(spark):
+    """NN-resize plumbing: every output payload is exactly target_w*h
+    bytes, meta reflects the new dims, and corner pixels sample the
+    expected source bytes."""
+    from bigdata_invoice_stream_analysis_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", 8), (2, "xy", 2), (3, None, 0)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = MM.documents_as_media(docs).withColumn(
+        "meta",
+        F.col("meta")
+        .withField("width", F.least(F.col("meta.width"), F.lit(4)))
+        .withField("height", F.lit(2)),
+    )
+    out = {
+        r.media_id: r
+        for r in MM.resize_stub(media, 2, 2, resample=True).collect()
+    }
+    assert all(
+        r.meta.width == 2 and r.meta.height == 2 for r in out.values()
+    )
+    # doc 1: 4x2 raster 'abcd'/'efgh' -> corners a, c, e, g
+    assert out[1].payload == b"aceg"
+    assert len(out[2].payload) == 4  # padded raster still resizes
+    assert out[3].payload is None  # null payload stays null

@@ -364,3 +364,40 @@ def test_idempotent_sink_exactly_once(spark, stream_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     assert spark.read.parquet(out).count() == n1, "replay must not duplicate"
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """Watermark semantics pinned: a cancellation arriving in a LATER
+    micro-batch with an event time older than (max_ts - watermark) is
+    dropped from the windowed counts — late data cannot resurrect a
+    finalized window. The same cancellation arriving on time (batch 1)
+    IS counted."""
+    d = tmp_path / "chunks"
+    d.mkdir()
+    (d / "chunk-000000.txt").write_text(
+        "\n".join([
+            line("C1", 1, "1/4/2011 9:00", "1.0"),
+            line("10", 1, "1/4/2011 12:00", "1.0"),  # watermark -> ~11:59
+        ]) + "\n"
+    )
+    (d / "chunk-000001.txt").write_text(
+        # 9:05 is hours behind the 1-minute watermark: must be dropped.
+        line("C2", 1, "1/4/2011 9:05", "1.0") + "\n"
+    )
+    (d / "chunk-000002.txt").write_text(
+        # pushes the watermark further so every window finalizes
+        line("11", 1, "1/4/2011 23:00", "1.0") + "\n"
+    )
+    lines = file_lines_source(spark, str(d), max_files_per_trigger=1)
+    counts = P.cancellation_counts(
+        lines, window="8 minutes", slide="1 minute", watermark="1 minute",
+        time_mode="event",
+    )
+    batches = run_collect(spark, counts, output_mode="append")
+    windows = {
+        (r.window_start.strftime("%H:%M"), r.n_cancelled)
+        for _, bat in batches for r in bat
+    }
+    assert ("09:00", 1) in windows, "on-time C1 counted"
+    assert not any(s == "09:05" for s, _ in windows), "late C2 dropped"
+    assert all(n == 1 for _, n in windows)
