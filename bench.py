@@ -8,6 +8,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed to completion with a cheap terminal action
 (count via agg) so the measured time is plan + execution, not
 collect/serialization of full results to the driver.
+
+The streaming pipeline drain (bench_streaming.drain) is folded into
+the same JSON under "streaming" so throughput gets the same
+round-over-round regression tracking the batch queries have; "value"
+remains batch-only total wall time (comparable across rounds).
+Set SPARK_GRAFT_BENCH_STREAMING=0 to skip the streaming leg.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from bigdata_invoice_stream_analysis_spark.cache import release_caches
 from bigdata_invoice_stream_analysis_spark.plans.queries import QUERIES
 from bigdata_invoice_stream_analysis_spark.session import get_spark
 
@@ -42,8 +49,21 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.agg(F.count(F.lit(1))).collect()
         dt = time.perf_counter() - t0
+        # Scoped caches (dedup shingles, tfidf tf, ML feature vectors)
+        # are released between queries so the multi-query session doesn't
+        # accumulate executor storage across the run.
+        release_caches()
         timings[name] = round(dt, 3)
         total += dt
+
+    streaming = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        try:
+            from bench_streaming import drain
+
+            streaming = drain(spark, sf_dir)
+        except Exception as e:  # keep the batch numbers even if the drain dies
+            streaming = {"error": f"{type(e).__name__}: {e}"}
 
     print(
         json.dumps(
@@ -52,6 +72,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -15,6 +15,9 @@ cluster runs.
 Prints ONE JSON line:
   {"metric": "streaming pipeline throughput", "value": lines_per_sec,
    "unit": "lines/sec", "lines": N, "wall_sec": S, "sf": ...}
+
+``drain(spark, sf_dir)`` is importable — bench.py folds the same
+number into the per-round batch benchmark output.
 """
 
 from __future__ import annotations
@@ -46,13 +49,10 @@ CENTERS = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_chunks = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "8"))
-    spark = get_spark(app_name="bench-streaming")
-    spark.sparkContext.setLogLevel("ERROR")
-
+def drain(spark, sf_dir: str, n_chunks: int = 8) -> dict:
+    """Replay the sf_dir purchase lines through the four-branch pipeline
+    (parquet sinks, availableNow) and return
+    {"lines": N, "wall_sec": S, "lines_per_sec": rate}."""
     work = tempfile.mkdtemp(prefix="bench_stream_")
     src = os.path.join(work, "in")
     out = os.path.join(work, "out")
@@ -84,21 +84,36 @@ def main() -> None:
         for q in queries:
             q.awaitTermination(600)
         wall = time.perf_counter() - t0
+        return {
+            "lines": n,
+            "wall_sec": round(wall, 2),
+            "lines_per_sec": round(n / wall, 1),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_chunks = int(os.environ.get("SPARK_GRAFT_STREAM_CHUNKS", "8"))
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        res = drain(spark, sf_dir, n_chunks)
         print(
             json.dumps(
                 {
                     "metric": "streaming pipeline throughput",
-                    "value": round(n / wall, 1),
+                    "value": res["lines_per_sec"],
                     "unit": "lines/sec",
-                    "lines": n,
-                    "wall_sec": round(wall, 2),
+                    "lines": res["lines"],
+                    "wall_sec": res["wall_sec"],
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 }
             )
         )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
         spark.stop()
 
 

@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
 from bigdata_invoice_stream_analysis_spark.functions.text import (
     HASH_P,
     fingerprint,
@@ -127,7 +128,7 @@ def jaccard_pairs(
     ``max_df``) → self-join on shingle hash → count shared shingles per
     pair → join per-doc set sizes → |∩| / (|A|+|B|-|∩|) ≥ t.
     """
-    sh = _shingled(df, id_col, text_col, n).cache()
+    sh = scoped_cache(_shingled(df, id_col, text_col, n))
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("h"))
     if max_df is not None:
@@ -240,6 +241,7 @@ def minhash_lsh_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: signature → band buckets → candidate
     pairs sharing ≥1 bucket → exact-Jaccard verification ≥ t.
@@ -247,8 +249,11 @@ def minhash_lsh_pairs(
     Output (id_a < id_b, jaccard) contains only LSH-surfaced pairs —
     pairs missed by every band are absent by design (that's the
     accuracy/cost knob: 16 bands × 2 rows ⇒ P(caught) = 1-(1-j²)^16).
+    ``use_arrow`` swaps the column-expression signature for the
+    numpy/Arrow pandas-UDF twin (bit-identical output; see
+    minhash_signature_np for when that trade wins).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n).cache()
+    sigs = scoped_cache(minhash_signatures(df, id_col, text_col, n, use_arrow=use_arrow))
     buckets = sigs.select(
         "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
     )
@@ -343,7 +348,7 @@ def simhash_pairs(
     lossless by pigeonhole). Output: (id_a < id_b, hamming)."""
     if max_hamming > SIMHASH_BLOCKS - 1:
         raise ValueError("block candidate generation is lossy beyond hamming 3")
-    fps = simhash_fingerprints(df, id_col, text_col).cache()
+    fps = scoped_cache(simhash_fingerprints(df, id_col, text_col))
     width = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = fps.select(
         "doc_id",
@@ -437,6 +442,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_labels = sym.join(
             labels.withColumnRenamed("node", "nbr"), "nbr"
@@ -449,6 +455,21 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A graph whose diameter exceeds max_iter would otherwise
+        # return partially-propagated labels — silently wrong canonical
+        # survivors. Surface it loudly; callers with adversarially deep
+        # graphs should raise max_iter or move to large-star/small-star.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: min-label propagation did not reach "
+            f"its fixpoint within max_iter={max_iter} rounds; labels may "
+            f"span partially-merged components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

@@ -152,26 +152,6 @@ def extract_byte_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=BYTE_STATS_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stub: passes payloads through mapInPandas unchanged but
-    rewrites the metadata — exercising the binary-in/binary-out batch
-    shape a real resampler has."""
-    out_schema = MEDIA_SCHEMA
-
-    def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            meta = [
-                None
-                if m is None
-                else {**m, "width": width, "height": height}
-                for m in pdf["meta"]
-            ]
-            pdf = pdf.assign(meta=meta)
-            yield pdf
-
-    return media.mapInPandas(batches, schema=out_schema)
-
-
 def frame_sample_stub(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling stub for video payloads: emits one row per kept
     frame index (row-expanding mapInPandas — the batch shape of a real
@@ -232,14 +212,21 @@ def resize_stub(
             )
 
         for pdf in it:
+            # MEDIA_SCHEMA permits a NULL meta struct: guard it here —
+            # {**None} would throw inside the Arrow worker.
             metas = list(pdf["meta"])
             if resample:
                 pdf["payload"] = [
-                    nn_resize(p, m["width"], m["height"])
+                    None
+                    if m is None
+                    else nn_resize(p, m["width"], m["height"])
                     for p, m in zip(pdf["payload"], metas)
                 ]
             pdf["meta"] = [
-                {**m, "width": target_w, "height": target_h} for m in metas
+                None
+                if m is None
+                else {**m, "width": target_w, "height": target_h}
+                for m in metas
             ]
             yield pdf
 

@@ -387,16 +387,26 @@ def sign_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    quantized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via sign-LSH bucketing + exact cosine verify.
     Near-identical vectors agree on every hyperplane sign with high
-    probability, so candidates = same-sketch pairs — one shuffle keyed
-    by the 16-bit sketch instead of an all-pairs join."""
+    probability, so candidates = same-sketch pairs — one equi-join
+    shuffle keyed by the 16-bit sketch instead of an all-pairs NLJ:
+    O(docs) rows over the wire, pair work confined to same-bucket
+    groups (~N²/2¹⁶ random collisions, each killed by the exact
+    verify). This is the 100×-scale path; cosine_dup_pairs is the
+    small-N exact baseline."""
+    from bigdata_invoice_stream_analysis_spark.operators.fence import optimizer_fence
     from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
 
     df = ensure_min_parallelism(df, df.sparkSession)
-    base = df.select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    v = F.col(vec_col) if quantized else quantize(F.col(vec_col))
+    # Fence the quantized vector: sign_sketch references it 16× (one
+    # projection per hyperplane) and CollapseProject would otherwise
+    # inline the quantize transform into every reference.
+    base = optimizer_fence(
+        df.select(F.col(id_col).alias("id"), v.alias("v"))
     ).withColumn("sk", sign_sketch(F.col("v"), dim))
     a = base.withColumnsRenamed({"id": "id_a", "v": "va", "sk": "sk_a"})
     b = base.withColumnsRenamed({"id": "id_b", "v": "vb", "sk": "sk_b"})

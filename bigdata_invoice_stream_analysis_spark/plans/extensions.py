@@ -218,24 +218,48 @@ def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dup_groups(docs_exactdup(spark, sf_dir), "doc_id", "text")
 
 
+# Hot-shingle document-frequency cap for the graded Jaccard query: a
+# shingle occurring in more than this many documents is dropped from the
+# inverted index (classic prefix-filtering degenerate) — one stopword-ish
+# shingle would otherwise contribute df² candidate pairs. Intersections
+# then count only informative shingles while set sizes stay exact, so
+# reported jaccard is a (tight, one-sided) lower bound for the few pairs
+# that shared a hot shingle and exact for everything else.
+JACCARD_MAX_DF = 50
+
+
 @query(
     "ngram_jaccard_dedup",
     oracle=f"""
-WITH {DOCS_NEARDUP_CTE}, {SHINGLES_CTE}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+WITH {DOCS_NEARDUP_CTE}, {SHINGLES_CTE},
+inv AS (SELECT doc_id, unnest(s) AS h FROM sh),
+hot AS (SELECT h FROM inv GROUP BY h HAVING COUNT(*) > {JACCARD_MAX_DF}),
+inv2 AS (SELECT doc_id, h FROM inv WHERE h NOT IN (SELECT h FROM hot)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM inv2 a JOIN inv2 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 """,
 )
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2) via the
-    inverted-index self-join. The oracle brute-forces all pairs —
-    identical result, quadratic cost it can afford at sf0.01."""
+    """3-gram Jaccard near-dup pairs (threshold 0.2) via the
+    inverted-index self-join WITH the hot-shingle cap active
+    (max_df={JACCARD_MAX_DF}) — the form that stays linear on real text:
+    candidate pairs per shingle are bounded by max_df², so one
+    high-frequency shingle can no longer explode the join. The oracle
+    mirrors the same capped inverted index (its CTE chain is the
+    relational twin of the Spark plan)."""
     return DD.jaccard_pairs(
-        docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+        docs_neardup(spark, sf_dir), "doc_id", "text", n=3,
+        threshold=0.2, max_df=JACCARD_MAX_DF,
     )
 
 
@@ -277,6 +301,20 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are generated per band bucket, never all-pairs."""
     return DD.minhash_lsh_pairs(
         docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+@query("minhash_lsh_dedup_arrow", oracle=_sql_minhash_lsh())
+def q_minhash_lsh_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy twin of minhash_lsh_dedup: signatures computed by
+    the vectorized pandas UDF (one ``(A·h + B) mod p`` broadcast + row
+    min per doc) instead of 32 column-expression permutations. Same
+    oracle — the integer math is bit-identical, so this gate catches any
+    drift between the two signature paths (the Arrow one is the pattern
+    used when per-row payloads outgrow expression trees)."""
+    return DD.minhash_lsh_pairs(
+        docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2,
+        use_arrow=True,
     )
 
 
@@ -403,23 +441,114 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_LIT_MOD = 199  # deterministic codebook: vec_id % 199 == 0
+
+_SQL_DIFF = "list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] - c.cv[i])"
+
+
 @query(
-    "embedding_dup_pairs",
+    "ivf_cells_literal",
     oracle=f"""
-WITH {VECS_NEARDUP_CTE}
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_AB} AS cosine
-FROM vecs_aug a JOIN vecs_aug b ON a.vec_id < b.vec_id
-WHERE {_COSINE_AB} >= 0.99
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell_id, qv AS cv FROM qv WHERE vec_id % {_IVF_LIT_MOD} = 0),
+assign AS (
+  SELECT vec_id, qv, cell_id FROM (
+    SELECT v.vec_id, v.qv, c.cell_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_SQL_INT_DOT.format(a=_SQL_DIFF, b=_SQL_DIFF)} ASC,
+             c.cell_id ASC) AS rn
+    FROM qv v CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id,
+       CAST(SUM(qv[1]) AS BIGINT) AS sum_q1
+FROM assign GROUP BY 1
 """,
 )
+def q_ivf_cells_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ZERO-SHUFFLE IVF cell-assignment path, driver-gated: the
+    coarse codebook (vec_id % {_IVF_LIT_MOD} == 0) is collected to the
+    driver — a codebook is small by definition (k_cells × dim ints; the
+    one sanctioned driver pull, same reasoning as streaming.scoring's
+    plan-literal centroids) — and folded into the plan as literals, so
+    every corpus vector computes its nearest cell as a per-row
+    array_min over (dist, cell_id) structs inside codegen. No broadcast
+    join, no groupBy: the ONLY shuffle in this query is the final
+    per-cell profile aggregation. Compare assign_cells (ann_ivf_topk),
+    which pays one map-side-combined shuffle for the same assignment.
+    Output profiles each cell (count, id range, Σ first component) so
+    any assignment drift flips the hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
+    codebook = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in q.filter(F.col("vec_id") % _IVF_LIT_MOD == 0).collect()
+    ]
+    assigned = SIM.assign_cells_literal(q, codebook, "qv")
+    return assigned.groupBy(
+        F.col("cell_id").cast("long").alias("cell_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+        F.sum(F.col("qv")[0]).alias("sum_q1"),
+    )
+
+
+# Sign-LSH plane matrix as a DuckDB literal (16 hyperplanes × 64 ±1
+# components, same LCG stream as operators/similarity._plane_signs).
+_EMB_DIM = 64
+_PLANES_LIT = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]"
+        for row in SIM._plane_signs(_EMB_DIM)
+    )
+    + "]"
+)
+
+
+def _sql_sign_lsh_pairs() -> str:
+    # Literal twin of similarity.sign_lsh_pairs: 16-bit hyperplane-sign
+    # sketch per vector, candidates = same-sketch pairs, exact quantized
+    # cosine verify — all integer arithmetic, bit-reproducible.
+    return f"""
+WITH {VECS_NEARDUP_CTE},
+planes AS (SELECT {_PLANES_LIT} AS p),
+sk AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(generate_series(1, {SIM.N_PLANES}), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, {_EMB_DIM}), i ->
+                  qv[i] * p[j][i])) >= 0
+                THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS sk
+  FROM vecs_aug, planes
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_AB} AS cosine
+FROM sk a JOIN sk b ON a.sk = b.sk AND a.vec_id < b.vec_id
+WHERE {_COSINE_AB} >= 0.99
+"""
+
+
+@query("embedding_dup_pairs", oracle=_sql_sign_lsh_pairs())
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.99) — the planted
-    perturbed copies sit at cosine ≈ 0.9999999, random pairs < 0.6.
-    Spark side runs the all-pairs exact baseline here (the LSH variant
-    is sign_lsh_pairs, covered by unit tests)."""
+    """Embedding-cosine near-dup pairs (threshold 0.99) via sign-LSH
+    blocking — the planted perturbed copies sit at cosine ≈ 0.9999999
+    and agree on all 16 hyperplane signs; random pairs (< 0.6) land in
+    the same 16-bit bucket only ~once per 65k pairs and die in the
+    exact-cosine verify. The graded plan shuffles by sketch (O(N) rows),
+    NOT the all-pairs NLJ — cosine_dup_pairs remains the exact small-N
+    baseline, unit-tested against this path in test_similarity."""
     v = vecs_neardup(spark, sf_dir)
-    return SIM.cosine_dup_pairs(
-        v, threshold=0.99, id_col="vec_id", vec_col="qv", quantized=True
+    return SIM.sign_lsh_pairs(
+        v, threshold=0.99, id_col="vec_id", vec_col="qv",
+        dim=_EMB_DIM, quantized=True,
     )
 
 
@@ -621,7 +750,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf.cache()
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
+
+    scoped_cache(tf)
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(

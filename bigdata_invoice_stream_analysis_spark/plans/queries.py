@@ -483,18 +483,41 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # no oracle: HLL sketches differ per engine
+@query(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS approx_ok
+FROM events GROUP BY 1
+""",
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3's scale path — approx_count_distinct (HyperLogLog++) per event
-    type, next to the exact count for error measurement. At 100 TB the
-    exact distinct needs a full shuffle of the key universe; the sketch
-    is fixed-size per group and merges map-side. Rows-only check: HLL
-    implementations differ across engines by design."""
+    type, next to the exact count. At 100 TB the exact distinct needs a
+    full shuffle of the key universe; the sketch is fixed-size per group
+    and merges map-side. HLL sketch VALUES differ across engines by
+    design, so the graded output carries (a) the exact count, checked
+    exactly against the oracle, and (b) ``approx_ok`` — Spark's sketch
+    within 5% relative error of its own exact count (rsd=0.02 gives
+    ~2σ = 4% headroom; deterministic for fixed data, so this is a
+    stable per-round regression bit, not a flaky tolerance). The oracle
+    asserts TRUE — an HLL drift past 5% fails the hash."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 
@@ -971,15 +994,17 @@ def q_kmeans_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_invoice_stream_analysis_spark.ml import anomaly
     from bigdata_invoice_stream_analysis_spark.ml.train import assemble_features, train_sweep
 
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
+
     feats = QUERIES["invoice_features"](spark, sf_dir).withColumnsRenamed(
         dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
     )
-    vecs = assemble_features(feats).cache()
+    vecs = scoped_cache(assemble_features(feats))
     model = train_sweep(vecs, algo="kmeans", ks=[4], seed=42, max_iter=10)[0].model
     # Score ONCE and reuse: the threshold (kth-largest dist) and the
     # anomaly filter read the same scored frame instead of re-running
     # model.transform + sqdist over the input twice.
-    scored = anomaly.score(vecs, model).cache()
+    scored = scoped_cache(anomaly.score(vecs, model))
     threshold = kth_largest(scored, "dist", anomaly.THRESHOLD_RANK) or 0.0
     out = scored.filter(F.col("dist") > threshold)
     return out.select(
@@ -999,17 +1024,18 @@ def q_bisecting_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_invoice_stream_analysis_spark.ml import anomaly
     from bigdata_invoice_stream_analysis_spark.ml.train import assemble_features, train_sweep
 
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
+
     feats = QUERIES["invoice_features"](spark, sf_dir).withColumnsRenamed(
         dict(zip(_FEATURE_ALIASES, ["AvgUnitPrice", "MinUnitPrice", "MaxUnitPrice", "Time", "NumberItems"]))
     )
-    vecs = assemble_features(feats).cache()
+    vecs = scoped_cache(assemble_features(feats))
     model = train_sweep(vecs, algo="bisecting", ks=[4], seed=42, max_iter=10)[0].model
     # Single scoring pass shared by threshold + filter (see
     # q_kmeans_anomalies).
-    scored = anomaly.score(vecs, model).cache()
+    scored = scoped_cache(anomaly.score(vecs, model))
     threshold = kth_largest(scored, "dist", anomaly.THRESHOLD_RANK) or 0.0
     out = scored.filter(F.col("dist") > threshold)
-    vecs.unpersist()
     return out.select(
         "invoice_no",
         F.col("prediction").cast("int").alias("prediction"),
@@ -1657,3 +1683,137 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).select("col_name", "n_rows", "n_filled", "n_distinct", "min_val", "max_val")
+
+
+@query(
+    "balance_quartiles_bucketed",
+    oracle="""
+WITH b AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c, c_mktsegment
+  FROM customer
+),
+hist AS (SELECT bal_c, COUNT(*) AS cnt FROM b GROUP BY 1),
+cum AS (
+  SELECT bal_c,
+         SUM(cnt) OVER (ORDER BY bal_c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+n AS (SELECT COUNT(*) AS n FROM b),
+bounds AS (
+  SELECT
+    MIN(CASE WHEN cum * 4 >= 1 * (SELECT n FROM n) THEN bal_c END) AS b1,
+    MIN(CASE WHEN cum * 4 >= 2 * (SELECT n FROM n) THEN bal_c END) AS b2,
+    MIN(CASE WHEN cum * 4 >= 3 * (SELECT n FROM n) THEN bal_c END) AS b3
+  FROM cum
+),
+q AS (
+  SELECT b.bal_c, b.c_mktsegment,
+         CASE WHEN bal_c <= b1 THEN 1
+              WHEN bal_c <= b2 THEN 2
+              WHEN bal_c <= b3 THEN 3
+              ELSE 4 END AS quartile
+  FROM b, bounds
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       ROUND(SUM(bal_c) / 100.0, 6) AS total_balance
+FROM q GROUP BY 1
+""",
+)
+def q_balance_quartiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NO-GLOBAL-SORT scale path for customer_balance_quartiles
+    (whose exact-ntile plan needs one total order). Value-bucketed
+    quartiles in three domain-bounded steps:
+
+      1. histogram: groupBy the integer-cents balance — cardinality is
+         bounded by the VALUE DOMAIN (~1.1M distinct cents for TPC-H
+         acctbal), not the row count, so this shuffle stays constant as
+         data scales 100×;
+      2. boundaries: a running-count window over the (small) histogram
+         finds the smallest balance whose cumulative count reaches
+         k·N/4 (integer comparison cum·4 ≥ k·N — no float quantile);
+      3. assignment: the 3 boundary values broadcast back and every row
+         picks its quartile map-side.
+
+    Semantics differ from ntile only on boundary TIES: equal balances
+    always land in the same quartile here (value-deterministic), while
+    ntile splits them by row position. Deviation documented; for a
+    data pipeline the value-deterministic form is usually the one you
+    want (reproducible under repartitioning)."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    bal = c.select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        "c_mktsegment",
+    )
+    hist = bal.groupBy("bal_c").agg(F.count(F.lit(1)).alias("cnt"))
+    # Running count over the histogram: ordered by balance value. The
+    # single-partition window is over DISTINCT balances (domain-bounded,
+    # ≤ ~1.1M rows at any SF) — not over the customer table.
+    wc = Window.orderBy("bal_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
+    tot = bal.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("bal_c"))).alias("b1"),
+            F.min(F.when(F.col("cum") * 4 >= 2 * F.col("n"), F.col("bal_c"))).alias("b2"),
+            F.min(F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("bal_c"))).alias("b3"),
+        )
+    )
+    q = bal.crossJoin(F.broadcast(bounds)).withColumn(
+        "quartile",
+        F.when(F.col("bal_c") <= F.col("b1"), 1)
+        .when(F.col("bal_c") <= F.col("b2"), 2)
+        .when(F.col("bal_c") <= F.col("b3"), 3)
+        .otherwise(4)
+        .cast("long"),
+    )
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+        r6(F.sum("bal_c") / 100.0).alias("total_balance"),
+    )
+
+
+@query(
+    "salted_event_totals",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events GROUP BY 1
+""",
+)
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-resistant aggregation path (operators/skew.salted_agg),
+    driver-gated: per-event-type totals computed as a TWO-PHASE salted
+    groupBy — phase 1 aggregates (key, salt) so a pathologically hot key
+    spreads across n_salt reducers, phase 2 merges the tiny partials.
+    event_type has brutal natural skew (a handful of types over millions
+    of rows), making it exactly the shape salting exists for. The oracle
+    is the plain GROUP BY: salting must be RESULT-INVISIBLE for
+    algebraic aggregates, and this gate proves it stays so every round."""
+    from bigdata_invoice_stream_analysis_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", F.lit(1)),
+            "total_cents": ("sum", F.col("cents")),
+            "min_cents": ("min", F.col("cents")),
+            "max_cents": ("max", F.col("cents")),
+        },
+    )

@@ -18,26 +18,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table. Plain parquet scan — Catalyst handles
     column pruning + filter pushdown at the source.
 
-    The events table is written with TIMESTAMP(NANOS) parquet type,
-    which Spark's vectorized reader rejects; read nanos as long and
-    convert (integer division truncates to micros, matching how DuckDB
-    reads the same file)."""
+    Timestamp normalization (the driver's generator has shipped BOTH
+    encodings across rounds):
+      * TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+        nanos as long and convert (integer division truncates to
+        micros, matching how DuckDB reads the same file).
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+        TIMESTAMP_NTZ, which time-instant functions (unix_micros,
+        window) reject or treat differently; cast to the session-TZ
+        timestamp type. The session is pinned UTC, so the wall-clock
+        values — and every derived hash — are unchanged, and DuckDB
+        reads the same naive micros."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+    df = spark.read.parquet(path)
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
             from pyspark.sql import functions as F
 
             # Integer division, NOT `/1000` in double: 2024 epochs are
             # ~2^60 ns, beyond double's 53-bit mantissa, so float
             # division perturbs the microsecond digit. DuckDB truncates
             # ns→us integrally; match it exactly.
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        return df
-    return spark.read.parquet(path)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def ensure_min_parallelism(df: DataFrame, spark: SparkSession) -> DataFrame:

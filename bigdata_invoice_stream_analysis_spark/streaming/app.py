@@ -72,15 +72,16 @@ def _start(
             key_col=df.columns[0], output_mode=output_mode,
         )
     if cfg.sink_mode == "parquet":
-        # Update-mode branches route through foreachBatch append files
-        # (parquet sink itself is append-only).
+        # Update-mode branches route through the batch_id-overwrite
+        # foreachBatch sink (parquet itself is append-only): a replayed
+        # micro-batch after a crash overwrites its own batch_id=N/
+        # partition instead of appending duplicate rows, so golden runs
+        # are replay-safe.
         if output_mode == "update":
-            def write(bdf: DataFrame, bid: int) -> None:
-                bdf.write.mode("append").parquet(f"{cfg.out_dir}/{name}")
-
-            return sinks.foreach_batch_collector(
-                df, write, output_mode="update", checkpoint=ckpt,
+            return sinks.idempotent_parquet_sink(
+                df, f"{cfg.out_dir}/{name}", ckpt,
                 trigger_available_now=cfg.available_now,
+                output_mode="update",
             )
         return sinks.parquet_sink(
             df, f"{cfg.out_dir}/{name}", ckpt,

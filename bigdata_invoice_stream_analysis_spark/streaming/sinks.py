@@ -44,6 +44,18 @@ def to_kafka_records(
     )
 
 
+def kafka_writer_options(
+    brokers: str, topic: str, checkpoint: str
+) -> dict[str, str]:
+    """The exact option map kafka_sink hands the DataStreamWriter —
+    factored out so its assembly is unit-testable without a broker."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def kafka_sink(
     df: DataFrame,
     brokers: str,
@@ -57,9 +69,7 @@ def kafka_sink(
     writer = (
         to_kafka_records(df, key_col)
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_writer_options(brokers, topic, checkpoint))
         .outputMode(output_mode)
     )
     if trigger_interval:
@@ -120,6 +130,7 @@ def idempotent_parquet_sink(
     path: str,
     checkpoint: str,
     trigger_available_now: bool = False,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Exactly-once parquet delivery over foreachBatch (the reference's
     sink is fire-and-forget at-least-once, InvoicePipeline.scala:156-164;
@@ -146,7 +157,7 @@ def idempotent_parquet_sink(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
-    writer = df.writeStream.foreachBatch(write).outputMode("append").option(
+    writer = df.writeStream.foreachBatch(write).outputMode(output_mode).option(
         "checkpointLocation", checkpoint
     )
     if trigger_available_now:

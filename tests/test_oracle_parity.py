@@ -13,8 +13,18 @@ import os
 import duckdb
 import pytest
 
+from bigdata_invoice_stream_analysis_spark.cache import release_caches
 from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
 from bigdata_invoice_stream_analysis_spark.schemas import TESTDATA_TABLES
+
+
+@pytest.fixture(autouse=True)
+def _scoped_cache_hygiene():
+    """Mirror the bench/driver loop: scoped caches are released after
+    every query so the parity sweep (58 queries, one session) doesn't
+    accumulate executor storage — and so a leak shows up here first."""
+    yield
+    release_caches()
 
 
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -324,6 +324,44 @@ def test_state_v2_gate_message():
         st.transform_invoice_state(None)
 
 
+def test_kafka_option_assembly():
+    """Broker-free Kafka smoke (VERDICT r01 §missing-2): the sandbox has
+    no broker, so pin the exact option maps the reader/writer are built
+    from — the untestable surface shrinks to the network itself."""
+    from bigdata_invoice_stream_analysis_spark.streaming.sinks import kafka_writer_options
+    from bigdata_invoice_stream_analysis_spark.streaming.sources import kafka_reader_options
+
+    r = kafka_reader_options(
+        "b1:9092,b2:9092", topic="purchases",
+        starting_offsets="earliest", max_offsets_per_trigger=50_000,
+    )
+    assert r == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "purchases",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "50000",  # Kafka options are strings
+    }
+    # default: unbounded batches are NOT silently configured
+    assert "maxOffsetsPerTrigger" not in kafka_reader_options("b:9092")
+
+    w = kafka_writer_options("b1:9092", "facturas_erroneas", "/ckpt/x")
+    assert w == {
+        "kafka.bootstrap.servers": "b1:9092",
+        "topic": "facturas_erroneas",
+        "checkpointLocation": "/ckpt/x",
+    }
+
+
+def test_kafka_record_projection_schema(spark):
+    """The Kafka sink contract: exactly (key string, value string)."""
+    df = spark.createDataFrame(
+        [("I1", 2, 10.5)], ["InvoiceNo", "Quantity", "UnitPrice"]
+    )
+    rec = sinks.to_kafka_records(df, key_col="InvoiceNo")
+    assert rec.columns == ["key", "value"]
+    assert dict(rec.dtypes) == {"key": "string", "value": "string"}
+
+
 def test_enriched_purchases_stream_static(spark, stream_dir):
     """Stream-static broadcast enrichment: purchases pick up dim
     attributes; unknown customers survive with nulls."""
