@@ -1817,3 +1817,307 @@ def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents": ("max", F.col("cents")),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: classic warehouse reporting shapes (TPC-H Q3/Q8/Q10/Q14/Q19 adapted
+# to the driver star schema) — the multi-join + selective-predicate
+# surface a reference user runs daily. All money math in exact integer
+# 1e-4 dollars (see q_pricing_summary) for hash stability.
+# ---------------------------------------------------------------------------
+
+@query(
+    "shipping_priority",
+    oracle="""
+SELECT CAST(l.l_orderkey AS BIGINT) AS order_key,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue,
+       o.o_orderdate AS order_date,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 3, 4
+ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
+         order_key
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
+    Plan shape that matters at 100 TB: the segment filter cuts customer
+    ~5× BEFORE the join and broadcasts (dim-side reduction first); the
+    date predicates push into both parquet scans (min/max row-group
+    skipping on o_orderdate / l_shipdate); the top-10 runs as
+    TakeOrderedAndProject after partial aggregation — no global sort of
+    the aggregate ever materializes. Ties broken by order key."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(rev_e4.alias("rev_e4"))
+        .orderBy(F.col("rev_e4").desc(), F.col("order_key"))
+        .limit(10)
+        .select(
+            "order_key",
+            r6(F.col("rev_e4") / 10000.0).alias("revenue"),
+            "order_date",
+            "priority",
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      ELSE 0 END) / 10000.0, 6) AS promo_revenue,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS total_revenue,
+       ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                              ELSE 0 END)
+             / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 6)
+         AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape per ship-year: promotional revenue share via
+    conditional aggregation. One broadcast join (part is the small dim)
+    and one hash agg on the 7-value year key — the promo/total split is
+    two parallel aggregate expressions over the same pass, NOT two
+    scans. The percentage divides the two exact integer sums once per
+    output row (7 rows), so float noise cannot accumulate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    line_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo_e4 = F.when(F.col("p_type") == "PROMO", line_e4).otherwise(F.lit(0))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(promo_e4).alias("promo_e4"),
+            F.sum(line_e4).alias("total_e4"),
+        )
+    )
+    return agg.select(
+        "ship_year",
+        r6(F.col("promo_e4") / 10000.0).alias("promo_revenue"),
+        r6(F.col("total_e4") / 10000.0).alias("total_revenue"),
+        r6(F.lit(100.0) * F.col("promo_e4") / F.col("total_e4")).alias("promo_pct"),
+    )
+
+
+@query(
+    "returned_items",
+    oracle="""
+SELECT CAST(c.c_custkey AS BIGINT) AS cust_key,
+       c.c_name AS cust_name,
+       n.n_name AS nation_name,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS returned_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
+         cust_key
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-merchandise
+    revenue. The returnflag filter pushes to the lineitem scan
+    (dictionary-encoded column → cheap row-group skip), the fact-fact
+    join shuffles on orderkey, and customer/nation broadcast. Aggregate
+    keyed on custkey (+functionally-dependent name/nation carried in
+    the key) then TakeOrderedAndProject(20) — the full customer ranking
+    never sorts globally. Ties broken by cust_key."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(rev_e4.alias("rev_e4"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.col("rev_e4").desc(), F.col("cust_key"))
+        .limit(20)
+        .select(
+            "cust_key",
+            "cust_name",
+            "nation_name",
+            r6(F.col("rev_e4") / 10000.0).alias("returned_revenue"),
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                      ELSE 0 END) / 10000.0, 6) AS nation_revenue,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS total_revenue,
+       ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                           THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 6)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY 1
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of the EUROPE customer
+    market per order year. Six-way join where every dim side
+    (customer, nation×2 roles, region, supplier) broadcasts — the only
+    shuffle in the whole plan is the lineitem⋈orders fact join plus the
+    7-key year agg. The region filter prunes the customer-side nation
+    broadcast BEFORE it ships. The share is a conditional/total pair of
+    exact integer sums divided once per output row (same discipline as
+    promo_revenue_share)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nc = load_table(spark, sf_dir, "nation").alias("nc")
+    ns = load_table(spark, sf_dir, "nation").alias("ns")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = load_table(spark, sf_dir, "supplier")
+    line_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    nation_e4 = F.when(F.col("ns.n_name") == "NATION_3", line_e4).otherwise(F.lit(0))
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(nation_e4).alias("nation_e4"), F.sum(line_e4).alias("total_e4"))
+    )
+    return agg.select(
+        "order_year",
+        r6(F.col("nation_e4") / 10000.0).alias("nation_revenue"),
+        r6(F.col("total_e4") / 10000.0).alias("total_revenue"),
+        r6(F.col("nation_e4").cast("double") / F.col("total_e4")).alias("mkt_share"),
+    )
+
+
+@query(
+    "brand_band_revenue",
+    oracle="""
+SELECT CAST(CASE WHEN p.p_brand = 'Brand#1' THEN 1
+                 WHEN p.p_brand = 'Brand#2' THEN 2
+                 ELSE 3 END AS INT) AS band,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 40)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+GROUP BY 1
+""",
+)
+def q_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
+    band predicates. The disjunction mixes dim-side (brand, size) and
+    fact-side (quantity) conditions; Catalyst splits what it can —
+    the derivable dim-only disjunction (brand ∈ {1,2,9}) prunes the
+    broadcast build side, and the quantity bounds
+    (l_quantity BETWEEN 1 AND 50, the union of the bands) push to the
+    fact scan, leaving the exact OR as a post-join filter. Grouped by
+    matched band so the result exposes per-band contribution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band_pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    line_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    band = (
+        F.when(F.col("p_brand") == "Brand#1", 1)
+        .when(F.col("p_brand") == "Brand#2", 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(band_pred)
+        .groupBy(band.alias("band"))
+        .agg(
+            r6(F.sum(line_e4) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
