@@ -289,3 +289,26 @@ def fingerprint(text: Column) -> Column:
 def sql_fingerprint(col: str) -> str:
     toks = SQL_TOKENIZE.format(col=col)
     return SQL_POLY_HASH.format(t=f"array_to_string({toks}, ' ')")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (document fingerprinting)
+# ---------------------------------------------------------------------------
+# Schleimer/Wilkerson/Aiken winnowing: hash every word k-gram IN ORDER
+# (no dedup — positions matter), then select the minimum hash of every
+# w consecutive k-grams. Guarantees: any shared substring of length
+# >= w + k - 1 tokens produces at least one shared fingerprint, while
+# storing only ~2/(w+1) of the hashes.
+
+def ordered_shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Positional (non-distinct) polynomial hashes of word n-grams —
+    the winnowing input sequence. Unlike shingle_hashes, order and
+    multiplicity are preserved."""
+    return F.transform(shingles(tokenize(text), n), lambda s: _poly_hash_expr(s))
+
+
+def sql_ordered_shingle_hashes(col: str, n: int = 3) -> str:
+    """DuckDB twin of ordered_shingle_hashes()."""
+    toks = SQL_TOKENIZE.format(col=col)
+    sh = sql_shingles(toks, n)
+    return f"list_transform({sh}, s -> " + SQL_POLY_HASH.format(t="s") + ")"

@@ -878,3 +878,202 @@ def q_label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("q") / (10000.0 * F.count(F.lit(1))), 6).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing) + within-doc repetition +
+# dedup survivor selection
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3   # k-gram width (tokens)
+WINNOW_W = 4   # winnow window (k-grams per selection window)
+
+
+def _sql_winnow() -> str:
+    hashes = TX.sql_ordered_shingle_hashes("text", WINNOW_K)
+    return f"""
+WITH h AS (
+  SELECT doc_id, {hashes} AS hs FROM documents
+),
+g AS (
+  SELECT h.doc_id, s.i AS pos, h.hs[s.i] AS hash, len(h.hs) AS n
+  FROM h, UNNEST(generate_series(1, len(h.hs))) AS s(i)
+),
+sel AS (
+  SELECT doc_id,
+         MIN(hash) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW
+                         AND {WINNOW_W - 1} FOLLOWING) AS fp
+  FROM g QUALIFY pos <= GREATEST(n - {WINNOW_W} + 1, 1)
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps,
+       CAST(MIN(fp) AS BIGINT) AS min_fp,
+       CAST(MAX(fp) AS BIGINT) AS max_fp
+FROM sel GROUP BY 1
+"""
+
+
+@query("winnow_fingerprints", oracle=_sql_winnow())
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): minimum
+    k-gram hash per sliding window of w consecutive k-grams, distinct
+    per doc. Any two documents sharing a run of >= w+k-1 tokens are
+    GUARANTEED to share a fingerprint — the substring-robust dedup
+    primitive that shingle-set methods (MinHash) only achieve
+    probabilistically. Plan: per-row hash array (codegen, no Python),
+    posexplode, ONE window pass partitioned by doc_id (w is a plan
+    constant, so the running min is O(1)/row), distinct + agg reusing
+    the same partitioning — a single shuffle on doc_id end to end.
+    Docs shorter than one window emit their global-min fingerprint so
+    every doc is represented."""
+    from pyspark.sql.window import Window
+
+    from bigdata_invoice_stream_analysis_spark.operators.fence import optimizer_fence
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Fence the hash array: it is referenced by BOTH posexplode and
+    # size(), and Catalyst would otherwise inline the (expensive)
+    # per-char polynomial hash into each consumer — compute once.
+    hashed = optimizer_fence(
+        docs.select(
+            "doc_id",
+            TX.ordered_shingle_hashes(F.col("text"), WINNOW_K).alias("hs"),
+        )
+    )
+    h = hashed.select(
+        "doc_id",
+        F.posexplode(F.col("hs")).alias("pos0", "hash"),
+        F.size(F.col("hs")).alias("n"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = h.select(
+        "doc_id",
+        F.min("hash").over(w).alias("fp"),
+        "pos0",
+        "n",
+    ).where(F.col("pos0") + 1 <= F.greatest(F.col("n") - WINNOW_W + 1, F.lit(1)))
+    return sel.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TX.SQL_TOKENIZE.format(col="text")}) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS repetition,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_token_share
+FROM tf GROUP BY 1
+""",
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the boilerplate/spam
+    signal an LLM data-quality pipeline thresholds on (high repetition
+    => templated or degenerate text). Two-level aggregation: explode
+    tokens → count per (doc, token) — partial map-side combine keeps
+    the shuffle at distinct-term cardinality, not token count — then
+    collapse per doc into type/token ratio and top-token share. Both
+    ratios divide exact integer counts once per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(TX.tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            1.0 - F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
+        ).alias("repetition"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias(
+            "top_token_share"
+        ),
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+WITH comp AS ({_sql_components()}),
+member AS (
+  SELECT c.component_id, c.doc_id, length(d.text) AS n_chars
+  FROM comp c JOIN (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       (x, i) -> i % 7 != 0), ' ')
+    FROM documents WHERE doc_id % 10 = 0
+  ) d ON d.doc_id = c.doc_id
+),
+rk AS (
+  SELECT component_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM member
+)
+SELECT component_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         AS survivor_doc,
+       CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         AS survivor_chars
+FROM rk GROUP BY 1
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision for near-dup clusters: per connected
+    component, the canonical survivor (longest text, ties to the
+    smallest doc_id — 'best exemplar wins', the rule a training-data
+    pipeline applies before dropping the rest). Components come from
+    the same MinHash-LSH + label-propagation pipeline as
+    dedup_components; survivor choice is a row_number window over the
+    (small) component membership, then one agg. At 100 TB the window
+    partitions by component_id — bounded by cluster size, no global
+    sort."""
+    from pyspark.sql.window import Window
+
+    corpus = docs_neardup(spark, sf_dir)
+    edges = DD.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.2
+    ).select("id_a", "id_b")
+    comps = DD.connected_components(edges, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component_id"),
+    )
+    member = comps.join(
+        corpus.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    rk = member.select(
+        "component_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+    )
+    return rk.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("survivor_chars"),
+    )
