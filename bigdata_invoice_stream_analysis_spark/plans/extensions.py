@@ -28,7 +28,7 @@ from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
 from bigdata_invoice_stream_analysis_spark.operators import multimodal as MM
 from bigdata_invoice_stream_analysis_spark.operators import sampling as SAMPLING
 from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
-from bigdata_invoice_stream_analysis_spark.plans.queries import query
+from bigdata_invoice_stream_analysis_spark.plans.queries import query, r6
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -1076,4 +1076,345 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_doc"),
         F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("survivor_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized ANN, k-NN classification, embedding norm profile
+# ---------------------------------------------------------------------------
+
+_SQL_SQ8_AB_DOT = _SQL_INT_DOT.format(a="a.q8", b="b.q8")
+
+
+@query(
+    "ann_sq8_topk",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id,
+         {SIM.SQL_QUANTIZE.format(v="embedding")} AS qv
+  FROM embeddings
+),
+codes AS (
+  SELECT vec_id, qv, {SIM.SQL_SQ8.format(v="qv")} AS q8 FROM qv
+),
+cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         a.qv AS aqv, b.qv AS bqv,
+         {_SQL_SQ8_AB_DOT} AS approx
+  FROM codes a JOIN codes b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 20
+),
+kept AS (
+  SELECT query_id, neighbor_id, aqv, bqv
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx DESC, neighbor_id ASC) AS cand_rank
+    FROM cand
+  ) WHERE cand_rank <= 20
+),
+rer AS (
+  SELECT query_id, neighbor_id,
+         {_sql_quant_cosine("aqv", "bqv")} AS cosine
+  FROM kept
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+) WHERE rank <= 5
+""",
+)
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN: int8 codes generate 20 candidates per
+    query (8× smaller index scan), exact quantized cosine reranks to
+    top-5 — the asymmetric candidate/rerank split of a production SQ
+    index. See operators/similarity.sq8_topk for the scale layout."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.sq8_topk(
+        e.filter(F.col("vec_id") < 20), e, k=5, n_candidates=20
+    ).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         {SIM.SQL_QUANTIZE.format(v="embedding")} AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS nl,
+         {_sql_quant_cosine("a.qv", "b.qv")} AS cosine
+  FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 50
+),
+topk AS (
+  SELECT query_id, nl FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, nl AS predicted_label, COUNT(*) AS n_votes
+  FROM topk GROUP BY 1, 2
+)
+SELECT query_id, CAST(predicted_label AS INT) AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY n_votes DESC, predicted_label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+""",
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote over the exact top-5
+    cosine neighbors (queries: vec_id < 50). Composition query: the
+    knn_topk operator feeds a per-(query,label) count and an argmax
+    window — all three stages share the query_id partitioning, so
+    Catalyst plans one exchange after the scored cross join. Ties:
+    most votes, then smallest label (deterministic)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = SIM.knn_topk(e.filter(F.col("vec_id") < 50), e, k=5)
+    labeled = topk.join(
+        F.broadcast(e.select(F.col("vec_id").alias("neighbor_id"), "label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", F.col("label").alias("predicted_label")).agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("predicted_label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "predicted_label", "n_votes")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+WITH qv AS (
+  SELECT label,
+         {SIM.SQL_QUANTIZE.format(v="embedding")} AS qv
+  FROM embeddings
+),
+n2 AS (
+  SELECT label, {_SQL_INT_DOT.format(a="qv", b="qv")} AS norm2 FROM qv
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(norm2) AS DOUBLE) / (COUNT(*) * 100000000.0), 6)
+         AS mean_sq_norm,
+       ROUND(SQRT(CAST(MIN(norm2) AS DOUBLE)) / 10000.0, 6) AS min_norm,
+       ROUND(SQRT(CAST(MAX(norm2) AS DOUBLE)) / 10000.0, 6) AS max_norm
+FROM n2 GROUP BY 1
+""",
+)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm profile — the sanity audit before any
+    cosine-based pipeline (unnormalized embeddings silently break dot-
+    product retrieval). Norms are exact integer norm² on the 1e-4
+    grid; the mean aggregates the INTEGER norm² (exact, order-free)
+    and converts to float units once per label — never averaging
+    doubles, which would be summation-order-sensitive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = emb.select(
+        "label",
+        SIM.int_norm2(SIM.quantize(F.col("embedding"))).alias("norm2"),
+    )
+    return n2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("norm2").cast("double") / (F.count(F.lit(1)) * 1e8), 6
+        ).alias("mean_sq_norm"),
+        F.round(F.sqrt(F.min("norm2").cast("double")) / 10000.0, 6).alias("min_norm"),
+        F.round(F.sqrt(F.max("norm2").cast("double")) / 10000.0, 6).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling surfaces + quality-filter composition
+# ---------------------------------------------------------------------------
+
+@query(
+    "entity_hash_sample",
+    oracle=f"""
+WITH sc AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 4) < '{format(int((1 << 16) * 0.10), "04x")}'
+)
+SELECT sc.c_mktsegment AS segment,
+       CAST(COUNT(DISTINCT sc.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(SUM(COALESCE(CAST(ROUND(o.o_totalprice * 100) AS BIGINT), 0))
+             / 100.0, 6) AS sampled_value
+FROM sc LEFT JOIN orders o ON o.o_custkey = sc.c_custkey
+GROUP BY 1
+""",
+)
+def q_entity_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent 10% sample: customers sampled by md5 bucket of
+    their key, then ALL their orders follow (the property rand()-based
+    sampling cannot give you — the same entity samples identically in
+    every table and run, so joins over sampled tables stay consistent).
+    The sample predicate is a pure map-side expression; the audit
+    aggregates per segment. At 100 TB the sampled customer set
+    broadcasts."""
+    from bigdata_invoice_stream_analysis_spark.operators.sampling import hash_sample
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    sc = hash_sample(c.select("c_custkey", "c_mktsegment"), "c_custkey", 0.10)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        F.broadcast(sc)
+        .join(o, sc.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count_distinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            r6(F.sum(F.coalesce(cents, F.lit(0))) / 100.0).alias("sampled_value"),
+        )
+    )
+
+
+@query(
+    "per_source_reservoir",
+    oracle="""
+SELECT source, doc_id, CAST(smp_rank AS INT) AS smp_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS smp_rank
+  FROM documents
+) WHERE smp_rank <= 3
+""",
+)
+def q_per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key reservoir: 3 uniform exemplar docs per
+    source, chosen by ranking on the md5 of the doc key — the
+    reproducible analog of reservoir sampling (same exemplars every
+    run/engine/partitioning). One window shuffle on source; rank
+    cutoff prunes to k rows per key before anything else moves. The
+    inspect-a-sample-of-every-source step of corpus QA."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("smp_rank"))
+        .filter(F.col("smp_rank") <= 3)
+        .select("source", "doc_id", F.col("smp_rank").cast("int").alias("smp_rank"))
+    )
+
+
+# Quality-filter thresholds (chosen to split the synthetic corpus
+# non-trivially: token count 10-99 w/ median 56; stopword ratio 0-0.22
+# w/ median 0.06).
+QF_MIN_TOKENS = 40
+QF_MAX_STOPWORD_RATIO = 0.09
+
+
+def _sql_quality_filter_core() -> str:
+    q = TX.sql_quality_features("text")
+    return f"""
+feat AS (
+  SELECT doc_id, n_chars,
+         {q["n_tokens"]} AS n_tokens,
+         {q["stopword_ratio"]} AS stopword_ratio
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
+         CASE WHEN stopword_ratio > {QF_MAX_STOPWORD_RATIO} THEN 1 ELSE 0 END
+           AS f_stopwordy
+  FROM feat
+),
+verdict AS (
+  SELECT doc_id, n_chars,
+         (f_short = 0 AND f_stopwordy = 0) AS keep,
+         concat_ws(',',
+           CASE WHEN f_short = 1 THEN 'short' END,
+           CASE WHEN f_stopwordy = 1 THEN 'stopwordy' END) AS reasons
+  FROM flagged
+)
+"""
+
+
+@query(
+    "quality_filter_verdicts",
+    oracle=f"""
+WITH {_sql_quality_filter_core()}
+SELECT doc_id, keep, reasons FROM verdict
+""",
+)
+def q_quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed quality filter — the keep/drop decision with
+    machine-readable reject reasons ('short,stopwordy'), the shape a
+    training-data pipeline writes next to every document so filtering
+    is auditable and reversible. Pure per-row expressions (the
+    signals come from quality_features), zero shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    f_short = feats["n_tokens"] < QF_MIN_TOKENS
+    f_stop = feats["stopword_ratio"] > QF_MAX_STOPWORD_RATIO
+    return docs.select(
+        "doc_id",
+        (~f_short & ~f_stop).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(f_short, F.lit("short")),
+            F.when(f_stop, F.lit("stopwordy")),
+        ).alias("reasons"),
+    )
+
+
+@query(
+    "quality_filter_stats",
+    oracle=f"""
+WITH {_sql_quality_filter_core()}
+SELECT keep, reasons,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM verdict GROUP BY 1, 2
+""",
+)
+def q_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yield audit for the composed quality filter: docs and bytes per
+    (keep, reasons) bucket — the number a pipeline owner watches to
+    catch a filter suddenly eating the corpus. Map-side flag
+    computation, one tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    f_short = feats["n_tokens"] < QF_MIN_TOKENS
+    f_stop = feats["stopword_ratio"] > QF_MAX_STOPWORD_RATIO
+    return (
+        docs.select(
+            (~f_short & ~f_stop).alias("keep"),
+            F.concat_ws(
+                ",",
+                F.when(f_short, F.lit("short")),
+                F.when(f_stop, F.lit("stopwordy")),
+            ).alias("reasons"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("keep", "reasons")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )

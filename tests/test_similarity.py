@@ -82,3 +82,39 @@ def test_sign_lsh_pairs_matches_bruteforce_on_planted(vec_df):
     df, _ = vec_df
     out = SIM.sign_lsh_pairs(df, threshold=0.99, dim=DIM).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) ANN
+# ---------------------------------------------------------------------------
+
+def test_sq8_codes_clamp_and_round(spark):
+    row = spark.range(1).select(
+        SIM.sq8(F.array(*[F.lit(x).cast("long") for x in
+                          [0, 499, 500, -500, 1_000_000, -1_000_000]])).alias("c")
+    ).first()
+    assert row["c"] == [0, 0, 1, -1, 127, -127]
+
+
+def test_sq8_topk_finds_planted_neighbor(spark):
+    """A near-identical planted vector must rank 1 for its query; the
+    coarse int8 phase may reorder distant candidates but cannot miss a
+    near-duplicate (its coarse dot is also maximal)."""
+    import math
+
+    base = [math.cos(i * 0.37) for i in range(16)]
+    near = [x * 1.001 for x in base]
+    far = [[math.sin(i * 0.91 + j) for i in range(16)] for j in range(8)]
+    rows = (
+        [(0, base), (1, near)]
+        + [(10 + j, v) for j, v in enumerate(far)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = SIM.sq8_topk(df.filter(F.col("vec_id") == 0), df, k=3, n_candidates=5)
+    top = out.filter(F.col("rank") == 1).first()
+    assert top["neighbor_id"] == 1
+    assert top["cosine"] > 0.999
+    # candidate phase caps the rerank set
+    assert out.count() == 3

@@ -78,3 +78,59 @@ def test_fingerprint_normalizes_whitespace(spark):
     a = one(spark, TX.fingerprint(F.lit("hello   world")))
     b = one(spark, TX.fingerprint(F.lit("Hello, world!")))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Winnowing
+# ---------------------------------------------------------------------------
+
+def _winnow_fps(spark, docs, k=3, w=4):
+    """Run the winnowing selection (same logic as the gated query) over
+    a small (doc_id, text) frame; returns {doc_id: set(fingerprints)}."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    h = df.select(
+        "doc_id",
+        F.posexplode(TX.ordered_shingle_hashes(F.col("text"), k)).alias(
+            "pos0", "hash"
+        ),
+        F.size(TX.ordered_shingle_hashes(F.col("text"), k)).alias("n"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, w - 1)
+    sel = h.select("doc_id", F.min("hash").over(win).alias("fp"), "pos0", "n").where(
+        F.col("pos0") + 1 <= F.greatest(F.col("n") - w + 1, F.lit(1))
+    )
+    out = {}
+    for r in sel.select("doc_id", "fp").distinct().collect():
+        out.setdefault(r["doc_id"], set()).add(r["fp"])
+    return out
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al. guarantee: two documents sharing a token run of
+    length >= w + k - 1 (= 6 tokens at k=3, w=4) MUST share at least
+    one selected fingerprint, regardless of surrounding context."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"{shared} completely different tail words here"),
+    ]
+    fps = _winnow_fps(spark, docs)
+    assert fps[1] & fps[2], "no shared fingerprint for a shared 6-token run"
+
+
+def test_winnowing_short_doc_emits_fingerprint(spark):
+    """A doc shorter than one winnow window still emits >= 1 fp."""
+    fps = _winnow_fps(spark, [(1, "tiny doc"), (2, "a b c d")])
+    assert len(fps[1]) == 1 and len(fps[2]) == 1
+
+
+def test_ordered_shingle_hashes_keeps_positions(spark):
+    """Unlike shingle_hashes (distinct), repeated shingles stay."""
+    n_ordered = one(
+        spark, F.size(TX.ordered_shingle_hashes(F.lit("a b c a b c a b c")))
+    )
+    n_distinct = one(spark, F.size(TX.shingle_hashes(F.lit("a b c a b c a b c"))))
+    assert n_ordered == 7  # 9 tokens -> 7 trigrams, duplicates kept
+    assert n_distinct < n_ordered
