@@ -165,14 +165,37 @@ def jaccard_pairs(
 
 def minhash_signature(sh: Column) -> Column:
     """K-perm MinHash signature (array<long>) of a shingle-hash array.
-    Pure per-row expression — scales with zero shuffle."""
-    def perm_min(a: int, b: int) -> Column:
-        def permuted(h: Column) -> Column:
-            return (F.lit(a) * h + F.lit(b)) % HASH_P
+    Pure per-row expression — scales with zero shuffle.
 
-        return F.array_min(F.transform(sh, permuted))
+    Single traversal (same trick as simhash): ONE fold walks the
+    shingle array carrying all 32 running minima (zip_with least per
+    element), instead of 32 independent transform+array_min passes.
+    Identical minima, but the generated code walks the array once and
+    the expression tree is ~half the nodes — which also halves the
+    one-time codegen/JIT cost that a session's first MinHash query
+    pays. Init is HASH_P: strictly greater than any permuted value
+    (all values are mod p), so it never survives a non-empty array;
+    _shingled guarantees >= 1 shingle per doc."""
+    init = F.array_repeat(F.lit(HASH_P).cast("long"), N_PERMS)
+    # Permutation constants as ONE literal array of (a, b) structs: the
+    # expression tree is O(1) in N_PERMS (vs 32 inlined sub-trees),
+    # which keeps the generated code far below the JIT huge-method
+    # cliff.
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
 
-    return F.array(*[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)])
+    def permuted_all(h: Column) -> Column:
+        return F.transform(ab, lambda s: (s["a"] * h + s["b"]) % HASH_P)
+
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, h: F.zip_with(acc, permuted_all(h), lambda x, y: F.least(x, y)),
+    )
 
 
 def minhash_signature_np():

@@ -1418,3 +1418,125 @@ def q_quality_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction, mergeable rollups, binary media dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest compaction (the CDC/upsert materialization step:
+    many change rows per key → current state). row_number over
+    (ts DESC, event_id DESC) with ONE shuffle on the key; at 100 TB
+    this is the exact plan of a snapshot rebuild, and the same window
+    runs incrementally under Structured Streaming via
+    dropDuplicatesWithinWatermark on the key (streaming/pipeline.py).
+    event_id breaks same-timestamp ties deterministically."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "daily_to_monthly_rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS priority,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m') AS month_label, priority,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       ROUND(SUM(cents) / 100.0, 6) AS total_value
+FROM daily GROUP BY 1, 2
+""",
+)
+def q_daily_to_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-aggregate rollup: daily partial aggregates re-merged
+    into monthly figures — the two-level pattern behind every
+    incremental rollup table (compute small partials near the data
+    once, merge cheaply forever after). Works because count/sum are
+    commutative monoids over exact integers; the daily→monthly merge
+    touches only |days|×|priorities| rows regardless of order volume.
+    The oracle aggregates the base table directly, so the gate PROVES
+    partial-merge == direct aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    return daily.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month_label"), "priority"
+    ).agg(
+        F.sum("n_orders").alias("n_orders"),
+        r6(F.sum("cents") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "media_exact_dedup",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 13 = 0
+),
+hashed AS (SELECT media_id, md5(text) AS content_hash FROM media)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(media_id) AS BIGINT) AS canonical_id
+FROM hashed GROUP BY 1 HAVING COUNT(*) > 1
+""",
+)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE BINARY payloads (image/audio dedup by
+    content digest): md5 of the bytes, one hash-agg shuffle on the
+    digest — the minimal plan, identical in shape to text exact-dedup
+    but operating on the binary column, which never leaves the JVM
+    (no decode, no Python). Corpus: media payloads + verbatim copies
+    of every 13th doc (byte-identical dup convention, id+3e6). The
+    ASCII corpus makes DuckDB's md5(text) the exact oracle twin of
+    Spark's md5(binary)."""
+    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
+        documents_as_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    media = documents_as_media(d.unionByName(dup))
+    return (
+        media.select("media_id", F.md5(F.col("payload")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
