@@ -2380,3 +2380,123 @@ def q_session_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: remaining SQL-surface shapes — explicit GROUPING SETS, rank-family
+# window functions, and INTERSECT/EXCEPT set operations.
+# ---------------------------------------------------------------------------
+
+@query(
+    "status_priority_grouping_sets",
+    oracle="""
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
+         AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+""",
+)
+def q_status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form that cube/rollup
+    specialize): per-status, per-priority, and per-pair totals in ONE
+    aggregation pass — Catalyst plans a single Expand (one replica per
+    set) + hash agg, not three scans. grouping_id disambiguates the
+    NULLs a grouping-set output necessarily contains (a real NULL key
+    vs 'this column not in this set') — shipping gid alongside is the
+    contract that makes the output machine-consumable."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.sum(cents) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "supplier_balance_standing",
+    oracle="""
+SELECT s_suppkey AS supp_key, n_name AS nation_name,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
+""",
+)
+def q_supplier_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window coverage: percent_rank, cume_dist, and ntile
+    over one shared per-nation ordering — Catalyst evaluates all three
+    in a single Window operator (one shuffle on nation, one sort).
+    Ties broken by supp_key so every engine computes identical ranks.
+    Per-nation partitioning bounds each sort; there is no global
+    order anywhere in the plan."""
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("n_name").alias("nation_name"),
+            r6(F.percent_rank().over(w)).alias("pct_rank"),
+            r6(F.cume_dist().over(w)).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+@query(
+    "segment_overlap_customers",
+    oracle="""
+SELECT 'both_years' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+)
+UNION ALL
+SELECT 'only_1996', CAST(COUNT(*) AS BIGINT) FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+)
+""",
+)
+def q_segment_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set-operation coverage: customers ordering in
+    both 1996 and 1997 vs only 1996. Spark plans both as aggregated
+    semi/anti joins on the key (set semantics = distinct first), so the
+    physical shape is the same one-shuffle join the EXISTS form would
+    produce — the set-op syntax is free. Year predicates push to the
+    orders scan on both branches."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
+    both = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n_customers")).select(
+        F.lit("both_years").alias("cohort"), "n_customers"
+    )
+    only96 = y96.subtract(y97).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).select(F.lit("only_1996").alias("cohort"), "n_customers")
+    return both.unionByName(only96)
