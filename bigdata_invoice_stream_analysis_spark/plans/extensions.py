@@ -932,13 +932,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_invoice_stream_analysis_spark.operators.fence import optimizer_fence
 
     docs = load_table(spark, sf_dir, "documents")
-    # Fence the hash array: it is referenced by BOTH posexplode and
-    # size(), and Catalyst would otherwise inline the (expensive)
-    # per-char polynomial hash into each consumer — compute once.
+    # Two fences: (1) token hashes materialize once (compose_token_hashes
+    # references its input O(n) times); (2) the composed gram array is
+    # referenced by BOTH posexplode and size() — unfenced, Catalyst
+    # inlines the hashing into each consumer (measured 6×).
+    toks = optimizer_fence(
+        docs.select("doc_id", TX.token_hashes(F.col("text")).alias("th"))
+    )
     hashed = optimizer_fence(
-        docs.select(
+        toks.select(
             "doc_id",
-            TX.ordered_shingle_hashes(F.col("text"), WINNOW_K).alias("hs"),
+            TX.compose_token_hashes(F.col("th"), WINNOW_K).alias("hs"),
         )
     )
     h = hashed.select(
@@ -1539,4 +1543,131 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("canonical_id"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + URL extraction (planted-PII corpus)
+# ---------------------------------------------------------------------------
+# The synthetic corpus contains no natural PII/URLs, so both engines
+# plant them deterministically (same "deterministic dirt" convention as
+# plans/queries.py): every 7th doc gains an email, every 11th a URL,
+# every 13th a phone number — all derived from doc_id arithmetic.
+
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.\-]+\.[a-z]+"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+URL_RE = r"https?://[a-z0-9.\-]+[a-z0-9./\-]*"
+URL_DOMAIN_RE = r"https?://([a-z0-9.\-]+)"
+
+PII_DOCS_CTE = """
+pii_docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' visit https://site' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically planted emails/URLs/phones."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    email = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit(" visit https://site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example.org/page/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit(" call 555-"), (F.lit(1000) + F.col("doc_id") % 9000).cast("string")),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", F.concat(F.col("text"), email, url, phone).alias("text")
+    )
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+WITH {PII_DOCS_CTE}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS clean_hash,
+       CAST(length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+         AS clean_len
+FROM pii_docs
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass a training-data pipeline runs
+    before anything else: count and replace emails/phones with typed
+    placeholder tokens. Pure per-row regexp expressions (JVM codegen,
+    zero shuffle, no Python); the gate hashes the REDACTED text, so
+    the oracle proves byte-exact replacement, not just counts.
+    Patterns avoid lookarounds so Java regex (Spark) and RE2 (DuckDB)
+    agree; that portability constraint is real — a deployed scrubber
+    pins its dialect the same way."""
+    d = docs_with_pii(spark, sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.md5(F.encode(clean, "UTF-8")).alias("clean_hash"),
+        F.length(clean).cast("long").alias("clean_len"),
+    )
+
+
+@query(
+    "url_domain_counts",
+    oracle=f"""
+WITH {PII_DOCS_CTE},
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{URL_DOMAIN_RE}', 1)) AS domain
+  FROM pii_docs
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls GROUP BY 1
+""",
+)
+def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → domain extraction and ranking — the source-domain audit
+    behind corpus curation (block-lists, per-domain caps). Extraction
+    is a per-row regexp_extract_all + explode; the aggregate is keyed
+    on domain (bounded cardinality), so the shuffle carries partial
+    counts only. At 100 TB the same plan feeds a per-domain cap join
+    (broadcast the block-list against this output)."""
+    d = docs_with_pii(spark, sf_dir)
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(URL_DOMAIN_RE), F.lit(1))
+        ).alias("domain"),
+    )
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("doc_id").alias("n_docs"),
     )
