@@ -1671,3 +1671,124 @@ def q_url_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Arrow surface + corpus rarity scoring
+# ---------------------------------------------------------------------------
+
+@query(
+    "source_char_profile",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(median(n_chars), 6) AS median_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+""",
+)
+def q_source_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source char-length profile via applyInPandas — the
+    STATELESS grouped-map Arrow surface (each source's rows arrive as
+    one pandas frame; medians/extremes computed vectorized, one small
+    row returned per group). This op IS expressible natively
+    (percentile_approx / sort-based exact median), and for plain
+    stats the native form wins — the grouped-map shape is gated here
+    because it is the escape hatch for genuinely per-group Python
+    (scipy fits, per-entity models), and the driver gate proves the
+    Arrow batch path is bit-correct (numpy linear-interp median ==
+    SQL quantile_cont(0.5)). One shuffle on the group key, same as
+    the native agg."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ch = pdf["n_chars"]
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_chars": [round(float(ch.median()), 6)],
+                "min_chars": [int(ch.min())],
+                "max_chars": [int(ch.max())],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        profile,
+        schema="source string, n_docs long, median_chars double, "
+               "min_chars long, max_chars long",
+    )
+
+
+@query(
+    "doc_rarity_score",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TX.SQL_TOKENIZE.format(col="text")}) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+vocab AS (SELECT token, SUM(cnt) AS tok_total FROM tf GROUP BY 1),
+t AS (SELECT SUM(tok_total) AS corpus_total FROM vocab),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(tf.cnt) AS n_tokens,
+         SUM(tf.cnt * CAST(FLOOR(CAST(t.corpus_total AS DOUBLE) / vocab.tok_total)
+                           AS BIGINT)) AS rarity_sum
+  FROM tf JOIN vocab ON tf.token = vocab.token CROSS JOIN t
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(rarity_sum AS BIGINT) AS rarity_sum,
+       ROUND(CAST(rarity_sum AS DOUBLE) / n_tokens, 6) AS mean_rarity
+FROM scored
+""",
+)
+def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity score — the unigram-LM quality proxy
+    (documents dominated by ultra-common tokens score low; rare-token
+    docs score high). Per-token weight is the integer inverse
+    frequency floor(corpus_total / token_count): a monotone stand-in
+    for -log p(token) chosen because ln() is not bit-specified across
+    engines while integer division is — the whole score stays in
+    exact BIGINT until the final per-doc division. Plan: one (doc,
+    token) shuffle builds tf; vocab re-aggregates token-keyed partials
+    from tf (bounded by vocabulary size) and BROADCASTS back onto tf —
+    no second pass over the corpus; the corpus total rides along as a
+    literal-sized broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
+
+    tf = scoped_cache(tf)
+    vocab = tf.groupBy("token").agg(F.sum("cnt").alias("tok_total"))
+    total = vocab.agg(F.sum("tok_total").alias("corpus_total"))
+    scored = (
+        tf.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(
+                F.col("cnt")
+                * F.floor(
+                    F.col("corpus_total").cast("double") / F.col("tok_total")
+                ).cast("long")
+            ).alias("rarity_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "rarity_sum",
+        r6(F.col("rarity_sum").cast("double") / F.col("n_tokens")).alias(
+            "mean_rarity"
+        ),
+    )

@@ -1,0 +1,126 @@
+"""Physical-plan regression tests for the round-2 query surface: the
+plan SHAPES that make these queries scale (broadcasts, pushdown,
+top-k without a global sort, window-chain shuffle reuse) are asserted
+here so a future edit that silently degrades a plan fails CI, not the
+100 TB run.
+
+Plans are inspected via the analyzed/executed plan string — the same
+artifact `.explain("formatted")` prints.
+"""
+
+from __future__ import annotations
+
+from bigdata_invoice_stream_analysis_spark.plans.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_shipping_priority_topk_and_broadcast(spark, sf_dir):
+    df = QUERIES["shipping_priority"](spark, sf_dir)
+    plan = _plan(df)
+    # top-10 must run as TakeOrderedAndProject (partial top-k per
+    # partition), never a global Sort + Limit
+    assert "TakeOrderedAndProject" in plan
+    # the segment-filtered customer dim must broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # date predicates reach the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+
+
+def test_returned_items_filter_pushdown(spark, sf_dir):
+    df = QUERIES["returned_items"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter pushed into the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_nation_market_share_all_dims_broadcast(spark, sf_dir):
+    df = QUERIES["nation_market_share"](spark, sf_dir)
+    plan = _plan(df)
+    # 5 dim sides broadcast (customer, nation x2, region, supplier);
+    # the only shuffle joins are fact-fact
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_share_single_agg_pass(spark, sf_dir):
+    df = QUERIES["promo_revenue_share"](spark, sf_dir)
+    plan = _plan(df)
+    # conditional + total sums must be ONE aggregate (no union of scans)
+    assert plan.count("Union") == 0
+    assert "BroadcastHashJoin" in plan
+
+
+def test_signup_funnel_single_user_exchange(spark, sf_dir):
+    df = QUERIES["signup_funnel"](spark, sf_dir)
+    plan = _plan(df)
+    # three chained window passes + per-user agg must reuse ONE
+    # hashpartitioning(user_id) exchange — count exchanges that key on
+    # user_id
+    user_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan
+
+
+def test_winnow_single_doc_exchange(spark, sf_dir):
+    df = QUERIES["winnow_fingerprints"](spark, sf_dir)
+    plan = _plan(df)
+    doc_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in ln
+    ]
+    assert len(doc_exchanges) == 1, plan
+
+
+def test_sq8_windows_share_query_exchange(spark, sf_dir):
+    df = QUERIES["ann_sq8_topk"](spark, sf_dir)
+    plan = _plan(df)
+    q_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(query_id" in ln
+    ]
+    # candidate-cut window and rerank window share one shuffle
+    assert len(q_exchanges) == 1, plan
+
+
+def test_grouping_sets_one_expand(spark, sf_dir):
+    df = QUERIES["status_priority_grouping_sets"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Expand") == 1
+    # one scan of orders, not three
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_rank_family_one_window_operator(spark, sf_dir):
+    df = QUERIES["supplier_balance_standing"](spark, sf_dir)
+    plan = _plan(df)
+    # percent_rank + cume_dist + ntile over the same spec = ONE Window
+    assert plan.count("Window [") == 1, plan
+
+
+def test_latest_event_single_shuffle(spark, sf_dir):
+    df = QUERIES["latest_event_per_user"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_rarity_score_no_second_corpus_pass(spark, sf_dir):
+    df = QUERIES["doc_rarity_score"](spark, sf_dir)
+    plan = _plan(df)
+    # tf is scoped-cached; every consumer (tf itself, vocab, corpus
+    # total) must read the cache — three InMemoryTableScans, and NO
+    # tokenize/explode outside a cached subtree (the executed plan
+    # prints live Generate nodes at top level, cached ones only inside
+    # the InMemoryRelation description)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    live = plan.split("InMemoryRelation")[0]
+    assert "Generate explode" not in live, live

@@ -66,7 +66,12 @@ def run_collect(spark, df, output_mode="update", checkpoint=None):
         df, collect, output_mode=output_mode, checkpoint=checkpoint,
         trigger_available_now=True,
     )
-    q.awaitTermination(120)
+    # awaitTermination returns False on timeout WITHOUT raising — under
+    # heavy machine load a silent timeout left `batches` incomplete and
+    # failed downstream asserts confusingly. Make the timeout loud.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
     return batches
 
 
