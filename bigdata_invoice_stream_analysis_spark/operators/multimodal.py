@@ -231,3 +231,50 @@ def resize_stub(
             yield pdf
 
     return media.mapInPandas(batches, schema=out_schema)
+
+
+def audio_chunk_stub(media: DataFrame, chunk_seconds: int = 2) -> DataFrame:
+    """Audio-chunking stub: splits each audio payload into fixed-length
+    windows (sample_rate × chunk_seconds samples ≅ bytes here — 8-bit
+    mono stand-in) and emits one row per chunk with its byte span. The
+    row-expanding mapInPandas shape is exactly a real chunker's
+    (torchaudio/soundfile would decode `payload` instead of measuring
+    it); spans are computed from metadata + payload length only, so the
+    stub is deterministic and oracle-checkable."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("chunk_idx", T.IntegerType(), False),
+            T.StructField("start_byte", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, starts, lens = [], [], [], []
+            for mid, payload, m in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                rate = (m or {}).get("sample_rate") or 8000
+                total = len(payload) if payload is not None else 0
+                step = rate * chunk_seconds
+                i = 0
+                for start in range(0, total, step):
+                    ids.append(mid)
+                    idxs.append(i)
+                    starts.append(start)
+                    lens.append(min(step, total - start))
+                    i += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "start_byte": starts,
+                    "n_bytes": lens,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -1792,3 +1792,162 @@ def q_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_rarity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composition queries: embedding-dup clustering + decontaminated split
+# ---------------------------------------------------------------------------
+
+def _sql_embedding_components() -> str:
+    pairs = _sql_sign_lsh_pairs()
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs}) q),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.node = s.b
+)
+SELECT node AS vec_id, CAST(MIN(lbl) AS BIGINT) AS component_id
+FROM reach GROUP BY node
+"""
+
+
+@query("embedding_dup_components", oracle=_sql_embedding_components())
+def q_embedding_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters in EMBEDDING space: connected components over
+    the sign-LSH pair graph (cosine >= 0.99) — the same
+    label-propagation loop that clusters text near-dups, proving the
+    component operator is representation-agnostic (it consumes any
+    (id_a, id_b) edge list). Sub-quadratic end to end: sketch-bucket
+    candidates, exact verify, then diameter-bounded propagation."""
+    edges = SIM.sign_lsh_pairs(
+        vecs_neardup(spark, sf_dir), id_col="vec_id", vec_col="qv",
+        threshold=0.99, quantized=True,
+    ).select("id_a", "id_b")
+    comps = DD.connected_components(edges, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").cast("long").alias("component_id"),
+    )
+
+
+@query(
+    "decontaminated_train_docs",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SAMPLING.sql_split_case("doc_id")} AS split, text
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct({TX.sql_shingle_hashes("text", n=3)})) AS h
+  FROM d
+),
+test_h AS (SELECT DISTINCT h FROM sh WHERE split = 'test'),
+tainted AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN test_h t ON s.h = t.h
+  WHERE s.split = 'train'
+)
+SELECT d.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE tn.doc_id IS NOT NULL) AS BIGINT)
+         AS n_dropped,
+       CAST(COUNT(*) FILTER (WHERE tn.doc_id IS NULL) AS BIGINT) AS n_kept
+FROM d LEFT JOIN tainted tn ON d.doc_id = tn.doc_id
+GROUP BY 1
+""",
+)
+def q_decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination — the enforcement step after the contamination
+    AUDIT: train documents sharing ANY distinct shingle with the test
+    split are dropped (eval-leakage removal). The tainted set comes
+    from a distinct-shingle semi-join (each (doc, shingle) crosses the
+    wire once; 8-byte keys); enforcement is a broadcast-able anti join
+    back onto the corpus. Reported per split so the gate pins both the
+    drop count and that val/test are untouched."""
+    d = SAMPLING.with_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    sh = d.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(TX.shingle_hashes(F.col("text"), n=3))).alias("h"),
+    )
+    test_h = sh.filter(F.col("split") == "test").select("h").distinct()
+    tainted = (
+        sh.filter(F.col("split") == "train")
+        .join(test_h, "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        d.join(tainted, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("dropped")).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "media_audio_chunks",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, length(text) AS n_bytes,
+         100 + (doc_id % 3) * 50 AS sample_rate
+  FROM documents
+),
+chunks AS (
+  SELECT media_id,
+         CAST(s.i AS INT) AS chunk_idx,
+         CAST(s.i * sample_rate * 2 AS BIGINT) AS start_byte,
+         CAST(LEAST(sample_rate * 2, n_bytes - s.i * sample_rate * 2)
+              AS BIGINT) AS chunk_bytes
+  FROM media,
+       UNNEST(generate_series(0,
+         CAST(CEIL(CAST(n_bytes AS DOUBLE) / (sample_rate * 2)) AS BIGINT) - 1))
+         AS s(i)
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MAX(chunk_bytes) AS BIGINT) AS max_chunk,
+       CAST(MIN(chunk_bytes) AS BIGINT) AS tail_chunk
+FROM chunks GROUP BY 1
+""",
+)
+def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over opaque payloads: every 'recording' splits
+    into sample_rate×2-byte windows via the row-expanding mapInPandas
+    stub (operators/multimodal.audio_chunk_stub) — the Arrow batch
+    shape of a real torchaudio chunker, with byte-span arithmetic
+    standing in for decode. Synthetic sample rates (100/150/200 by id)
+    exercise variable chunk sizes; the gate pins chunk counts and the
+    short tail chunk per recording. Zero shuffle until the final
+    per-media aggregate."""
+    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
+        audio_chunk_stub,
+        documents_as_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(d).select(
+        "media_id",
+        "payload",
+        F.col("meta").withField(
+            "sample_rate", (100 + (F.col("media_id") % 3) * 50).cast("int")
+        ).withField("kind", F.lit("audio")).alias("meta"),
+    )
+    chunks = audio_chunk_stub(media, chunk_seconds=2)
+    return chunks.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("n_bytes").alias("max_chunk"),
+        F.min("n_bytes").alias("tail_chunk"),
+    )

@@ -94,3 +94,35 @@ def test_resize_stub_shapes_and_meta(spark):
     assert out[1].payload == b"aceg"
     assert len(out[2].payload) == 4  # padded raster still resizes
     assert out[3].payload is None  # null payload stays null
+
+
+def test_audio_chunk_stub_spans(spark):
+    """Chunk spans tile the payload exactly: contiguous, non-overlapping,
+    summing to the byte length; short tail chunk kept."""
+    import pyspark.sql.functions as F
+
+    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_chunk_stub,
+    )
+
+    rows = [
+        (1, b"x" * 950, ("audio", "raw", None, None, 100, None)),  # 200-byte chunks
+        (2, b"y" * 100, ("audio", "raw", None, None, 400, None)),  # single short chunk
+        (3, b"", ("audio", "raw", None, None, 100, None)),          # empty payload
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in audio_chunk_stub(media, chunk_seconds=2)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total"),
+            F.min("n_bytes").alias("tail"),
+        )
+        .collect()
+    }
+    assert got[1]["n"] == 5 and got[1]["total"] == 950 and got[1]["tail"] == 150
+    assert got[2]["n"] == 1 and got[2]["total"] == 100
+    assert 3 not in got  # empty payload -> no chunks
