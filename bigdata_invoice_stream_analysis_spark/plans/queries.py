@@ -2500,3 +2500,48 @@ def q_segment_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers")
     ).select(F.lit("only_1996").alias("cohort"), "n_customers")
     return both.unionByName(only96)
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+WITH au AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cover AS (
+  SELECT DISTINCT user_id, day + CAST(s.i AS INT) AS cover_day
+  FROM au, UNNEST(generate_series(0, 6)) AS s(i)
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(COUNT(*) AS BIGINT) AS active_7d
+FROM days d JOIN cover c ON c.cover_day = d.day
+GROUP BY 1
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling DISTINCT user count — the WAU/DAU-style metric
+    that a naive window cannot express (count_distinct is not a
+    window function) and a self-join-per-day cannot afford. Scalable
+    form: dedup to (user, active_day), fan each activity out to the
+    <= 7 rolling days it supports (bounded explode — the same idiom as
+    session_hourly_load), dedup (user, cover_day), count per day. Two
+    hash-agg shuffles, both on bounded keys; restricted to days that
+    actually occur so the output matches the observable metric."""
+    ev = load_table(spark, sf_dir, "events")
+    au = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    cover = (
+        au.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("i")).alias("cover_day"))
+        .distinct()
+    )
+    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        days.join(cover, days.day == cover.cover_day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_7d"))
+    )
