@@ -2545,3 +2545,85 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("active_7d"))
     )
+
+
+@query(
+    "priority_peak_day",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority,
+       arg_max(day, n * 100000 + CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT))
+         AS peak_day,
+       CAST(MAX(n) AS BIGINT) AS peak_orders
+FROM daily GROUP BY 1
+""",
+)
+def q_priority_peak_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max coverage: per priority, the day with the most
+    orders. Ties resolved INSIDE the aggregate by a composite ordering
+    key (count, then later day) — deterministic without a window sort;
+    the pre-aggregation to daily counts keeps the arg_max input at
+    |days|×|priorities| rows. The two-level shape means the expensive
+    shuffle is the daily rollup; the arg_max pass is map-side small."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # Composite BIGINT ordering key (count dominant, epoch-day breaks
+    # ties): epoch days stay < 1e5 for any realistic date, so the
+    # packing is collision-free. DuckDB's arg_max takes scalar keys
+    # only, hence the packed form on both sides.
+    key = F.col("n") * 100000 + F.datediff(
+        F.col("day"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return daily.groupBy("priority").agg(
+        F.max_by(F.col("day"), key).alias("peak_day"),
+        F.max("n").alias("peak_orders"),
+    )
+
+
+@query(
+    "customer_order_gap_stats",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         date_diff('day', o_orderdate,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey))
+           AS gap_days
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap
+FROM seq WHERE gap_days IS NOT NULL
+""",
+)
+def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() coverage + inter-arrival profile: the gap in days between
+    consecutive orders of the same customer, aggregated corpus-wide.
+    One window shuffle on custkey (deterministic sibling order via
+    orderkey tie-break), then a global single-row aggregate of exact
+    integer day gaps — the mean divides two exact integers once."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.lead(F.col("o_orderdate")).over(w), F.col("o_orderdate")
+    ).cast("long")
+    seq = o.select(gap.alias("gap_days")).where(F.col("gap_days").isNotNull())
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        r6(F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
+            "mean_gap_days"
+        ),
+        F.min("gap_days").alias("min_gap"),
+        F.max("gap_days").alias("max_gap"),
+    )
