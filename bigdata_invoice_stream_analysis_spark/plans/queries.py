@@ -2627,3 +2627,142 @@ def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").alias("min_gap"),
         F.max("gap_days").alias("max_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: driver-graded STREAMING correctness — the windowed aggregation runs
+# as a real Structured Streaming drain (file source → watermark →
+# sliding window → update-mode foreachBatch) and the accumulated result
+# is gated against the same batch SQL every other query uses. This
+# closes the "streaming untested by driver" gap: the state store,
+# watermark bookkeeping, and micro-batch planner are in the graded path.
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_error_windows",
+    oracle="""
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(window_start + INTERVAL 8 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_errors
+FROM (
+  SELECT time_bucket(INTERVAL 1 MINUTE, ts) - k * INTERVAL 1 MINUTE AS window_start
+  FROM events, generate_series(0, 7) AS t(k)
+  WHERE event_type = 'error'
+)
+GROUP BY window_start
+""",
+)
+def q_streaming_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 under the driver gate: 8-min/1-min sliding error counts
+    computed BY THE STREAMING ENGINE — parquet file-source stream,
+    1-minute event-time watermark, update-mode drain through
+    foreachBatch, last emitted value per window wins (update mode
+    re-emits a window whenever a batch changes it, so after an
+    availableNow drain the accumulated map equals the batch answer —
+    append mode would hold back every window newer than the final
+    watermark). The oracle is plain batch SQL: the gate proves the
+    state store + watermark machinery reproduce the declarative
+    semantics byte-for-byte. Schema/timestamp handling mirrors
+    load_table (NTZ → session-UTC timestamp; nanos → micros)."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        # file source wants a directory; the glob filter selects just
+        # the events table out of the shared sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for col, dtype in stream.dtypes:
+        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) round
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif col == "ts" and dtype.startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "8 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_errors",
+        )
+    )
+    acc: dict[str, tuple[str, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["window_start"]] = (r["window_end"], r["n_errors"])
+
+    ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
+    rows = [(ws, we, int(n)) for ws, (we, n) in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "window_start string, window_end string, n_errors long"
+    )
+
+
+@query(
+    "streaming_user_totals",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A4 under the driver gate: unbounded keyed running totals
+    maintained by the streaming state store (update mode, no
+    watermark — state lives forever, the reference's updateStateByKey
+    semantic) and drained to a final snapshot that must hash-match the
+    batch GROUP BY. Exercises keyed state persistence + incremental
+    merge in the graded path; money stays in exact integer cents
+    inside the state."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    acc: dict[int, tuple[int, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["user_id"]] = (r["n_events"], r["value_cents"])
+
+    ckpt = tempfile.mkdtemp(prefix="stream_totals_ckpt_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
+    rows = [(int(u), int(n), int(c)) for u, (n, c) in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, value_cents long"
+    )

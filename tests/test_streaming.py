@@ -417,26 +417,43 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     IS counted."""
     d = tmp_path / "chunks"
     d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    batches: list = []
+
+    def drain():
+        # One availableNow drain per arrival, all sharing a checkpoint:
+        # the watermark persists across restarts, and each drain sees
+        # only files added since the last — a DETERMINISTIC arrival
+        # order. (The file source's initial-listing order across
+        # already-present files is not mtime/path-deterministic; the
+        # single-dir form of this test flaked when the "late" chunk
+        # happened to be listed first, before any watermark existed.)
+        lines = file_lines_source(spark, str(d), max_files_per_trigger=1)
+        counts = P.cancellation_counts(
+            lines, window="8 minutes", slide="1 minute", watermark="1 minute",
+            time_mode="event",
+        )
+        batches.extend(run_collect(
+            spark, counts, output_mode="append", checkpoint=ckpt
+        ))
+
     (d / "chunk-000000.txt").write_text(
         "\n".join([
             line("C1", 1, "1/4/2011 9:00", "1.0"),
             line("10", 1, "1/4/2011 12:00", "1.0"),  # watermark -> ~11:59
         ]) + "\n"
     )
+    drain()
     (d / "chunk-000001.txt").write_text(
         # 9:05 is hours behind the 1-minute watermark: must be dropped.
         line("C2", 1, "1/4/2011 9:05", "1.0") + "\n"
     )
+    drain()
     (d / "chunk-000002.txt").write_text(
         # pushes the watermark further so every window finalizes
         line("11", 1, "1/4/2011 23:00", "1.0") + "\n"
     )
-    lines = file_lines_source(spark, str(d), max_files_per_trigger=1)
-    counts = P.cancellation_counts(
-        lines, window="8 minutes", slide="1 minute", watermark="1 minute",
-        time_mode="event",
-    )
-    batches = run_collect(spark, counts, output_mode="append")
+    drain()
     windows = {
         (r.window_start.strftime("%H:%M"), r.n_cancelled)
         for _, bat in batches for r in bat
