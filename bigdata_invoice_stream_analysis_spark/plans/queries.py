@@ -2766,3 +2766,65 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id long, n_events long, value_cents long"
     )
+
+
+@query(
+    "streaming_dedup_fingerprints",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dropped
+FROM (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 13 = 0
+)
+""",
+)
+def q_streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (dedup) under the streaming gate: documents plus verbatim
+    copies of every 13th doc flow through dropDuplicates on the
+    content digest — the state store holds one entry per fingerprint
+    and suppresses cross-batch redeliveries. The drain counts
+    survivors; together with the input count the gate pins exactly how
+    many duplicates the STATE deduplicated (which doc survives is
+    arrival-order-dependent, so the gate asserts the deterministic
+    aggregate, not survivor identity — same contract a replayed Kafka
+    topic gives you)."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    dup = stream.filter(F.col("doc_id") % 13 == 0)
+    all_docs = stream.unionByName(dup).select(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
+    )
+    deduped = all_docs.dropDuplicates(["fp"])
+    acc: dict[str, bool] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["fp"]] = True
+
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
+    total = load_table(spark, sf_dir, "documents")
+    n_docs = total.count() + total.filter(F.col("doc_id") % 13 == 0).count()
+    n_unique = len(acc)
+    return spark.createDataFrame(
+        [(n_docs, n_unique, n_docs - n_unique)],
+        "n_docs long, n_unique long, n_dropped long",
+    )

@@ -246,3 +246,121 @@ def test_split_partition_and_stability(spark, keys):
     assert a == b
     assert set(a.values()) <= {"train", "val", "test"}
     assert len(a) == len(keys)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operators vs pure-Python models
+# ---------------------------------------------------------------------------
+
+activity = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 20)),  # (user, day_index)
+    min_size=1,
+    max_size=60,
+)
+
+
+@SETTINGS
+@given(activity)
+def test_rolling_active_users_matches_python_model(spark, acts):
+    """7-day rolling distinct users == brute-force set arithmetic."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (u, datetime.datetime(2024, 1, 1 + d, 12, 0))
+        for u, d in acts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    au = df.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    cover = (
+        au.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day"
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("i")).alias("cover_day"))
+        .distinct()
+    )
+    days = df.select(F.col("ts").cast("date").alias("day")).distinct()
+    got = {
+        (r["day"].isoformat(), r["n"])
+        for r in days.join(cover, days.day == cover.cover_day)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # Python model
+    by_day: dict[int, set] = {}
+    for u, d in acts:
+        by_day.setdefault(d, set()).add(u)
+    want = set()
+    for d in by_day:
+        active = set()
+        for back in range(7):
+            active |= by_day.get(d - back, set())
+        want.add(((base + datetime.timedelta(days=d)).isoformat(), len(active)))
+    assert got == want
+
+
+events_seq = st.lists(
+    st.tuples(
+        st.integers(0, 4),                      # user
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+        st.integers(0, 100),                    # minute offset
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@SETTINGS
+@given(events_seq)
+def test_funnel_counts_match_python_model(spark, evs):
+    """Ordered funnel counts == per-user first-occurrence chain walk
+    (and are monotone non-increasing by construction)."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + datetime.timedelta(minutes=m), i)
+        for i, (u, t, m) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    s1 = df.select("user_id", "ts", "event_type", t1.alias("t1"))
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    s2 = s1.select("*", t2.alias("t2"))
+    t3 = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+    ).over(w)
+    s3 = s2.select("*", t3.alias("t3"))
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    row = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    ).first()
+    # Python model
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t, m in evs:
+        per[u].append((m, t))
+    n1 = n2 = n3 = 0
+    for u, items in per.items():
+        items.sort()
+        ts_signup = min((m for m, t in items if t == "signup"), default=None)
+        if ts_signup is None:
+            continue
+        n1 += 1
+        ts_click = min((m for m, t in items if t == "click" and m > ts_signup), default=None)
+        if ts_click is None:
+            continue
+        n2 += 1
+        if any(t == "purchase" and m > ts_click for m, t in items):
+            n3 += 1
+    assert (row["n1"], row["n2"], row["n3"]) == (n1, n2, n3)
+    assert row["n1"] >= row["n2"] >= row["n3"]
