@@ -2828,3 +2828,85 @@ def q_streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
         [(n_docs, n_unique, n_docs - n_unique)],
         "n_docs long, n_unique long, n_dropped long",
     )
+
+
+@query(
+    "streaming_error_purchase_join",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = e.user_id
+ AND p.ts > e.ts
+ AND p.ts <= e.ts + INTERVAL 10 MINUTE
+""",
+)
+def q_streaming_error_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join under the driver gate: purchases
+    within 10 minutes after an error by the same user, both sides real
+    streams with event-time watermarks, the time-range condition
+    bounding join state (each side retains only rows younger than
+    watermark + interval — the property that keeps state finite on an
+    unbounded stream). Inner-join matches emit as soon as both sides
+    arrive; the drain accumulates (error, purchase) pair identities so
+    a replayed batch cannot double-count. The oracle is the plain
+    batch interval join — the gate proves the streaming join planner
+    and state manager reproduce relational semantics exactly."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(evt: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        for col, dtype in s.dtypes:
+            if col == "ts" and dtype == "bigint":
+                s = s.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            elif col == "ts" and dtype.startswith("timestamp_ntz"):
+                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.filter(F.col("event_type") == evt)
+            .select("user_id", "event_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+
+    e = side("error").withColumnsRenamed(
+        {"event_id": "e_id", "ts": "e_ts", "user_id": "e_user"}
+    )
+    p = side("purchase").withColumnsRenamed(
+        {"event_id": "p_id", "ts": "p_ts", "user_id": "p_user"}
+    )
+    joined = e.join(
+        p,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("e_user", "e_id", "p_id")
+    pairs: set[tuple[int, int]] = set()
+    users: set[int] = set()
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            pairs.add((r["e_id"], r["p_id"]))
+            users.add(r["e_user"])
+
+    ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
+    return spark.createDataFrame(
+        [(len(pairs), len(users))], "n_pairs long, n_users long"
+    )
