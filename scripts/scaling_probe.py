@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Scaling probe: times key operators at sf0.01, sf0.1, and a synthetic
+5x-sf0.1 corpus (five id-shifted copies unioned in-memory), printing
+the growth factor per decade of data. A sub-quadratic operator should
+scale ~linearly in rows; anything super-linear beyond the log factors
+flags a scale hazard long before a cluster run would.
+
+Usage: python scripts/scaling_probe.py [sf_dir_small sf_dir_big]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.cache import release_caches
+from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
+from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
+from bigdata_invoice_stream_analysis_spark.session import get_spark
+from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
+
+
+def docs_x(spark, sf_dir, mult=1):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if mult == 1:
+        return d
+    parts = [
+        d.select((F.col("doc_id") + 10_000_000 * i).alias("doc_id"), "text")
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def vecs_x(spark, sf_dir, mult=1):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", SIM.quantize(F.col("embedding")).alias("qv")
+    )
+    if mult == 1:
+        return e
+    parts = [
+        e.select((F.col("vec_id") + 10_000_000 * i).alias("vec_id"), "qv")
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    n = fn()
+    return time.perf_counter() - t0, n
+
+
+def main():
+    small = sys.argv[1] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    probes = {
+        "minhash_lsh_pairs": lambda corpus: DD.minhash_lsh_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.2
+        ).count(),
+        "exact_dedup": lambda corpus: DD.exact_dup_groups(
+            corpus, "doc_id", "text"
+        ).count(),
+        "simhash_pairs": lambda corpus: DD.simhash_pairs(
+            corpus, "doc_id", "text"
+        ).count(),
+    }
+    vec_probes = {
+        "sign_lsh_pairs": lambda vecs: SIM.sign_lsh_pairs(
+            vecs, id_col="vec_id", vec_col="qv", threshold=0.99, quantized=True
+        ).count(),
+    }
+
+    tiers = [("sf0.01", small, 1), ("sf0.1", big, 1), ("sf0.1 x5", big, 5)]
+    # warm JIT on the small tier first (untimed)
+    for name, fn in probes.items():
+        fn(docs_x(spark, small))
+        release_caches()
+    for name, fn in vec_probes.items():
+        fn(vecs_x(spark, small))
+        release_caches()
+
+    print(f"{'operator':<20} " + " ".join(f"{t[0]:>12}" for t in tiers) + "   growth/decade")
+    for name, fn in probes.items():
+        times = []
+        for _, d, m in tiers:
+            dt, n = timed(lambda: fn(docs_x(spark, d, m)))
+            release_caches()
+            times.append(dt)
+        growth = times[1] / times[0] if times[0] else float("inf")
+        print(
+            f"{name:<20} " + " ".join(f"{t:>10.2f}s" for t in times)
+            + f"   {growth:>6.1f}x per 10x rows, {times[2]/times[1]:.1f}x per 5x"
+        )
+    for name, fn in vec_probes.items():
+        times = []
+        for _, d, m in tiers:
+            dt, n = timed(lambda: fn(vecs_x(spark, d, m)))
+            release_caches()
+            times.append(dt)
+        print(
+            f"{name:<20} " + " ".join(f"{t:>10.2f}s" for t in times)
+            + f"   {times[1]/times[0]:>6.1f}x per 10x rows, {times[2]/times[1]:.1f}x per 5x"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
