@@ -1951,3 +1951,56 @@ def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("max_chunk"),
         F.min("n_bytes").alias("tail_chunk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDAF (grouped-agg pandas_udf) surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "udaf_segment_weighted_balance",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                      * (c_custkey % 10 + 1)) AS DOUBLE)
+             / (100.0 * SUM(c_custkey % 10 + 1)), 6) AS weighted_balance,
+       CAST(SUM(c_custkey % 10 + 1) AS BIGINT) AS total_weight
+FROM customer GROUP BY 1
+""",
+)
+def q_udaf_segment_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDAF surface: a GROUPED_AGG pandas_udf computing a
+    weighted mean per segment — the Arrow aggregate escape hatch for
+    logic the built-ins can't express (here they could; the gate is
+    about proving the surface is exact). Determinism inside the UDAF
+    follows the repo convention transplanted into numpy: sum int64
+    cents and int64 weights exactly, divide ONCE per group — numpy
+    int64 sums are order-free, so partition order can't move the hash.
+    The plan is a real partial-agg shape: Spark ships Arrow batches
+    per group to one python worker per task, not per group."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        (F.col("c_custkey") % 10 + 1).cast("long").alias("weight"),
+    )
+
+    # functionType passed explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies the type
+    # hints pandas_udf would otherwise infer GROUPED_AGG from.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(bal_cents: pd.Series, weight: pd.Series) -> float:
+        num = int((bal_cents * weight).sum())
+        den = int(weight.sum())
+        return round(num / (100.0 * den), 6)
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def wsum(weight: pd.Series) -> int:
+        return int(weight.sum())
+
+    return c.groupBy("segment").agg(
+        wmean(F.col("bal_cents"), F.col("weight")).alias("weighted_balance"),
+        wsum(F.col("weight")).alias("total_weight"),
+    )
