@@ -2910,3 +2910,41 @@ def q_streaming_error_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         [(len(pairs), len(users))], "n_pairs long, n_users long"
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0, 6)
+         AS potential_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue impact of dropping a discount band —
+    the purest predicate-pushdown query (no join, no group key, three
+    range predicates that all reach the parquet scan for row-group
+    min/max skipping, then ONE global integer sum). At 100 TB this is
+    the query that proves the scan layer: with shipdate-partitioned
+    or sorted data the year predicate prunes ~6/7 of all files before
+    a byte is read. Discount equality on the e-2 grid is exact
+    (integer cents of discount)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.year("l_shipdate") == 1997)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            r6(F.sum(cents * disc_c) / 10000.0).alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
