@@ -2004,3 +2004,138 @@ def q_udaf_segment_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFra
         wmean(F.col("bal_cents"), F.col("weight")).alias("weighted_balance"),
         wsum(F.col("weight")).alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-path twins: star-contraction components, Bloom-prefiltered
+# contamination, BPE merge-pair statistics
+# ---------------------------------------------------------------------------
+
+@query("dedup_components_star", oracle=_sql_components())
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-star/small-star twin of dedup_components: same
+    MinHash-LSH edge graph, same recursive-CTE oracle, but components
+    are contracted in O(log²n) rounds instead of diameter rounds
+    (operators/dedup.connected_components_star). Near-dup graphs are
+    shallow, so BOTH paths are cheap here — gating the star variant
+    keeps the deep-graph upgrade path under per-round regression
+    signal, exactly as VERDICT r01 asked for the other scale twins."""
+    edges = DD.minhash_lsh_pairs(
+        docs_neardup(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    ).select("id_a", "id_b")
+    comps = DD.connected_components_star(edges, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component_id"),
+    )
+
+
+@query(
+    "split_contamination_bloom",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {SAMPLING.sql_split_case("doc_id")} AS split, text
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, split,
+         unnest(list_distinct({TX.sql_shingle_hashes("text", n=3)})) AS h
+  FROM d
+),
+train_h AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+test AS (SELECT doc_id, h FROM sh WHERE split = 'test')
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(th.h) AS BIGINT) AS n_shared,
+       ROUND(COUNT(th.h) * 1.0 / COUNT(*), 6) AS contamination
+FROM test t LEFT JOIN train_h th ON t.h = th.h
+GROUP BY t.doc_id
+""",
+)
+def q_split_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_contamination with the documented Bloom pre-filter made
+    real (operators/bloom.py): the train split's distinct shingle set
+    aggregates into a 32 KB bitmap table (ONE bit_or hash-agg,
+    broadcastable at any train size), every test shingle probes it with
+    two integer hashes in codegen, and only might-contain survivors
+    enter the exact h-keyed join. No false negatives ⇒ the result is
+    IDENTICAL to the exact query (same oracle gates both); the win at
+    100 TB is that the big shuffle's probe side shrinks to the
+    contaminated fraction (plus ~1/2¹⁸-scale false positives) instead
+    of every test shingle crossing the wire."""
+    from bigdata_invoice_stream_analysis_spark.operators import bloom as BLOOM
+
+    d = SAMPLING.with_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = d.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(TX.shingle_hashes(F.col("text"), n=3))
+        ).alias("h"),
+    )
+    train_h = sh.filter(F.col("split") == "train").select("h").distinct()
+    bitmap = BLOOM.build_bitmap(train_h, "h")
+    test = sh.filter(F.col("split") == "test").select("doc_id", "h")
+    flagged = BLOOM.with_might_contain(test, bitmap, "h")
+    maybe = flagged.filter(F.col("might_contain")).join(
+        train_h.withColumn("hit", F.lit(1)), "h", "left"
+    ).select("doc_id", "hit")
+    definite_miss = flagged.filter(~F.col("might_contain")).select(
+        "doc_id", F.lit(None).cast("int").alias("hit")
+    )
+    return (
+        maybe.unionAll(definite_miss)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+),
+pairs AS (
+  SELECT t[s.i] AS tok_a, t[s.i + 1] AS tok_b
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+)
+SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2
+ORDER BY n_pairs DESC, tok_a, tok_b
+LIMIT 20
+""",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of a BPE/WordPiece tokenizer build: corpus-wide
+    adjacent-pair frequencies, top-20 merge candidates (count DESC,
+    then lexicographic — fully deterministic). The bigram construction
+    is two array slices zipped per row (codegen, no shuffle until the
+    count); the pair count partial-aggregates map-side and the top-20
+    is TakeOrderedAndProject. At 100 TB this is exactly the repeated
+    inner loop of tokenizer training, so the shuffle carries (pair,
+    partial count) — vocabulary-cardinality, not corpus-cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokenize(F.col("text"))
+    npairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, npairs).alias("a"), F.slice(toks, 2, npairs).alias("b")
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
+        .limit(20)
+    )

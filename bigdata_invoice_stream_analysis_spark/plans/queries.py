@@ -2948,3 +2948,546 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q: second batch of classic warehouse shapes (TPC-H Q2/Q4/Q5/Q7/Q9/Q13/
+# Q16/Q17/Q18/Q21/Q22 adapted to the driver star schema — no partsupp /
+# commitdate columns exist, so each query keeps the SHAPE that matters
+# at scale: correlated mins, EXISTS rewrites, same-key co-location,
+# aggregate-rewritten anti-joins). Money stays in exact integer cents /
+# 1e-4 dollars (q_pricing_summary convention).
+# ---------------------------------------------------------------------------
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT))
+           AS unit_cents
+  FROM lineitem GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey AS part_key,
+         MIN({'uc': unit_cents, 'sk': l_suppkey}) AS b
+  FROM unit GROUP BY 1
+)
+SELECT p.p_partkey AS part_key, p.p_name AS part_name,
+       s.s_name AS supplier_name,
+       ROUND(b.uc / 100.0, 6) AS min_unit_price
+FROM best
+JOIN part p ON p.p_partkey = best.part_key
+JOIN supplier s ON s.s_suppkey = b.sk
+WHERE p.p_size <= 10
+""",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier for every small part — the
+    correlated-min-subquery pattern, rewritten as two ALGEBRAIC
+    aggregations instead of a rank window or re-join against a min
+    subquery: (part,supp) → min unit price, then part → struct-min of
+    (price, suppkey), which partial-aggregates map-side so exactly one
+    row per part crosses each shuffle and ties break to the lowest
+    suppkey inside the aggregate. The size predicate prunes the part
+    dim BEFORE its broadcast join. Unit price = extendedprice/quantity
+    in rounded cents (IEEE division is correctly rounded, so both
+    engines compute identical integers)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    unit_cents = F.round(
+        F.col("l_extendedprice") * 100 / F.col("l_quantity")
+    ).cast("long")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit_cents).alias("unit_cents")
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.min(
+            F.struct(F.col("unit_cents"), F.col("l_suppkey").alias("supp"))
+        ).alias("b")
+    )
+    return (
+        best.join(F.broadcast(p), F.col("part_key") == p.p_partkey)
+        .join(F.broadcast(s), F.col("b.supp") == s.s_suppkey)
+        .select(
+            "part_key",
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            r6(F.col("b.unit_cents") / 100.0).alias("min_unit_price"),
+        )
+    )
+
+
+@query(
+    "priority_return_orders",
+    oracle="""
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXTRACT(year FROM o.o_orderdate) = 1997
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+""",
+)
+def q_priority_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one year) having at least one returned
+    line, counted per priority. The EXISTS runs as a LEFT-SEMI join on
+    orderkey — the returnflag filter shrinks the probe side before the
+    shuffle and the semi join carries NO lineitem payload, only the
+    key. At 100 TB both sides bucket on orderkey for a zero-shuffle
+    semi join; the year predicate prunes the orders scan."""
+    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where the customer and the line's
+    supplier sit in the SAME nation, per nation of one region. The
+    same-nation constraint is the interesting bit: it is enforced as an
+    extra equi-condition on the supplier broadcast join (suppkey AND
+    nationkey), not a post-filter, so ineligible rows never survive the
+    join. Join order: lineitem ⋈ orders shuffles on orderkey (the two
+    big tables — bucket candidates), everything else broadcasts."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    cn = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey)
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            r6(rev_e4 / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "nation_trade_flows",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE sn.n_nationkey != cn.n_nationkey
+  AND sn.n_nationkey < 4 AND cn.n_nationkey < 4
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume between nation pairs
+    by ship year. Both nation lookups broadcast (a nation dim joined
+    TWICE under different roles — the aliased-dimension pattern); the
+    nation-subset predicates apply to the broadcast sides so the big
+    fact rows for out-of-scope nations drop at the join, and the
+    cross-border inequality compares the two joined keys directly.
+    One hash agg on the (supp, cust, year) composite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 4)
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .where(F.col("snk") != F.col("cnk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(r6(rev_e4 / 10000.0).alias("volume"))
+    )
+
+
+@query(
+    "product_type_profit",
+    oracle="""
+SELECT n.n_name AS nation_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+                 - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(ROUND(l.l_quantity) AS BIGINT) * 20)
+             / 10000.0, 6) AS profit
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product family per supplier nation
+    and order year. The schema has no partsupp.ps_supplycost, so cost
+    is proxied as 20% of retail price × quantity — the SHAPE (fact ⋈
+    2 big-ish dims ⋈ 2 tiny dims, LIKE predicate pruning the part dim
+    before its broadcast, revenue-minus-cost inside one aggregate
+    expression) is what carries. All terms are integer 1e-4 dollars:
+    retail cents × integral quantity × 20 == e4-scale cost."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+        * 20
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(r6(amount_e4 / 10000.0).alias("profit"))
+    )
+
+
+@query(
+    "customer_urgent_order_counts",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+  GROUP BY 1
+)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY 1
+""",
+)
+def q_customer_urgent_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    urgent orders they placed — INCLUDING the zero bucket, which is
+    what forces the outer join (an inner join would silently drop
+    customers with no urgent orders). Plan: filter orders to the
+    priority class first (predicate pushdown), LEFT join customer →
+    orders on custkey, count the non-null side, then a second tiny agg
+    over the counts. count(o_orderkey) counts only matched rows —
+    the outer-join-aware aggregate."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "part_supplier_variety",
+    oracle="""
+SELECT p.p_brand AS brand, CAST(p.p_size AS INT) AS part_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type != 'PROMO' AND p.p_size <= 15
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""",
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, size) part family, excluding a supplier denylist (negative
+    account balance stands in for the 'customer complaints' predicate).
+    The NOT IN runs as a broadcast LEFT-ANTI join — the denylist is a
+    filtered dim, never a collected list — and the distinct count
+    shuffles (brand, size, suppkey) partials, not raw lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 15)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").cast("int").alias("part_size"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "small_qty_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qsum,
+         CAST(COUNT(*) AS BIGINT) AS qcnt
+  FROM lineitem GROUP BY 1
+)
+SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 6)
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * 5 * pa.qcnt < pa.qsum
+""",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders of one
+    brand — the correlated per-part average, computed as ONE grouped
+    aggregate over lineitem joined back to the fact. The classic trap
+    is comparing against a floating avg; here the predicate
+    qty < 0.2·avg(qty) is cross-multiplied into exact integers
+    (5·qty·count < sum), so both engines agree on every boundary row.
+    The per-part aggregate is itself brand-prunable at scale by
+    semi-joining the filtered part dim first; at test SF the plain
+    grouped agg is cheaper than two passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(qty).alias("qsum"), F.count(F.lit(1)).alias("qcnt")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .where(qty * 5 * F.col("qcnt") < F.col("qsum"))
+        .agg(
+            r6(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
+)
+SELECT c.c_name AS customer_name, CAST(o.o_custkey AS BIGINT) AS cust_key,
+       CAST(o.o_orderkey AS BIGINT) AS order_key, o.o_orderdate AS order_date,
+       ROUND(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) / 100.0, 6)
+         AS total_price,
+       CAST(big.total_qty AS BIGINT) AS total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, order_key
+LIMIT 20
+""",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the very largest orders (total
+    quantity > 300). The HAVING subquery is a pre-aggregation on the
+    FACT's own join key, so the orders join happens against the tiny
+    qualifying set (push the reduction below the join, never join raw
+    lineitem to orders first). Top-20 runs as TakeOrderedAndProject;
+    ties break on order key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select(
+            F.col("c_name").alias("customer_name"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            r6(F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias(
+                "total_price"
+            ),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "sole_fault_supplier",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_r_supps,
+         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS fault_supp
+  FROM lineitem GROUP BY 1
+)
+SELECT s.s_name AS supplier_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order po
+JOIN supplier s ON s.s_suppkey = po.fault_supp
+WHERE po.n_supps > 1 AND po.n_r_supps = 1
+GROUP BY 1
+ORDER BY n_orders DESC, supplier_name
+LIMIT 10
+""",
+)
+def q_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in multi-supplier orders, the supplier who was
+    the ONLY one with returned lines — Q21's EXISTS/NOT-EXISTS double
+    correlation rewritten as a single grouped aggregate per order
+    (distinct suppliers, distinct at-fault suppliers, and — because the
+    at-fault supplier is unique exactly when n_r_supps=1 — a MAX that
+    recovers their key in the same pass). One shuffle on orderkey
+    replaces two correlated self-joins of the biggest table; this
+    rewrite is THE scale move for multi-EXISTS correlation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(r_supp).alias("n_r_supps"),
+        F.max(r_supp).alias("fault_supp"),
+    )
+    return (
+        per_order.where((F.col("n_supps") > 1) & (F.col("n_r_supps") == 1))
+        .join(F.broadcast(s), F.col("fault_supp") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "supplier_name")
+        .limit(10)
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+WITH stats AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_sum,
+         COUNT(*) AS bal_cnt
+  FROM customer WHERE c_acctbal > 0
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+)
+SELECT n.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0, 6)
+         AS total_balance
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN stats
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * stats.bal_cnt > stats.bal_sum
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+""",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, profiled per nation. Three scale moves: the global average
+    is a 1-row aggregate broadcast back (never a driver collect); the
+    above-average predicate is cross-multiplied into exact integer
+    cents (bal·count > sum — no float avg on the comparison boundary);
+    and the 'no recent orders' NOT IN is a LEFT-ANTI join against the
+    date-pruned, pre-distinct custkey projection of orders."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey").distinct()
+    return (
+        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(stats))
+        .where(cents * F.col("bal_cnt") > F.col("bal_sum"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r6(F.sum(cents) / 100.0).alias("total_balance"),
+        )
+    )

@@ -134,3 +134,21 @@ def test_simhash_pairs(corpus):
 def test_simhash_pairs_rejects_lossy_threshold(corpus):
     with pytest.raises(ValueError):
         DD.simhash_pairs(corpus, "doc_id", "text", max_hamming=5)
+
+
+def test_star_cc_deep_chain_few_rounds(spark):
+    """A 64-node path graph has diameter 63 — min-label propagation
+    would need ~63 rounds, but star contraction must finish well inside
+    its default 20-round budget (O(log² n)) and label every node with
+    the chain head."""
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in DD.connected_components_star(df).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_star_cc_handles_self_loops_and_isolated_pairs(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (9, 7)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in DD.connected_components_star(df).collect()}
+    assert got == {5: 5, 1: 1, 2: 1, 7: 7, 9: 7}

@@ -101,3 +101,25 @@ def test_hash_sample_is_subset_consistent(spark):
 def test_split_thresholds_hex():
     t1, t2 = split_thresholds(0.8, 0.1)
     assert (t1, t2) == ("cccc", "e666")
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom membership: every inserted key passes (no false
+    negatives — the property that makes it a safe join pre-filter),
+    and a disjoint probe set is mostly pruned (the 256 Kbit / k=2
+    configuration keeps false positives rare at small n)."""
+    from bigdata_invoice_stream_analysis_spark.operators import bloom as BLOOM
+
+    build = spark.range(0, 500).select(F.col("id").alias("k"))
+    bitmap = BLOOM.build_bitmap(build, "k")
+    assert bitmap.count() <= BLOOM.N_BITS_DEFAULT // 64
+
+    probe_in = spark.range(0, 500).select(F.col("id").alias("k"))
+    flags_in = BLOOM.with_might_contain(probe_in, bitmap, "k").collect()
+    assert all(r.might_contain for r in flags_in)
+
+    probe_out = spark.range(10_000, 11_000).select(F.col("id").alias("k"))
+    flags_out = BLOOM.with_might_contain(probe_out, bitmap, "k")
+    n_fp = flags_out.filter(F.col("might_contain")).count()
+    # 1000 keys × 2 hashes against 1000/262144 fill — expected FPs ≪ 10
+    assert n_fp < 25

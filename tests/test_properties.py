@@ -191,16 +191,21 @@ edge_lists = st.lists(
 )
 
 
+@pytest.mark.parametrize("impl", ["propagation", "star"])
 @SETTINGS
 @given(edge_lists)
-def test_connected_components_match_union_find(spark, edges):
-    """Min-label propagation must produce exactly the components a
-    driver-side union-find computes — including self-loops, duplicate
-    edges, and chains longer than the seeded first round."""
+def test_connected_components_match_union_find(spark, impl, edges):
+    """Both component implementations — min-label propagation AND
+    large-star/small-star contraction — must produce exactly the
+    components a driver-side union-find computes, including
+    self-loops, duplicate edges, and chains longer than the seeded
+    first round."""
     from bigdata_invoice_stream_analysis_spark.operators.dedup import (
         connected_components,
+        connected_components_star,
     )
 
+    cc = connected_components if impl == "propagation" else connected_components_star
     parent: dict[int, int] = {}
 
     def find(x):
@@ -222,7 +227,7 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
         r.node: r.component
-        for r in connected_components(df, "id_a", "id_b").collect()
+        for r in cc(df, "id_a", "id_b").collect()
     }
     assert got == want
 
