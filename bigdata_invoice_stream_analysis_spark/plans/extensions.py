@@ -2139,3 +2139,215 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-adjacent pipeline ops: OOV audit, sequence packing,
+# Gram matrix + top principal component
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 50
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ORDER BY cnt DESC, token ASC LIMIT {VOCAB_K}
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) - COUNT(v.token) AS BIGINT) AS n_oov,
+       ROUND((COUNT(*) - COUNT(v.token)) * 1.0 / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.token = t.token
+GROUP BY 1
+""",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: build the top-{VOCAB_K} token vocabulary
+    (count DESC, token ASC — deterministic at the cut), then score every
+    document's OOV token fraction against it. The vocabulary is
+    corpus-reduced to K rows (TakeOrderedAndProject) and broadcast back
+    — the two-phase shape of every tokenizer-coverage / UNK-rate check
+    before an LLM training run. The per-doc pass joins exploded tokens
+    against the broadcast vocab; counts are exact integers, the rate
+    divides once per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("in_vocab")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS n_tok FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tok,
+         CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok)
+              // {SEQ_BUDGET} AS BIGINT) AS seq_id
+  FROM sized
+)
+SELECT source, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed GROUP BY 1, 2
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are laid
+    end-to-end per source in doc_id order and cut into {SEQ_BUDGET}-token
+    sequences — a doc belongs to the sequence its STARTING offset falls
+    in, i.e. seq_id = (running_sum - own_len) / budget. One running-sum
+    window per source (a single shuffle keyed by source; at 100 TB the
+    partition key widens to (source, shard) so no one source serializes)
+    and one hash-agg profiling each packed sequence. Exact integer token
+    offsets — both engines agree on every chunk boundary."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(TX.tokenize(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / SEQ_BUDGET).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_EMB_N = _EMB_DIM * (_EMB_DIM + 1) // 2  # upper-triangle size
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+WITH qv AS (
+  SELECT {SIM.SQL_QUANTIZE.format(v="embedding")} AS qv FROM embeddings
+)
+SELECT CAST(s1.i AS INT) AS dim_i, CAST(s2.j AS INT) AS dim_j,
+       CAST(SUM(qv[s1.i] * qv[s2.j]) AS BIGINT) AS gram
+FROM qv,
+     UNNEST(generate_series(1, {_EMB_DIM})) AS s1(i),
+     UNNEST(generate_series(1, {_EMB_DIM})) AS s2(j)
+WHERE s2.j >= s1.i
+GROUP BY 1, 2
+""",
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus Gram matrix XᵀX (upper triangle, exact integer sums
+    on the 1e-4 grid) — ONE pass over the embeddings computes the
+    {_EMB_DIM}×{_EMB_DIM} sufficient statistic behind PCA, whitening, ridge
+    regression, and covariance diagnostics. Per row the upper-triangle
+    products are a nested array transform (codegen, {_EMB_N} values),
+    posexplode + one hash-agg on the flat pair index reduces them;
+    (i, j) labels come from a broadcast literal mapping. The shuffle
+    carries at most {_EMB_N} × n_partitions partial sums no matter how
+    many vectors exist — the reduction every distributed linear-algebra
+    pass wants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(SIM.quantize(F.col("embedding")).alias("qv"))
+    # upper-triangle products flattened in row-major (i, j>=i) order
+    prods = F.flatten(
+        F.transform(
+            F.col("qv"),
+            lambda x, i: F.transform(
+                F.slice(F.col("qv"), i + 1, F.lit(_EMB_DIM) - i), lambda y: x * y
+            ),
+        )
+    )
+    flat = qv.select(F.posexplode(prods).alias("pos", "prod"))
+    sums = flat.groupBy("pos").agg(F.sum("prod").alias("gram"))
+    spark_ = emb.sparkSession
+    mapping = [
+        (i * _EMB_DIM - i * (i - 1) // 2 + (j - i), i + 1, j + 1)
+        for i in range(_EMB_DIM)
+        for j in range(i, _EMB_DIM)
+    ]
+    mdf = spark_.createDataFrame(mapping, "pos int, dim_i int, dim_j int")
+    return sums.join(F.broadcast(mdf), "pos").select("dim_i", "dim_j", "gram")
+
+
+@query("embedding_top_pc")
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration on the Gram matrix: the DATA pass is the single
+    Gram-reduction above (exact integers), the ITERATION runs on the
+    driver over the tiny {_EMB_DIM}×{_EMB_DIM} matrix (the sanctioned
+    driver pull — same size class as an IVF codebook). 300 fixed
+    iterations from the all-ones start (the corpus is random-ish, so
+    the eigengap is small — convergence ∝ (λ₂/λ₁)ᵗ ≈ 0.885ᵗ here;
+    300 rounds of a 64×64 matvec are microseconds), sign fixed by the first
+    nonzero component; integer inputs ⇒ bit-deterministic floats.
+    Iterative linear algebra has no SQL oracle (rows-only gate, like
+    the kmeans family)."""
+    gram_rows = q_embedding_gram_matrix(spark, sf_dir).collect()
+    g = [[0.0] * _EMB_DIM for _ in range(_EMB_DIM)]
+    for r in gram_rows:
+        g[r.dim_i - 1][r.dim_j - 1] = float(r.gram)
+        g[r.dim_j - 1][r.dim_i - 1] = float(r.gram)
+    v = [1.0] * _EMB_DIM
+    eig = 0.0
+    for _ in range(300):
+        w = [sum(g[i][k] * v[k] for k in range(_EMB_DIM)) for i in range(_EMB_DIM)]
+        nrm = sum(x * x for x in w) ** 0.5
+        if nrm == 0.0:
+            break
+        v = [x / nrm for x in w]
+        eig = nrm
+    sign = 1.0
+    for x in v:
+        if x != 0.0:
+            sign = 1.0 if x > 0 else -1.0
+            break
+    rows = [
+        (i + 1, round(sign * v[i], 6), round(eig, 6)) for i in range(_EMB_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, weight double, eigenvalue double"
+    )

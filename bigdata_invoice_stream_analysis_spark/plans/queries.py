@@ -3491,3 +3491,86 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum(cents) / 100.0).alias("total_balance"),
         )
     )
+
+
+@query(
+    "scd2_user_segments",
+    oracle="""
+WITH seg AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS segment
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_id, segment,
+         CASE WHEN segment IS DISTINCT FROM
+                   lag(segment) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS is_change
+  FROM seg
+),
+ver AS (
+  SELECT user_id, ts, segment,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+  FROM chg
+),
+iv AS (
+  SELECT user_id, version, segment,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM ver GROUP BY 1, 2, 3
+)
+SELECT user_id, CAST(version AS BIGINT) AS version,
+       CAST(segment AS BIGINT) AS segment,
+       valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM iv
+""",
+)
+def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event stream:
+    each user's JSON `props.k % 4` plays a segment attribute; every
+    run of equal consecutive segments becomes one versioned validity
+    interval [valid_from, valid_to) — the change-data-capture →
+    dimension-table derivation every warehouse runs. Three window
+    passes ALL partitioned by user_id (change detection via lag,
+    version numbering via running sum, interval close via lead), so
+    Catalyst plans a single user-keyed exchange; the grouped interval
+    agg reuses it. The open interval's valid_to is NULL. Change
+    comparison is null-safe (IS DISTINCT FROM ↔ eqNullSafe negation)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias("segment"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = seg.withColumn(
+        "is_change",
+        F.when(
+            F.col("segment").eqNullSafe(F.lag("segment").over(wo)), 0
+        ).otherwise(1),
+    )
+    ver = chg.withColumn(
+        "version",
+        F.sum("is_change").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = ver.groupBy("user_id", "version", "segment").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return iv.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.col("segment").cast("long").alias("segment"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

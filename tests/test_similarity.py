@@ -118,3 +118,29 @@ def test_sq8_topk_finds_planted_neighbor(spark):
     assert top["cosine"] > 0.999
     # candidate phase caps the rerank set
     assert out.count() == 3
+
+
+def test_top_pc_matches_numpy_eigh(spark):
+    """The power-iteration principal component (Gram pass + driver
+    iteration) must align with numpy's dense eigendecomposition of the
+    same exact-integer Gram matrix: |cosine| ≈ 1 and matching top
+    eigenvalue."""
+    import numpy as np
+
+    from bigdata_invoice_stream_analysis_spark.plans.extensions import (
+        q_embedding_gram_matrix,
+        q_embedding_top_pc,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    g = np.zeros((64, 64))
+    for r in q_embedding_gram_matrix(spark, sf_dir).collect():
+        g[r.dim_i - 1, r.dim_j - 1] = r.gram
+        g[r.dim_j - 1, r.dim_i - 1] = r.gram
+    evals, evecs = np.linalg.eigh(g)
+    top = evecs[:, -1]
+
+    rows = sorted(q_embedding_top_pc(spark, sf_dir).collect(), key=lambda r: r.dim)
+    v = np.array([r.weight for r in rows])
+    assert abs(abs(float(np.dot(v, top)) / (np.linalg.norm(v) * np.linalg.norm(top))) - 1.0) < 1e-8
+    assert abs(rows[0].eigenvalue - evals[-1]) / evals[-1] < 1e-9
