@@ -2351,3 +2351,59 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim int, weight double, eigenvalue double"
     )
+
+@query(
+    "source_temperature_mix",
+    oracle="""
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(n_chars) AS n_chars
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_docs) AS total_docs,
+         SUM(SQRT(CAST(n_docs AS DOUBLE))) AS total_w
+  FROM cnt
+)
+SELECT c.source,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       CAST(c.n_chars AS BIGINT) AS n_chars,
+       ROUND(CAST(c.n_docs AS DOUBLE) / t.total_docs, 6) AS natural_share,
+       ROUND(SQRT(CAST(c.n_docs AS DOUBLE)) / t.total_w, 6) AS temp_share,
+       ROUND(SQRT(CAST(c.n_docs AS DOUBLE)) / t.total_w
+             / (CAST(c.n_docs AS DOUBLE) / t.total_docs), 6) AS boost
+FROM cnt c CROSS JOIN tot t
+""",
+)
+def q_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting across corpus sources —
+    the standard LLM-pretraining recipe (sample source i with
+    probability proportional to n_i^alpha, alpha=0.5) that upweights
+    small/rare sources relative to their natural share. Emits, per
+    source, the natural share, the temperature share, and the boost
+    factor a downstream weighted sampler (operators/sampling.py's
+    hash-threshold samplers) would apply. Plan: one hash agg on
+    source (map-side partial over any volume of documents), a 1-row
+    total broadcast back — the document payload itself never
+    shuffles. sqrt is IEEE correctly-rounded in both engines, and all
+    shares round to 6dp per the hash convention."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = cnt.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("total_w"),
+    )
+    w = F.sqrt(F.col("n_docs").cast("double"))
+    nat = F.col("n_docs").cast("double") / F.col("total_docs")
+    tmp = w / F.col("total_w")
+    return cnt.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        r6(nat).alias("natural_share"),
+        r6(tmp).alias("temp_share"),
+        r6(tmp / nat).alias("boost"),
+    )

@@ -3574,3 +3574,207 @@ def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         F.col("n_events").cast("long").alias("n_events"),
     )
+
+@query(
+    "copurchase_triangles",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 30
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+wedges AS (
+  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+),
+tri AS (
+  SELECT w.u, w.v, w.w FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.u = w.u AND e3.v = w.w)
+)
+SELECT
+  CAST((SELECT COUNT(DISTINCT k) FROM (
+          SELECT u AS k FROM edges UNION ALL SELECT v FROM edges) ks) AS BIGINT)
+    AS n_nodes,
+  CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
+""",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the part co-purchase graph
+    (parts bought together in one order, bulk lines only). The classic
+    graph-analytics kernel done relationally: (1) per-order pair
+    generation is a self-equi-join on orderkey — fanout bounded by
+    lines-per-order (<=7 in TPC-H), so edge generation is linear in
+    lineitem; (2) edges are ORIENTED low-id -> high-id, so each
+    triangle is built exactly once (no /6 correction, no symmetric
+    blowup); (3) wedges come from one edge-edge equi-join on the
+    middle vertex and close via a LEFT-SEMI join against the edge
+    list. At 100x the scale move is degree orientation (point edges
+    from low-degree to high-degree vertex) which bounds wedge count by
+    arboricity instead of max degree; id orientation keeps the oracle
+    exactly mirrorable. Wedge volume is sum(deg^2) — the quantity-gate
+    keeps the graph sparse the same way a min-support gate would in
+    production."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)  # reused 3x; never re-derive
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("wu"),
+        F.col("e1.v").alias("wv"),
+        F.col("e2.v").alias("ww"),
+    )
+    e3 = edges.alias("e3")
+    tri = wedges.join(
+        e3,
+        (F.col("wu") == F.col("e3.u")) & (F.col("ww") == F.col("e3.v")),
+        "left_semi",
+    )
+    nodes = (
+        edges.select(F.col("u").alias("k"))
+        .unionAll(edges.select(F.col("v").alias("k")))
+        .agg(F.count_distinct("k").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return nodes.join(F.broadcast(n_edges)).join(F.broadcast(n_tri))
+
+
+@query(
+    "order_total_outliers",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+med AS (
+  SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med
+  FROM base GROUP BY 1
+),
+dev AS (
+  SELECT b.o_orderpriority, b.cents, m.med,
+         ABS(b.cents - m.med) AS adev
+  FROM base b JOIN med m USING (o_orderpriority)
+),
+mad AS (
+  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(d.med) / 100.0, 6) AS median_price,
+       ROUND(MIN(m.mad) / 100.0, 6) AS mad_price,
+       CAST(COUNT(CASE WHEN d.adev > 5 * m.mad THEN 1 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (o_orderpriority)
+GROUP BY 1
+""",
+)
+def q_order_total_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median + MAD
+    (median absolute deviation), flagging orders with |x - med| >
+    5*MAD. MAD is the robust dispersion estimator production anomaly
+    monitors use when variance is poisoned by the very outliers being
+    hunted. Shape: two exact-percentile group aggregates over a
+    5-value group key, each result broadcast back onto the fact —
+    never a driver collect. Prices aggregate in exact integer cents;
+    the medians are the only doubles, and interpolation (.5 boundary)
+    is exactly representable, so the 5*MAD comparison is bit-identical
+    across engines. Exact `percentile` buffers one group's values in
+    memory — fine at ANY total volume here because cardinality is 5
+    fixed groups x distinct cents; for unbounded group cardinality the
+    engine's approx_percentile path (balance_quartiles_bucketed) is
+    the 100 TB variant."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_orderpriority", cents.alias("cents"))
+    med = base.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r6(F.min("med") / 100.0).alias("median_price"),
+            r6(F.min("mad") / 100.0).alias("mad_price"),
+            F.count(F.when(F.col("adev") > 5 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+@query(
+    "skew_key_profile",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS total FROM cnt),
+top AS (
+  SELECT user_id, n_events FROM cnt
+  ORDER BY n_events DESC, user_id LIMIT 20
+)
+SELECT t.user_id,
+       CAST(t.n_events AS BIGINT) AS n_events,
+       ROUND(CAST(t.n_events AS DOUBLE) / tot.total, 6) AS share,
+       ROUND(CAST(SUM(t.n_events) OVER (ORDER BY t.n_events DESC, t.user_id
+                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tot.total, 6) AS cum_share
+FROM top t CROSS JOIN tot
+""",
+)
+def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter / skew diagnosis: the top-20 keys by event count
+    with their share and cumulative share of total traffic — the
+    profile you run BEFORE choosing a partitioning or salting strategy
+    (operators/skew.py consumes exactly this signal). Plan discipline:
+    the per-key count is one hash-agg shuffle; top-20 is
+    TakeOrderedAndProject (never a global sort); the total is a 1-row
+    aggregate broadcast back; the cumulative window runs over ONLY the
+    20 surviving rows, so the un-partitioned window frame — normally a
+    scale smell — is bounded by the literal k, not the data."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cnt.agg(F.sum("n_events").alias("total"))
+    top = cnt.orderBy(F.col("n_events").desc(), "user_id").limit(20)
+    w = Window.orderBy(F.col("n_events").desc(), "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            r6(F.col("n_events") / F.col("total")).alias("share"),
+            r6(F.sum("n_events").over(w) / F.col("total")).alias("cum_share"),
+        )
+    )

@@ -124,3 +124,42 @@ def test_rarity_score_no_second_corpus_pass(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3, plan
     live = plan.split("InMemoryRelation")[0]
     assert "Generate explode" not in live, live
+
+
+def test_skew_key_profile_no_global_sort(spark, sf_dir):
+    df = QUERIES["skew_key_profile"](spark, sf_dir)
+    plan = _plan(df)
+    # top-20 heavy hitters must be TakeOrderedAndProject; the only
+    # window frame runs over the 20 surviving rows
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row total joins back as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_order_total_outliers_broadcast_medians(spark, sf_dir):
+    df = QUERIES["order_total_outliers"](spark, sf_dir)
+    plan = _plan(df)
+    # both percentile aggregates (5 rows each) broadcast back onto the
+    # fact; the fact itself is never shuffled by a join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_copurchase_triangles_no_cartesian(spark, sf_dir):
+    df = QUERIES["copurchase_triangles"](spark, sf_dir)
+    plan = _plan(df)
+    # pair generation and wedge closing are equi-joins — a cartesian
+    # product here means the orientation predicate fell out of the
+    # join condition
+    assert "CartesianProduct" not in plan
+    # triangle close is a LEFT-SEMI (existence), not a full join
+    assert "LeftSemi" in plan
+
+
+def test_source_temperature_mix_single_agg_shuffle(spark, sf_dir):
+    df = QUERIES["source_temperature_mix"](spark, sf_dir)
+    plan = _plan(df)
+    # one hash agg on source + a broadcast of the 1-row total — the
+    # document payload never crosses the wire
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
