@@ -3778,3 +3778,135 @@ def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum("n_events").over(w) / F.col("total")).alias("cum_share"),
         )
     )
+
+@query(
+    "fuzzy_name_matches",
+    oracle="""
+WITH variants AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN i = 0 THEN c_name
+              ELSE concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))
+         END AS variant
+  FROM customer, unnest(range(0, length(c_name) + 1)) AS t(i)
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS custkey_a, a.c_name AS name_a,
+                  b.c_custkey AS custkey_b, b.c_name AS name_b
+  FROM variants a JOIN variants b
+    ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+)
+SELECT custkey_a, custkey_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+""",
+)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage under edit distance <= 1 via the
+    deletion-neighborhood (FastSS / SymSpell) join — THE sub-quadratic
+    shape for edit-distance blocking: every name emits its L+1
+    one-deletion variants (plus itself), candidates are pairs sharing
+    ANY variant (an equi-join on a 17-char key — no hot keys by
+    construction, since a shared variant pins all but one character),
+    and the exact `levenshtein` verify runs only on candidates. This
+    replaces the O(N^2) all-pairs edit-distance scan with
+    O(N * L) index rows + output-bounded candidates — the same
+    generate/bucket/verify discipline as the MinHash and sign-LSH
+    dedup paths (operators/dedup.py), applied to string keys. The
+    verify is NOT redundant: two names sharing a variant via
+    different deletion positions can sit at distance 2."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "if(i = 0, c_name, "
+                "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1))))"
+            )
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.where(dist <= 1).select(
+        "custkey_a", "custkey_b", dist.cast("int").alias("edit_dist")
+    )
+
+
+@query(
+    "zorder_layout_profile",
+    oracle="""
+WITH pts AS (
+  SELECT o_custkey AS x,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS y
+  FROM orders
+),
+zv AS (
+  SELECT x, y,
+         list_sum(list_transform(range(0, 16), i ->
+           (((x >> i) & 1)::BIGINT << (2 * i))
+           + (((y >> i) & 1)::BIGINT << (2 * i + 1)))) AS z
+  FROM pts
+)
+SELECT CAST(z >> 18 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
+       CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day
+FROM zv
+GROUP BY 1
+""",
+)
+def q_zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data-layout key over (custkey, order day) plus
+    a per-bucket locality profile — the space-filling-curve clustering
+    trick behind multi-dimensional data skipping (Delta OPTIMIZE
+    ZORDER, Hudi/Iceberg clustering): sorting by interleaved bits
+    keeps BOTH dimensions locally dense inside each file, so min/max
+    column stats prune scans on either predicate. The bit interleave
+    is a pure per-row fold over a 16-element literal sequence (one
+    codegen expression, zero shuffle); the profile agg shows each
+    z-bucket spans a narrow custkey range AND a narrow date range
+    simultaneously — the property that makes stats-based pruning
+    work. At 100 TB this key feeds repartitionByRange + sortWithinPartitions
+    before the parquet write; here the gate pins the key math."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_custkey").cast("long").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("y"),
+    )
+    zv = pts.withColumn(
+        "z",
+        F.expr(
+            "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
+            " + ((shiftright(x, i) & 1) * shiftleft(1L, 2 * i))"
+            " + ((shiftright(y, i) & 1) * shiftleft(1L, 2 * i + 1)))"
+        ),
+    )
+    return (
+        zv.groupBy(F.shiftright("z", 18).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+    )

@@ -163,3 +163,21 @@ def test_source_temperature_mix_single_agg_shuffle(spark, sf_dir):
     # document payload never crosses the wire
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_name_matches_equi_join_only(spark, sf_dir):
+    df = QUERIES["fuzzy_name_matches"](spark, sf_dir)
+    plan = _plan(df)
+    # the deletion-neighborhood join must be an equi-join on variant
+    # (candidates via hash/sort-merge), never a cartesian/NLJ scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_profile_zero_join_single_shuffle(spark, sf_dir):
+    df = QUERIES["zorder_layout_profile"](spark, sf_dir)
+    plan = _plan(df)
+    # per-row bit fold + one hash agg: no joins at all
+    assert "Join" not in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, plan
