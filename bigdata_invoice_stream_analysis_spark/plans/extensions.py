@@ -2062,6 +2062,7 @@ def q_split_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB is that the big shuffle's probe side shrinks to the
     contaminated fraction (plus ~1/2¹⁸-scale false positives) instead
     of every test shingle crossing the wire."""
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
     from bigdata_invoice_stream_analysis_spark.operators import bloom as BLOOM
 
     d = SAMPLING.with_split(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -2072,18 +2073,28 @@ def q_split_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(TX.shingle_hashes(F.col("text"), n=3))
         ).alias("h"),
     )
-    train_h = sh.filter(F.col("split") == "train").select("h").distinct()
-    bitmap = BLOOM.build_bitmap(train_h, "h")
+    # train_h feeds the bitmap AND the exact join; the bitmap feeds one
+    # broadcast join PER hash function. Lazily, each consumer re-runs
+    # the full train shingle pass — cache the SMALL frames (distinct
+    # keys, <=4096-row bitmap), never the exploded shingle rows.
+    train_h = scoped_cache(
+        sh.filter(F.col("split") == "train").select("h").distinct()
+    )
+    bitmap = scoped_cache(BLOOM.build_bitmap(train_h, "h"))
     test = sh.filter(F.col("split") == "test").select("doc_id", "h")
     flagged = BLOOM.with_might_contain(test, bitmap, "h")
-    maybe = flagged.filter(F.col("might_contain")).join(
-        train_h.withColumn("hit", F.lit(1)), "h", "left"
-    ).select("doc_id", "hit")
-    definite_miss = flagged.filter(~F.col("might_contain")).select(
-        "doc_id", F.lit(None).cast("int").alias("hit")
-    )
+    # ONE left join with might_contain folded into the join condition:
+    # definite-miss rows (might_contain=false) can never match, so they
+    # flow through with hit=NULL — same result as a filter/union split,
+    # but the probe pipeline (test shingles + 2 bitmap joins) is
+    # evaluated once instead of once per branch.
+    th = train_h.withColumn("hit", F.lit(1)).withColumnRenamed("h", "th_h")
     return (
-        maybe.unionAll(definite_miss)
+        flagged.join(
+            th,
+            (F.col("h") == F.col("th_h")) & F.col("might_contain"),
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -3815,7 +3815,13 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup paths (operators/dedup.py), applied to string keys. The
     verify is NOT redundant: two names sharing a variant via
     different deletion positions can sit at distance 2."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    from bigdata_invoice_stream_analysis_spark.sources.tables import (
+        ensure_min_parallelism,
+    )
+
+    c = ensure_min_parallelism(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"), spark
+    )
     variants = c.select(
         "c_custkey",
         "c_name",
