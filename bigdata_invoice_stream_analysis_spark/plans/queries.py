@@ -3916,3 +3916,103 @@ def q_zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_day"),
         )
     )
+
+@query(
+    "streaming_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 240 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+grp AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id,
+         MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 240 MINUTE AS s_end,
+         COUNT(*) AS n_events
+  FROM grp GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(n_events AS BIGINT) AS n_events
+FROM sess
+WHERE s_end <= (SELECT MAX(ts) - INTERVAL 1 MINUTE FROM events)
+""",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization under the driver gate:
+    `session_window(ts, 4h)` per user on the file-source event stream,
+    1-minute watermark, APPEND mode — the engine merges events into
+    gap-bounded sessions in the state store and emits each session
+    exactly once, when the watermark passes its end (last event +
+    gap). The availableNow drain's final watermark is data-derived
+    (max ts − 1 min), so the emitted set is deterministic: exactly the
+    sessions with end <= final watermark — which is what the batch
+    oracle's gap-sessionization (lag/running-sum, the same shape as
+    `user_sessions`) computes, horizon filter included. Sessions still
+    open at end-of-stream are correctly withheld by append semantics;
+    the oracle mirrors that. State is O(open sessions per user), the
+    cluster-scale bound."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for col, dtype in stream.dtypes:
+        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) round
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif col == "ts" and dtype.startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "240 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    rows: list[tuple[int, str, str, int]] = []
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            rows.append(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="stream_sessions_ckpt_")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming drain did not finish within 300s")
+    return spark.createDataFrame(
+        sorted(rows),
+        "user_id long, session_start string, session_end string, n_events long",
+    )
