@@ -2638,6 +2638,32 @@ def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # watermark bookkeeping, and micro-batch planner are in the graded path.
 # ---------------------------------------------------------------------------
 
+
+def _run_drain(spark: SparkSession, writer, timeout: int = 300) -> None:
+    """Start a streaming writer and block until its availableNow drain
+    finishes, with `spark.sql.shuffle.partitions` temporarily sized to
+    the session's cores (cap 32). Streaming stateful operators create
+    ONE state-store instance per shuffle partition PER micro-batch; under
+    the driver's vanilla session that is 200 state stores + checkpoint
+    directories per batch for a local[8] run — pure overhead. State
+    partition count is a deliberate sizing decision for a streaming
+    job (set once at first checkpoint), not something to inherit from
+    the batch default; on a 1000-executor cluster you'd set it to the
+    executor-core count the job actually owns."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = min(32, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = writer.start()
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain did not finish within {timeout}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @query(
     "streaming_error_windows",
     oracle="""
@@ -2699,16 +2725,13 @@ def q_streaming_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc[r["window_start"]] = (r["window_end"], r["n_errors"])
 
     ckpt = tempfile.mkdtemp(prefix="stream_gate_ckpt_")
-    q = (
+    writer = (
         agg.writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming drain did not finish within 300s")
+    _run_drain(spark, writer)
     rows = [(ws, we, int(n)) for ws, (we, n) in sorted(acc.items())]
     return spark.createDataFrame(
         rows, "window_start string, window_end string, n_errors long"
@@ -2752,16 +2775,13 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc[r["user_id"]] = (r["n_events"], r["value_cents"])
 
     ckpt = tempfile.mkdtemp(prefix="stream_totals_ckpt_")
-    q = (
+    writer = (
         agg.writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming drain did not finish within 300s")
+    _run_drain(spark, writer)
     rows = [(int(u), int(n), int(c)) for u, (n, c) in sorted(acc.items())]
     return spark.createDataFrame(
         rows, "user_id long, n_events long, value_cents long"
@@ -2811,16 +2831,13 @@ def q_streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFram
             acc[r["fp"]] = True
 
     ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
-    q = (
+    writer = (
         deduped.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming drain did not finish within 300s")
+    _run_drain(spark, writer)
     total = load_table(spark, sf_dir, "documents")
     n_docs = total.count() + total.filter(F.col("doc_id") % 13 == 0).count()
     n_unique = len(acc)
@@ -2897,16 +2914,13 @@ def q_streaming_error_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
             users.add(r["e_user"])
 
     ckpt = tempfile.mkdtemp(prefix="stream_join_ckpt_")
-    q = (
+    writer = (
         joined.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming drain did not finish within 300s")
+    _run_drain(spark, writer)
     return spark.createDataFrame(
         [(len(pairs), len(users))], "n_pairs long, n_users long"
     )
@@ -4002,16 +4016,13 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     ckpt = tempfile.mkdtemp(prefix="stream_sessions_ckpt_")
-    q = (
+    writer = (
         agg.writeStream.outputMode("append")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
-        .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("streaming drain did not finish within 300s")
+    _run_drain(spark, writer)
     return spark.createDataFrame(
         sorted(rows),
         "user_id long, session_start string, session_end string, n_events long",
