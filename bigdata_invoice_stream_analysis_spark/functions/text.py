@@ -92,6 +92,34 @@ def sql_shingles(tokens_expr: str, n: int = 3) -> str:
     )
 
 
+def chunks(tokens: Column, w: int = 10) -> Column:
+    """Non-overlapping w-token chunks of a token array (space-joined
+    strings) — the "paragraph" unit for sub-document dedup and
+    boilerplate detection (C4-style line dedup re-expressed over the
+    whitespace-token stream, since the synthetic corpus has no
+    newlines). The final chunk may be shorter than w. Empty token
+    arrays yield an empty chunk list."""
+    k = F.size(tokens)
+    n_chunks = F.ceil(k / F.lit(float(w))).cast("int")
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(" ", F.slice(tokens, (i - 1) * w + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_chunks(tokens_expr: str, w: int = 10) -> str:
+    """DuckDB twin of chunks(): list of space-joined w-token chunks."""
+    return (
+        f"CASE WHEN len({tokens_expr}) > 0 THEN "
+        f"list_transform(generate_series(1, CAST(ceil(len({tokens_expr}) / {w}.0) AS BIGINT)),"
+        f" i -> array_to_string(list_slice({tokens_expr}, (i - 1) * {w} + 1, i * {w}), ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Distinct polynomial hashes of a document's word n-gram shingles —
     the set representation used by MinHash / Jaccard dedup."""

@@ -4027,3 +4027,9 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "user_id long, session_start string, session_end string, n_events long",
     )
+
+
+# Round-2 pipeline queries (sub-document dedup, boilerplate, bigram LM,
+# SemDeDup, binned interval join, PageRank) — registered on import;
+# must come after extensions (it reuses its augmented-corpus CTEs).
+from bigdata_invoice_stream_analysis_spark.plans import pipelines  # noqa: E402,F401

@@ -1,0 +1,194 @@
+"""Unit tests for the round-2 pipeline operators (plans/pipelines.py,
+operators/graph.py, functions/text.chunks): hand-computed expectations
+on tiny planted inputs, independent of the driver's oracle harness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.functions import text as TX
+from bigdata_invoice_stream_analysis_spark.operators import graph as G
+from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
+
+
+# ---------------------------------------------------------------------------
+# chunks()
+# ---------------------------------------------------------------------------
+
+def test_chunks_splits_and_clips(spark):
+    toks = [f"t{i}" for i in range(23)]
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    out = df.select(
+        TX.chunks(TX.tokenize(F.col("text")), 10).alias("ch")
+    ).first()["ch"]
+    assert len(out) == 3
+    assert out[0] == " ".join(toks[0:10])
+    assert out[1] == " ".join(toks[10:20])
+    assert out[2] == " ".join(toks[20:23])  # final partial chunk
+
+
+def test_chunks_empty_text_yields_no_chunks(spark):
+    df = spark.createDataFrame([("",), ("...",)], "text string")
+    rows = df.select(
+        F.size(TX.chunks(TX.tokenize(F.col("text")), 10)).alias("n")
+    ).collect()
+    assert [r["n"] for r in rows] == [0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup semantics (keep-first) on a planted corpus
+# ---------------------------------------------------------------------------
+
+def test_chunk_keep_first_rule(spark):
+    # doc 1 and doc 2 share an identical 10-token chunk at different
+    # positions; the doc-1 copy (lower doc_id) must survive.
+    shared = " ".join(f"s{i}" for i in range(10))
+    other = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, shared + " " + other), (2, other[::-1] + " " + shared)],
+        "doc_id long, text string",
+    )
+    ch = df.select(
+        "doc_id",
+        F.posexplode(TX.chunks(TX.tokenize(F.col("text")), 10)).alias(
+            "pos", "chunk"
+        ),
+    ).select("doc_id", (F.col("pos") + 1).alias("idx"), "chunk")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    dropped = {
+        (r["doc_id"], r["chunk"])
+        for r in ranked.where(F.col("rn") > 1).collect()
+    }
+    assert dropped == {(2, shared)}
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges_sym, iters):
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for u, _ in edges_sym:
+        deg[u] += 1
+    ranks = {u: G.RANK_SCALE for u in deg}
+    base = G.RANK_SCALE - (G.DAMP_NUM * G.RANK_SCALE) // G.DAMP_DEN
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v in edges_sym:
+            s[v] += ranks[u] // deg[u]
+        ranks = {v: base + (G.DAMP_NUM * sv) // G.DAMP_DEN for v, sv in s.items()}
+    return ranks
+
+
+def test_pagerank_matches_python_model(spark):
+    # Triangle 1-2-3 plus pendant 4 attached to 1.
+    und = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(und, "u long, v long")
+    sym = G.symmetrize(edges)
+    got = {
+        r["node"]: r["pr_score"]
+        for r in G.pagerank_int(sym, iterations=4).collect()
+    }
+    sym_py = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    want = _py_pagerank(sym_py, 4)
+    assert got == want
+    # Hub (node 1, degree 3) must outrank the pendant.
+    assert got[1] > got[4]
+
+
+def test_pagerank_mass_is_conserved_approximately(spark):
+    # With integer floors, total mass can only leak downward, and by
+    # less than (deg_total + n_nodes) nano-units per iteration.
+    und = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    sym = G.symmetrize(spark.createDataFrame(und, "u long, v long"))
+    total = sum(
+        r["pr_score"] for r in G.pagerank_int(sym, iterations=3).collect()
+    )
+    assert 0.999 * 4 * G.RANK_SCALE < total <= 4 * G.RANK_SCALE
+
+
+# ---------------------------------------------------------------------------
+# Binned interval join: bucket explode + refine has no dup/miss
+# ---------------------------------------------------------------------------
+
+def test_binned_interval_join_equals_nlj(spark):
+    periods = spark.createDataFrame(
+        [(1, "2020-01-01", "2020-01-20"), (2, "2020-01-15", "2020-02-10")],
+        "period_id long, p_start string, p_end string",
+    ).select(
+        "period_id",
+        F.col("p_start").cast("date").alias("p_start"),
+        F.col("p_end").cast("date").alias("p_end"),
+    )
+    probe = spark.createDataFrame(
+        [(d,) for d in ["2019-12-31", "2020-01-01", "2020-01-15",
+                        "2020-01-20", "2020-02-10", "2020-02-11"]],
+        "d string",
+    ).select(F.col("d").cast("date").alias("od"))
+    epoch = F.lit("1992-01-01").cast("date")
+
+    def wk(c):
+        return F.floor(F.datediff(c, epoch) / 7)
+
+    pex = periods.select(
+        "period_id", "p_start", "p_end",
+        F.explode(F.sequence(wk(F.col("p_start")), wk(F.col("p_end")))).alias("wk"),
+    )
+    probe_wk = probe.withColumn("wk", wk(F.col("od")))
+    binned = (
+        probe_wk.join(
+            F.broadcast(pex),
+            (F.col("od") >= F.col("p_start")) & (F.col("od") <= F.col("p_end"))
+            & (probe_wk["wk"] == pex["wk"]),
+        )
+        .select("period_id", "od")
+    )
+    nlj = probe.crossJoin(periods).where(
+        (F.col("od") >= F.col("p_start")) & (F.col("od") <= F.col("p_end"))
+    ).select("period_id", "od")
+    assert sorted(map(tuple, binned.collect())) == sorted(map(tuple, nlj.collect()))
+    # Sanity: inclusive bounds both matched, out-of-range days did not.
+    matched_days = {str(r["od"]) for r in binned.collect()}
+    assert "2019-12-31" not in matched_days and "2020-02-11" not in matched_days
+    assert "2020-01-01" in matched_days and "2020-02-10" in matched_days
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: same-cell near-dups drop, cross-cell never compared
+# ---------------------------------------------------------------------------
+
+def test_semdedup_only_compares_within_cells(spark):
+    # Cells at (1000, 0) and (0, 1000). Vectors 1,2 are identical and
+    # land in cell A -> 2 drops. Vector 3 equals vector 1 but sits by
+    # construction in cell B's neighborhood, so it is never compared
+    # against 1 and survives.
+    rows = [
+        (1, [1000, 0]),
+        (2, [1000, 0]),
+        (3, [0, 1000]),
+        (4, [0, 999]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, qv array<long>")
+    codebook = [(100, [1000, 0]), (200, [0, 1000])]
+    assigned = SIM.assign_cells_literal(df, codebook, "qv")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = SIM.quant_cosine(F.col("a.qv"), F.col("b.qv"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.99)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    got = {r["vec_id"] for r in dropped.collect()}
+    assert got == {2, 4}  # 2 dups 1 in cell A; 4 dups 3 in cell B (cos~0.9999995)
+    cells = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    assert cells[1] == cells[2] == 100 and cells[3] == cells[4] == 200
