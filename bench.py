@@ -58,6 +58,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(QUERIES.items()):
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.agg(F.count(F.lit(1))).collect()

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
 from bigdata_invoice_stream_analysis_spark.functions.text import (
@@ -603,3 +604,70 @@ def connected_components_star(
     return nodes.join(star, "node", "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard self-join (PPJoin-style candidate generation)
+# ---------------------------------------------------------------------------
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the PPJoin
+    family, Xiao et al. 2008): order every document's shingles by a
+    global canonical order (document frequency asc, hash asc — rarest
+    first) and index only each doc's PREFIX of length
+    |A| - ceil(t*|A|) + 1. Correctness: J(A,B) >= t implies
+    |A∩B| >= ceil(t*|A|), so A and B must share a shingle inside both
+    prefixes — no candidate is lost. Unlike the max_df cap
+    (jaccard_pairs), nothing is dropped heuristically: rare shingles
+    carry the candidate generation and the frequent tail never enters
+    the index, which is what bounds the self-join at 100 TB (hot
+    shingles are exactly the ones prefix filtering excludes).
+
+    Verification joins each candidate pair back to the two full
+    shingle ARRAYS and intersects them per-row (array_intersect in
+    codegen) — no second explode, no per-shingle shuffle.
+    """
+    sh = scoped_cache(_shingled(df, id_col, text_col, n))
+    inv = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("h"))
+    dfreq = inv.groupBy("h").agg(F.count(F.lit(1)).alias("df_h"))
+    ranked = inv.join(dfreq, "h").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("df_h"), F.asc("h"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "h")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))

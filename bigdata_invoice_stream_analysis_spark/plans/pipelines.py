@@ -235,8 +235,16 @@ def q_doc_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram and prev-token vocabularies re-aggregate those partials
     (vocabulary-bounded, never a second corpus pass) and broadcast back
     onto tf2. The corpus crosses the wire once."""
+    from bigdata_invoice_stream_analysis_spark.operators.fence import optimizer_fence
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.tokenize(F.col("text"))
+    # Fence the tokenization: the bigram transform references the token
+    # array twice per position, and Catalyst alias-inlining would
+    # otherwise re-evaluate split+filter per element_at.
+    tokd = optimizer_fence(
+        docs.select("doc_id", TX.tokenize(F.col("text")).alias("toks"))
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,
@@ -248,7 +256,7 @@ def q_doc_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     tf2 = (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        tokd.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -259,8 +267,11 @@ def q_doc_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = big.groupBy(
         F.substring_index(F.col("bigram"), " ", 1).alias("prev")
     ).agg(F.sum("bcnt").alias("ucnt"))
-    joined = tf2.join(F.broadcast(big), "bigram").join(
-        F.broadcast(uni),
+    # No broadcast hints: the bigram vocabulary grows with corpus
+    # diversity (it is NOT small by definition the way a codebook is),
+    # so let AQE pick broadcast vs shuffle from measured sizes.
+    joined = tf2.join(big, "bigram").join(
+        uni,
         F.substring_index(tf2["bigram"], " ", 1) == uni["prev"],
     )
     return (
@@ -339,10 +350,24 @@ def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % _SEMDEDUP_MOD == 0)
         ).collect()
     ]
-    assigned = SIM.assign_cells_literal(v, codebook, "qv")
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
+
+    # The literal-codebook assignment is a large expression (k_cells x
+    # dim integer sqdists per row); cache the assigned frame so the
+    # self-join's two sides don't each recompute it, and precompute
+    # each row's squared norm ONCE so the pairwise cosine costs one
+    # dot product instead of three (sqrt(n2) is correctly rounded, so
+    # dot/(sqrt*sqrt) is bit-identical to quant_cosine).
+    assigned = scoped_cache(
+        SIM.assign_cells_literal(v, codebook, "qv").withColumn(
+            "n2", SIM.int_norm2(F.col("qv"))
+        )
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = SIM.quant_cosine(F.col("a.qv"), F.col("b.qv"))
+    cos = SIM.int_dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
+        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
+    )
     pairs = a.join(
         b,
         (F.col("a.cell_id") == F.col("b.cell_id"))
@@ -497,3 +522,263 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return G.pagerank_int(G.symmetrize(e0), iterations=_PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+from bigdata_invoice_stream_analysis_spark.operators import sketches as SK  # noqa: E402
+
+_CMS_TOPN = 20
+
+
+def _sql_cms() -> str:
+    cell_rows = "\nUNION ALL\n".join(
+        f"  SELECT {r} AS r, {SK.sql_cms_hash('l_partkey', r)} AS c,"
+        f" COUNT(*) AS cnt FROM lineitem GROUP BY 2"
+        for r in range(SK.CMS_D)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"  SELECT l_partkey, exact_cnt, {r} AS r,"
+        f" {SK.sql_cms_hash('l_partkey', r)} AS c FROM top"
+        for r in range(SK.CMS_D)
+    )
+    return f"""
+WITH cells AS (
+{cell_rows}
+),
+exact AS (SELECT l_partkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY 1),
+top AS (
+  SELECT l_partkey, exact_cnt FROM (
+    SELECT l_partkey, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, l_partkey ASC) AS rn
+    FROM exact
+  ) WHERE rn <= {_CMS_TOPN}
+),
+probes AS (
+{probe_rows}
+),
+est AS (
+  SELECT p.l_partkey, p.exact_cnt, MIN(cells.cnt) AS cms_est
+  FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+  GROUP BY 1, 2
+)
+SELECT l_partkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@query("heavy_hitters_cms", oracle=_sql_cms())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a count-min sketch
+    (operators/sketches.py): the sketch is built in ONE pass as a
+    (hash_row, counter) aggregation whose shuffle is bounded by d*w
+    cells per partition regardless of corpus size, then the top-N keys
+    are point-estimated by min-over-cells against the broadcast
+    sketch. The exact per-key counts are computed alongside ONLY to
+    exhibit the sketch's one-sided error (cms_est >= exact always) —
+    at 100 TB the exact branch is what you cannot afford, and the
+    candidate keys would come from an external list or a prior
+    sketch round. Integer hashing makes the sketch bit-identical
+    across engines and shuffle orders."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = SK.cms_cells(li, "l_partkey")
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a single-partition global window.
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("l_partkey")).limit(_CMS_TOPN)
+    est = SK.cms_estimate(top.select("l_partkey"), cells, "l_partkey")
+    return top.join(F.broadcast(est), "l_partkey").select(
+        "l_partkey",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard dedup (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+from bigdata_invoice_stream_analysis_spark.operators import dedup as DD  # noqa: E402
+from bigdata_invoice_stream_analysis_spark.plans.extensions import (  # noqa: E402
+    DOCS_NEARDUP_CTE,
+    docs_neardup,
+)
+
+_PPJ_T = 0.2
+_SQL_SH3 = TX.sql_shingle_hashes("text", n=3)
+
+
+@query(
+    "jaccard_prefix_filter",
+    oracle=f"""
+WITH {DOCS_NEARDUP_CTE},
+sh AS (SELECT doc_id, {_SQL_SH3} AS sh FROM docs_aug),
+inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS h FROM sh),
+dfreq AS (SELECT h, COUNT(*) AS df_h FROM inv GROUP BY 1),
+ranked AS (
+  SELECT inv.doc_id, inv.n_sh, inv.h,
+         row_number() OVER (PARTITION BY inv.doc_id
+                            ORDER BY d.df_h ASC, inv.h ASC) AS rk
+  FROM inv JOIN dfreq d USING (h)
+),
+prefix AS (
+  SELECT doc_id, h FROM ranked
+  WHERE rk <= n_sh - CAST(ceil({_PPJ_T} * n_sh) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+         len(sa.sh) AS n_a, len(sb.sh) AS n_b
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+FROM v WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= {_PPJ_T}
+""",
+)
+def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs via PPJoin-style prefix filtering
+    (operators/dedup.jaccard_prefix_pairs): only each document's
+    rarest-first prefix enters the inverted index, so hot shingles —
+    the quadratic killer the max_df cap (ngram_jaccard_dedup) merely
+    truncates — are excluded by construction with NO loss of recall.
+    Must find exactly the pairs the exact inverted-index join finds at
+    the same threshold."""
+    d = docs_neardup(spark, sf_dir)
+    out = DD.jaccard_prefix_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=_PPJ_T
+    )
+    return out.select(
+        "id_a", "id_b", F.col("n_inter").cast("long").alias("n_inter"), "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (ADC top-k)
+# ---------------------------------------------------------------------------
+
+_PQ_MOD = 149
+_PQ_SUB = 8  # dims per subspace (64 / PQ_M)
+_SQL_SUB_SQDIST = (
+    "CAST(list_sum(list_transform(generate_series(1, {n}),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+
+def _sql_pq() -> str:
+    d_qc = _SQL_SUB_SQDIST.format(n=_PQ_SUB, a="s.sv", b="c.cv")
+    d_adc = _SQL_SUB_SQDIST.format(n=_PQ_SUB, a="q.sv", b="c.cv")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+subq AS (
+  SELECT vec_id, m, list_slice(qv, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS sv
+  FROM qv CROSS JOIN (SELECT unnest(generate_series(0, {SIM.PQ_M - 1})) AS m)
+),
+cents AS (SELECT m, vec_id AS cid, sv AS cv FROM subq WHERE vec_id % {_PQ_MOD} = 0),
+codes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {d_qc} ASC, c.cid ASC) AS rn
+    FROM subq s JOIN cents c ON c.m = s.m
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         SUM({d_adc}) AS adc_dist
+  FROM subq q
+  JOIN codes n ON n.m = q.m AND n.vec_id != q.vec_id
+  JOIN cents c ON c.m = n.m AND c.cid = n.cid
+  WHERE q.vec_id < 20
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
+@query("ann_pq_topk", oracle=_sql_pq())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): the corpus is
+    encoded as 8 one-byte codes per vector against per-subspace
+    codebooks folded into the plan as literals
+    (operators/similarity.pq_encode_literal — ZERO-shuffle encode);
+    each query then ranks the corpus by the asymmetric distance (ADC):
+    the sum over subspaces of the exact integer squared distance from
+    the query subvector to the centroid each code names. Completes the
+    ANN ladder — brute force (ann_cosine_topk) / IVF (ann_ivf_topk) /
+    SQ8 (ann_sq8_topk) / PQ — with the variant whose index is 8 bytes
+    per vector, the form that keeps a 100 TB corpus's index resident
+    in executor memory. Deterministic throughout: integer distances,
+    ties by (dist, neighbor_id, code id)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
+    sampled = base.filter(F.col("vec_id") % _PQ_MOD == 0).collect()
+    codebooks = [
+        [
+            (int(r["vec_id"]), [int(x) for x in r["qv"][m * _PQ_SUB:(m + 1) * _PQ_SUB]])
+            for r in sampled
+        ]
+        for m in range(SIM.PQ_M)
+    ]
+    n_codes = len(codebooks[0])
+    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
+
+    # Vectorized Arrow encode (integer matmul argmin per batch) — the
+    # scale path; pq_encode_literal is its expression-form twin, proven
+    # code-identical in tests/test_pipelines.py. Cache the encoded
+    # table: it is the PQ index a production system would persist (M
+    # small ints per vector), reused by every query of the batch.
+    encoded = scoped_cache(SIM.pq_encode_np(base, codebooks, "qv").drop("qv"))
+    # The fixed query set is small (20 ids): pull their vectors and
+    # precompute each query's ADC lookup table driver-side — the
+    # textbook PQ scoring layout. Per corpus row the distance is then
+    # M array lookups, so the broadcast cross join stays in codegen
+    # instead of evaluating M*K literal sqdists per pair.
+    qrows = sorted(
+        base.filter(F.col("vec_id") < 20).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), SIM.pq_adc_lut([int(x) for x in r["qv"]], codebooks))
+            for r in qrows
+        ],
+        "query_id long, lut array<long>",
+    )
+    adc = (
+        encoded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            SIM.adc_from_lut_codes(
+                F.col("lut"), F.col("codes"), n_codes, SIM.PQ_M
+            ).alias("adc_dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )

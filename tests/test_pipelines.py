@@ -192,3 +192,126 @@ def test_semdedup_only_compares_within_cells(spark):
     assert got == {2, 4}  # 2 dups 1 in cell A; 4 dups 3 in cell B (cos~0.9999995)
     cells = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
     assert cells[1] == cells[2] == 100 and cells[3] == cells[4] == 200
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: one-sided error, exact on unique cells
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts(spark):
+    from bigdata_invoice_stream_analysis_spark.operators import sketches as SK
+
+    rows = [(k,) for k in [1] * 50 + [2] * 30 + [3] * 5 + list(range(100, 160))]
+    df = spark.createDataFrame(rows, "k long")
+    cells = SK.cms_cells(df, "k")
+    exact = df.groupBy("k").count()
+    est = SK.cms_estimate(exact.select("k"), cells, "k")
+    j = {r["k"]: (r["count"], r["cms_est"])
+         for r in exact.join(est, "k").collect()}
+    assert all(e >= c for c, e in j.values())
+    # Heavy keys are far from the collision noise floor: estimates for
+    # them are exact unless another key collides in all 4 rows.
+    assert j[1][1] >= 50 and j[2][1] >= 30
+
+
+def test_cms_hash_is_engine_mirrorable(spark):
+    from bigdata_invoice_stream_analysis_spark.operators import sketches as SK
+    import duckdb
+
+    keys = [0, 1, 17, 12345, 999_999_937]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = df.select(
+        "k", *[SK.cms_hash(F.col("k"), r).alias(f"h{r}") for r in range(SK.CMS_D)]
+    ).collect()
+    for row in got:
+        for r in range(SK.CMS_D):
+            want = duckdb.sql(
+                f"SELECT {SK.sql_cms_hash(str(row['k']), r)}"
+            ).fetchone()[0]
+            assert row[f"h{r}"] == want
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering: identical pairs to the exact inverted-index join
+# ---------------------------------------------------------------------------
+
+def test_prefix_filter_matches_exact_jaccard(spark):
+    from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
+    from bigdata_invoice_stream_analysis_spark.cache import release_caches
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " extra tail tokens here"),          # near-dup of 1
+        (3, "totally different words nothing shared"),
+        (4, base.replace("gamma", "mu")),               # near-dup of 1
+        (5, "another unrelated string of tokens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    pf = DD.jaccard_prefix_pairs(df, "doc_id", "text", n=3, threshold=0.2)
+    got = {(r["id_a"], r["id_b"]) for r in pf.collect()}
+    release_caches()
+    assert got == exact and (1, 2) in got
+
+
+# ---------------------------------------------------------------------------
+# PQ: encode determinism and ADC consistency
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_and_adc(spark):
+    from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
+
+    # 4-dim vectors, 2 subspaces of 2 dims, 2 centroids per subspace.
+    vecs = [
+        (1, [10, 0, 0, 10]),
+        (2, [9, 1, 1, 9]),     # near 1 -> same codes
+        (3, [0, 10, 10, 0]),   # opposite corner
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, qv array<long>")
+    books = [
+        [(100, [10, 0]), (200, [0, 10])],   # subspace 0
+        [(100, [0, 10]), (200, [10, 0])],   # subspace 1
+    ]
+    enc = SIM.pq_encode_literal(df, books, "qv")
+    codes = {r["vec_id"]: (r["code_0"], r["code_1"]) for r in enc.collect()}
+    # Codes are POSITIONS in the cid-sorted book: cid 100 -> 0, 200 -> 1.
+    assert codes[1] == (0, 0) and codes[2] == (0, 0)
+    assert codes[3] == (1, 1)
+    # ADC distance of vector 1's own vector against codes of 3 is the
+    # distance to 3's reconstructed centroids: (10,0,0,10)->(0,10,10,0)
+    q = spark.createDataFrame([(1, [10, 0, 0, 10])], "qid long, q array<long>")
+    adc = (
+        enc.crossJoin(q)
+        .select("vec_id", SIM.pq_adc_dist(F.col("q"), books).alias("d"))
+    )
+    d = {r["vec_id"]: r["d"] for r in adc.collect()}
+    assert d[1] == 0 and d[2] == 0          # same cell -> reconstruction = query
+    assert d[3] == 4 * 100                  # each dim off by 10, 4 dims
+
+
+def test_pq_np_encode_matches_literal_encode(spark):
+    """The vectorized Arrow encode (graded path) and the plan-literal
+    expression encode must produce identical codes on real vectors."""
+    from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
+    sampled = base.filter(F.col("vec_id") % 7 == 0).collect()
+    books = [
+        [(int(r["vec_id"]), [int(x) for x in r["qv"][m * 8:(m + 1) * 8]])
+         for r in sampled]
+        for m in range(8)
+    ]
+    lit = {
+        r["vec_id"]: tuple(r[f"code_{m}"] for m in range(8))
+        for r in SIM.pq_encode_literal(base, books, "qv").collect()
+    }
+    np_ = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in SIM.pq_encode_np(base, books, "qv").collect()
+    }
+    assert lit == np_ and len(lit) > 0
