@@ -709,3 +709,69 @@ def adc_from_lut_codes(lut_col: Column, codes_col: Column, n_codes: int, n_subsp
             lut_col, F.lit(m * n_codes) + F.element_at(codes_col, m + 1) + 1
         )
     return total
+
+
+def assign_cells_np(
+    df: DataFrame, codebook: list[tuple[int, list[int]]], vec_col: str = "qv"
+) -> DataFrame:
+    """Vectorized twin of assign_cells_literal: one Arrow batch UDF
+    computes every row's nearest centroid as an int64 matmul argmin
+    (scores = ||c||^2 - 2 X @ C^T, same ordering as squared distance;
+    ties -> first minimum = lowest cell_id since centroids are sorted
+    by id). Zero shuffle, BLAS-shaped per batch — the encode-side
+    scale path when the codebook is too large for cheap expression
+    folds."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = sorted(codebook)
+    cents = np.array([cv for _, cv in ordered], dtype=np.int64)
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    c2 = (cents * cents).sum(axis=1)
+
+    @pandas_udf("long")
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.array(v.tolist(), dtype=np.int64)
+        scores = c2[None, :] - 2 * (X @ cents.T)
+        return pd.Series(cids[np.argmin(scores, axis=1)])
+
+    return df.withColumn("cell_id", cell(F.col(vec_col)))
+
+
+def semdedup_cell_drops(assigned: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup's within-cell pass as grouped Arrow batches: for each
+    cell, compute the full pairwise cosine matrix with one integer
+    Gram matmul and emit every vector whose cosine to an EARLIER
+    (lower-id) same-cell vector reaches tau, with its max such cosine
+    (unrounded — callers round, keeping the engine's half-up rounding
+    convention). This is the method's actual scale shape: the
+    quadratic term is bounded by max cell size, each cell is one
+    in-memory numpy job, and the only shuffle is the groupBy(cell).
+    Production caps cell size by recursive re-clustering."""
+
+    def drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "cell_id": [], "max_cos": []}
+            ).astype({"vec_id": "int64", "cell_id": "int64", "max_cos": "float64"})
+        G = (X @ X.T).astype(np.float64)
+        n = np.sqrt(np.diag(G))
+        C = G / np.outer(n, n)
+        best = np.full(len(pdf), -np.inf)
+        for j in range(1, len(pdf)):
+            best[j] = C[:j, j].max()
+        mask = best >= tau
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"][mask].astype("int64"),
+                "cell_id": pdf["cell_id"][mask].astype("int64"),
+                "max_cos": best[mask],
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        drops, "vec_id long, cell_id long, max_cos double"
+    )

@@ -350,33 +350,17 @@ def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") < 1_000_000) & (F.col("vec_id") % _SEMDEDUP_MOD == 0)
         ).collect()
     ]
-    from bigdata_invoice_stream_analysis_spark.cache import scoped_cache
-
-    # The literal-codebook assignment is a large expression (k_cells x
-    # dim integer sqdists per row); cache the assigned frame so the
-    # self-join's two sides don't each recompute it, and precompute
-    # each row's squared norm ONCE so the pairwise cosine costs one
-    # dot product instead of three (sqrt(n2) is correctly rounded, so
-    # dot/(sqrt*sqrt) is bit-identical to quant_cosine).
-    assigned = scoped_cache(
-        SIM.assign_cells_literal(v, codebook, "qv").withColumn(
-            "n2", SIM.int_norm2(F.col("qv"))
-        )
-    )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    cos = SIM.int_dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
-        F.sqrt(F.col("a.n2").cast("double")) * F.sqrt(F.col("b.n2").cast("double"))
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.cell_id") == F.col("b.cell_id"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).where(cos >= _SEMDEDUP_TAU)
-    return pairs.groupBy(
-        F.col("b.vec_id").alias("vec_id"),
-        F.col("b.cell_id").cast("long").alias("cell_id"),
-    ).agg(r6(F.max(cos)).alias("max_cos"))
+    # Vectorized assignment (Arrow batch matmul argmin) + per-cell
+    # grouped-pandas pairwise pass — the paper's actual execution
+    # shape. The expression-form twins (assign_cells_literal +
+    # cell-keyed self-join) are unit-tested equivalents
+    # (tests/test_pipelines.py); integer Gram matrices keep the numpy
+    # path bit-identical to the SQL oracle, and rounding happens HERE
+    # (F.round, half-up) so the engine-side rounding convention is
+    # preserved.
+    assigned = SIM.assign_cells_np(v, codebook, "qv")
+    drops = SIM.semdedup_cell_drops(assigned, tau=_SEMDEDUP_TAU)
+    return drops.select("vec_id", "cell_id", r6(F.col("max_cos")).alias("max_cos"))
 
 
 # ---------------------------------------------------------------------------

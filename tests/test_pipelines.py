@@ -315,3 +315,44 @@ def test_pq_np_encode_matches_literal_encode(spark):
         for r in SIM.pq_encode_np(base, books, "qv").collect()
     }
     assert lit == np_ and len(lit) > 0
+
+
+def test_semdedup_np_matches_expression_form(spark):
+    """assign_cells_np + semdedup_cell_drops (graded Arrow path) must
+    equal the expression-form assignment + cell-keyed self-join on the
+    real embeddings table."""
+    from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    v = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
+    codebook = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in v.filter(F.col("vec_id") % 11 == 0).collect()
+    ]
+    tau = -2.0  # below any cosine: every within-cell pair qualifies
+    np_assigned = SIM.assign_cells_np(v, codebook, "qv")
+    got = {
+        (r["vec_id"], r["cell_id"], round(r["max_cos"], 6))
+        for r in SIM.semdedup_cell_drops(np_assigned, tau=tau).collect()
+    }
+    ex_assigned = SIM.assign_cells_literal(v, codebook, "qv")
+    a, b = ex_assigned.alias("a"), ex_assigned.alias("b")
+    cos = SIM.quant_cosine(F.col("a.qv"), F.col("b.qv"))
+    want = {
+        (r["vec_id"], r["cell_id"], round(r["mc"], 6))
+        for r in (
+            a.join(
+                b,
+                (F.col("a.cell_id") == F.col("b.cell_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .where(cos >= tau)
+            .groupBy(
+                F.col("b.vec_id").alias("vec_id"),
+                F.col("b.cell_id").cast("long").alias("cell_id"),
+            )
+            .agg(F.max(cos).alias("mc"))
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
