@@ -766,3 +766,305 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch accuracy audit
+# ---------------------------------------------------------------------------
+
+from bigdata_invoice_stream_analysis_spark.plans.extensions import (  # noqa: E402
+    SHINGLES_CTE,
+    docs_neardup as _docs_neardup,
+)
+
+
+def _sql_minhash_audit() -> str:
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(s, h -> ({a} * h + {b}) % {TX.HASH_P})) AS m{i}"
+        for i, (a, b) in enumerate(zip(DD.MINHASH_A, DD.MINHASH_B))
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(DD.N_PERMS)
+    )
+    return f"""
+WITH {DOCS_NEARDUP_CTE}, {SHINGLES_CTE},
+sig AS (SELECT doc_id, s, {sig_cols} FROM sh),
+p AS (
+  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT p.id_a, p.id_b,
+       CAST({n_eq} AS BIGINT) AS n_eq,
+       ROUND(CAST({n_eq} AS DOUBLE) / {DD.N_PERMS}, 6) AS est_jaccard,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS exact_jaccard
+FROM p JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b
+"""
+
+
+@query("minhash_accuracy_audit", oracle=_sql_minhash_audit())
+def q_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every planted near-dup pair, the
+    MinHash Jaccard estimate (fraction of agreeing signature
+    components, 32 perms) side by side with the exact shingle-set
+    Jaccard — the measurement a production dedup pipeline runs before
+    trusting an LSH operating point (bands x rows) at scale. Everything
+    is per-row expression work plus one id-keyed join against the
+    planted pair list; signatures and set intersections reuse the
+    dedup operators unchanged."""
+    d = _docs_neardup(spark, sf_dir)
+    sh = d.select(
+        "doc_id", TX.shingle_hashes(F.col("text"), 3).alias("s")
+    ).withColumn("sig", DD.minhash_signature(F.col("s")))
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1_000_000).alias("id_b"),
+        )
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), F.col("sig").alias("ga")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), F.col("sig").alias("gb")
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("ga"), F.col("gb"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_union(F.col("sa"), F.col("sb")))
+    return j.select(
+        "id_a",
+        "id_b",
+        n_eq.cast("long").alias("n_eq"),
+        r6(n_eq.cast("double") / DD.N_PERMS).alias("est_jaccard"),
+        r6(inter.cast("double") / union).alias("exact_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+WITH pc AS (
+  SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p.p_partkey, p.price_cents, p.p_size
+FROM pc p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pc q
+  WHERE q.price_cents <= p.price_cents AND q.p_size <= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size < p.p_size)
+)
+""",
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts not dominated on (price, size) — minimize
+    both; a part is dominated if another is <= on both axes and
+    strictly < on one. The oracle states the NOT EXISTS semantics; the
+    Spark plan avoids the quadratic anti-join entirely with the sorted
+    running-min formulation: per-price minimum size (one hash agg over
+    the full table), then a strict running minimum across ascending
+    prices — computed on the DISTINCT-PRICE aggregate, which is
+    cardinality-bounded (price domain, not row count), so the global
+    window sorts thousands of group rows, never the fact table. Parts
+    re-qualify by equality against their price's frontier size. At
+    100x the agg shrinks the window input by the duplication factor;
+    a d-dimensional skyline generalizes via local-skyline partial
+    aggregation (each partition's skyline is a superset filter) +
+    merge, the same partial/final shape."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    g = p.groupBy("price_cents").agg(F.min("p_size").alias("msize"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("rmin", F.min("msize").over(w))
+    frontier_prices = g.filter(
+        F.col("rmin").isNull() | (F.col("msize") < F.col("rmin"))
+    ).select(
+        F.col("price_cents").alias("f_cents"), F.col("msize").alias("f_size")
+    )
+    return p.join(
+        F.broadcast(frontier_prices),
+        (F.col("price_cents") == F.col("f_cents"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "price_cents", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Gini coefficient)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "customer_revenue_gini",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS rk
+  FROM rev
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM(rk * cents) AS BIGINT) AS weighted_sum
+  FROM ranked
+)
+SELECT n_customers, total_cents, weighted_sum,
+       ROUND(2.0 * weighted_sum / (n_customers * CAST(total_cents AS DOUBLE))
+             - (n_customers + 1.0) / n_customers, 6) AS gini
+FROM s
+""",
+)
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: exact Gini coefficient over
+    per-customer revenue — the sampling-weight / data-balance
+    diagnostic a corpus pipeline runs before choosing mixture weights
+    (cf. source_temperature_mix). Money stays in integer cents and the
+    rank-weighted sum stays in BIGINT, so the only float op is the
+    final two-division formula — engine-stable under r6. The global
+    rank runs on the per-customer AGGREGATE (customer-domain rows,
+    1.5k at sf 0.01), never the order table; at 100x the aggregate
+    still fits a single window task, and beyond that the formula
+    decomposes over value-sorted range partitions (rank offsets are
+    per-partition constants)."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = rev.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.asc("cents"), F.asc("o_custkey")))
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("rk") * F.col("cents")).alias("weighted_sum"),
+    )
+    return s.select(
+        "n_customers",
+        "total_cents",
+        "weighted_sum",
+        r6(
+            F.lit(2.0) * F.col("weighted_sum")
+            / (F.col("n_customers") * F.col("total_cents").cast("double"))
+            - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: CMS maintained by the streaming state store
+# ---------------------------------------------------------------------------
+
+
+def _sql_cms_events() -> str:
+    cell_rows = "\nUNION ALL\n".join(
+        f"  SELECT {r} AS r, {SK.sql_cms_hash('user_id', r)} AS c,"
+        f" COUNT(*) AS cnt FROM events GROUP BY 2"
+        for r in range(SK.CMS_D)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"  SELECT user_id, exact_cnt, {r} AS r,"
+        f" {SK.sql_cms_hash('user_id', r)} AS c FROM top"
+        for r in range(SK.CMS_D)
+    )
+    return f"""
+WITH cells AS (
+{cell_rows}
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+top AS (
+  SELECT user_id, exact_cnt FROM (
+    SELECT user_id, exact_cnt,
+           row_number() OVER (ORDER BY exact_cnt DESC, user_id ASC) AS rn
+    FROM exact
+  ) WHERE rn <= {_CMS_TOPN}
+),
+probes AS (
+{probe_rows}
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(cells.cnt) AS cms_est
+  FROM probes p JOIN cells ON cells.r = p.r AND cells.c = p.c
+  GROUP BY 1, 2
+)
+SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@query("streaming_heavy_hitters", oracle=_sql_cms_events())
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch maintained INCREMENTALLY by Structured
+    Streaming: the (hash_row, counter) cells are a streaming update-mode
+    aggregation, so the engine's keyed state store carries the sketch
+    across micro-batches — a sketch is mergeable by construction, which
+    is exactly what makes it streamable with bounded (d*w) state no
+    matter how many events flow through. The drained cells must produce
+    the SAME point estimates as the batch-built sketch (the DuckDB
+    oracle), proving the incremental merge is lossless. Exact per-key
+    counts are computed batch-side only to rank the probe keys and
+    exhibit the one-sided error."""
+    import tempfile
+
+    from bigdata_invoice_stream_analysis_spark.plans.queries import _run_drain
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    cells_stream = SK.cms_cells(stream.select("user_id"), "user_id")
+    acc: dict[tuple[int, int], int] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[(r["r"], r["c"])] = r["cnt"]
+
+    ckpt = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
+    writer = (
+        cells_stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    cells = spark.createDataFrame(
+        [(r, c, int(n)) for (r, c), n in sorted(acc.items())],
+        "r int, c long, cnt long",
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(_CMS_TOPN)
+    est = SK.cms_estimate(top.select("user_id"), cells, "user_id")
+    return top.join(F.broadcast(est), "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )

@@ -356,3 +356,59 @@ def test_semdedup_np_matches_expression_form(spark):
         )
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Skyline running-min formulation == brute-force domination
+# ---------------------------------------------------------------------------
+
+def test_skyline_matches_bruteforce(spark):
+    rows = [(i, (i * 37) % 11, (i * 53) % 13) for i in range(60)]
+    df = spark.createDataFrame(rows, "pid long, price long, size long")
+    g = df.groupBy("price").agg(F.min("size").alias("msize"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    fp = (
+        g.withColumn("rmin", F.min("msize").over(w))
+        .filter(F.col("rmin").isNull() | (F.col("msize") < F.col("rmin")))
+        .select(F.col("price").alias("fp"), F.col("msize").alias("fs"))
+    )
+    fast = {
+        r["pid"]
+        for r in df.join(
+            F.broadcast(fp),
+            (F.col("price") == F.col("fp")) & (F.col("size") == F.col("fs")),
+        ).collect()
+    }
+    brute = {
+        p
+        for p, pr, sz in rows
+        if not any(
+            (qr <= pr and qs <= sz and (qr < pr or qs < sz))
+            for _, qr, qs in rows
+        )
+    }
+    assert fast == brute and len(brute) > 0
+
+
+def test_gini_formula_on_known_distribution(spark):
+    # Perfect equality -> gini 0; all-to-one -> approaches 1 - 1/n.
+    from pyspark.sql.window import Window
+
+    def gini(values):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], "k long, cents long"
+        )
+        ranked = df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.asc("cents"), F.asc("k")))
+        )
+        r = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("t"),
+            F.sum(F.col("rk") * F.col("cents")).alias("ws"),
+        ).first()
+        return 2.0 * r["ws"] / (r["n"] * float(r["t"])) - (r["n"] + 1.0) / r["n"]
+
+    assert abs(gini([100] * 10)) < 1e-9
+    assert abs(gini([0] * 9 + [1000]) - 0.9) < 1e-9
