@@ -1068,3 +1068,338 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-partitioned join (zero-Exchange join, driver-gated)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB join posture, driver-gated end to end: lineitem and
+    orders are PERSISTED bucketed (and sorted) by the join key with the
+    same bucket count, then joined — Catalyst recognizes the
+    co-partitioning from catalog metadata and plans a sort-merge join
+    with NO Exchange and no per-query sort on either side (plan proven
+    in tests/test_scale_paths.py; this query gates the RESULT through
+    the oracle). At 100 TB this is the difference between re-shuffling
+    the fact table on every recurring join and paying the shuffle once
+    at layout time — the bucketed write is the one-time cost a real
+    deployment amortizes across every downstream join on the key."""
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    from bigdata_invoice_stream_analysis_spark.sources.tables import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="bkt_join_")
+    write_bucketed(li, "bkt_lineitem_rev", "l_orderkey", 8, path=f"{root}/li")
+    write_bucketed(o, "bkt_orders_rev", "o_orderkey", 8, path=f"{root}/o")
+    lb = spark.table("bkt_lineitem_rev")
+    ob = spark.table("bkt_orders_rev")
+    j = lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface, driver-gated (sentence segmentation stats)
+# ---------------------------------------------------------------------------
+
+_SENT_W = 12
+
+
+@query(
+    "sentence_stats_udtf",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+punct AS (
+  SELECT doc_id,
+         array_to_string({TX.sql_chunks('toks', _SENT_W)}, '. ') || '.' AS text2
+  FROM tok WHERE len(toks) > 0
+),
+sents AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text2, '[.!?]'),
+                                    s -> trim(s)), s -> s != '') AS ss
+  FROM punct
+)
+SELECT doc_id,
+       CAST(len(ss) AS BIGINT) AS n_sentences,
+       -- +1 per sentence: the UDTF keeps the terminating period the
+       -- relational split consumes (every sentence here has exactly one)
+       CAST(list_sum(list_transform(ss, s -> length(s) + 1)) AS BIGINT) AS total_chars,
+       CAST(list_max(list_transform(ss, s -> length(s) + 1)) AS BIGINT) AS max_chars
+FROM sents
+""",
+)
+def q_sentence_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function) in the graded path:
+    documents are deterministically punctuated (a period between every
+    {w}-token chunk — the corpus has none of its own), LATERAL-joined
+    through the ``split_sentences`` UDTF (functions/udtf_fns.py), and
+    re-aggregated into per-doc sentence statistics. The UDTF is the
+    procedural row expansion (offset-tracking segmentation state that
+    a declarative explode cannot carry); everything around it stays
+    native. Oracle replicates the segmentation relationally, proving
+    the UDTF's semantics, not just its plumbing."""
+    from bigdata_invoice_stream_analysis_spark.functions.udtf_fns import (
+        split_sentences,
+    )
+
+    spark.udtf.register("split_sentences", split_sentences)
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokenize(F.col("text"))
+    punct = d.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(". ", TX.chunks(toks, _SENT_W)), F.lit(".")
+        ).alias("text2"),
+    ).filter(F.size(toks) > 0)
+    punct.createOrReplaceTempView("udtf_punct_docs")
+    sent = spark.sql(
+        "SELECT d.doc_id, s.n_chars FROM udtf_punct_docs d, "
+        "LATERAL split_sentences(d.text2) s"
+    )
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wide→long unpivot (melt) surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+WITH w AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+UNION ALL
+SELECT o_orderpriority, 'sum_cents', sum_cents FROM w
+UNION ALL
+SELECT o_orderpriority, 'n_custs', n_custs FROM w
+""",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape through the native unpivot/melt operator (the
+    inverse of status_priority_pivot's relational pivot): a per-priority
+    metrics row explodes into (priority, metric, value) triples. Spark
+    plans unpivot as a single Expand over the aggregated rows — one
+    pass, no join, no union of re-scans (the UNION ALL oracle states
+    the semantics; the engine does NOT execute it that way)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+        F.count_distinct("o_custkey").alias("n_custs"),
+    )
+    return w.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_cents", "n_custs"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov over user event streams)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, COUNT(*) AS cnt
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY event_type), 6)
+         AS prob
+FROM c
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (the session-flow diagnostic behind funnel design):
+    next-event pairs come from ONE lead() window on the user_id
+    exchange (ties broken by event_id for determinism), then a
+    transition-domain aggregation — event_type² rows — normalizes
+    counts into conditional probabilities with a second, tiny window.
+    No event self-join; the fact table crosses the wire once."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    seq = ev.withColumn(
+        "next_type",
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+    return c.select(
+        "event_type",
+        "next_type",
+        "cnt",
+        r6(F.col("cnt").cast("double") / F.sum("cnt").over(wt)).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end streaming anomaly pipeline (the reference's actual job),
+# driver-gated
+# ---------------------------------------------------------------------------
+
+from bigdata_invoice_stream_analysis_spark.plans.queries import (  # noqa: E402
+    FEATS_SELECT,
+    PURCHASE_CTE,
+    SCORING_CENTROIDS,
+    SCORING_THRESHOLD,
+    _FEATURE_ALIASES,
+    _sql_sqdist,
+    purchase_projection,
+)
+
+
+@query(
+    "streaming_centroid_anomalies",
+    oracle=f"""
+WITH {PURCHASE_CTE}, feats AS ({FEATS_SELECT})
+SELECT invoice_no,
+       CASE WHEN {_sql_sqdist(SCORING_CENTROIDS[0])} <= {_sql_sqdist(SCORING_CENTROIDS[1])}
+            THEN 0 ELSE 1 END AS prediction,
+       ROUND(LEAST({_sql_sqdist(SCORING_CENTROIDS[0])}, {_sql_sqdist(SCORING_CENTROIDS[1])}), -3) AS dist,
+       LEAST({_sql_sqdist(SCORING_CENTROIDS[0])}, {_sql_sqdist(SCORING_CENTROIDS[1])})
+         > {SCORING_THRESHOLD!r} AS is_anomaly
+FROM feats f
+""",
+)
+def q_streaming_centroid_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's streaming job END TO END under the driver gate
+    (InvoicePipeline.scala:133-148): purchase lines arrive as a STREAM
+    (file-source lineitem), stream-static join against orders, the
+    SHARED purchase projection (identical parse/derive as batch —
+    train/serve consistency by construction), good-line filters, a
+    keyed update-mode aggregation whose state store carries per-invoice
+    integer sums across micro-batches, and nearest-centroid threshold
+    scoring of the drained snapshot with plan-literal centroids. The
+    result must hash-match the BATCH featurize+score oracle — proving
+    the incremental state produces exactly the declarative aggregate.
+
+    Scale notes: the stream side shuffles once on the join key, state
+    is O(open invoices) integer sums, and scoring is per-row codegen —
+    the same shapes the batch twins carry, now through
+    IncrementalExecution."""
+    import tempfile
+
+    from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
+        parse_invoice_ts,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import _run_drain
+    from bigdata_invoice_stream_analysis_spark.streaming.scoring import (
+        score_with_centroids,
+    )
+
+    li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    sli = (
+        spark.readStream.schema(li_schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    p = purchase_projection(sli.join(o, sli["l_orderkey"] == o["o_orderkey"]))
+    p = p.filter(
+        ~F.col("InvoiceNo").startswith("C")
+        & ~(F.col("CustomerID").isNull() | (F.trim(F.col("CustomerID")) == ""))
+    )
+    ts = parse_invoice_ts(F.col("InvoiceDate"))
+    cents = F.round(F.col("UnitPrice") * 100).cast("long")
+    minutes = (F.hour(ts) * 60 + F.minute(ts)).cast("long")
+    agg = p.groupBy("InvoiceNo").agg(
+        F.sum(cents).alias("sum_cents"),
+        F.min("UnitPrice").alias("min_unit_price"),
+        F.max("UnitPrice").alias("max_unit_price"),
+        F.sum(minutes).alias("sum_minutes"),
+        F.sum("Quantity").cast("long").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    acc: dict[str, tuple] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["InvoiceNo"]] = (
+                r["sum_cents"], r["min_unit_price"], r["max_unit_price"],
+                r["sum_minutes"], r["sum_qty"], r["n_lines"],
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="stream_score_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    snap = spark.createDataFrame(
+        [(k,) + v for k, v in sorted(acc.items())],
+        "InvoiceNo string, sum_cents long, min_unit_price double,"
+        " max_unit_price double, sum_minutes long, sum_qty long, n_lines long",
+    )
+    feats = snap.filter(
+        (F.col("sum_cents") > 0)
+        & (F.col("min_unit_price") > 0)
+        & (F.col("max_unit_price") > 0)
+        & (F.col("sum_qty") > 0)
+    ).select(
+        F.col("InvoiceNo").alias("invoice_no"),
+        (F.col("sum_cents") / (F.lit(100.0) * F.col("n_lines"))).alias(
+            "avg_unit_price"
+        ),
+        "min_unit_price",
+        "max_unit_price",
+        (F.col("sum_minutes") / (F.lit(60.0) * F.col("n_lines"))).alias("time"),
+        F.col("sum_qty").cast("double").alias("number_items"),
+    )
+    scored = score_with_centroids(feats, SCORING_CENTROIDS, _FEATURE_ALIASES)
+    return scored.select(
+        "invoice_no",
+        "prediction",
+        F.round(F.col("dist"), -3).alias("dist"),
+        (F.col("dist") > F.lit(SCORING_THRESHOLD)).alias("is_anomaly"),
+    )

@@ -69,6 +69,15 @@ def purchase_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across cores when the scan under-parallelizes (one-row-group
     # local files — no-op at production split counts).
     j = ensure_min_parallelism(li.join(o, li.l_orderkey == o.o_orderkey), spark)
+    return purchase_projection(j)
+
+
+def purchase_projection(j: DataFrame) -> DataFrame:
+    """The purchase-line projection over a lineitem⋈orders join —
+    shared by the batch path (purchase_rows) and the streaming gate
+    (plans/pipelines.q_streaming_centroid_anomalies), so batch and
+    stream parse/derive IDENTICAL columns (the train/serve-consistency
+    stance of SURVEY.md §3.1)."""
     order_ts = F.timestamp_add(
         "MINUTE", (F.col("o_orderkey") % 1440).cast("int"), F.col("o_orderdate")
     )
