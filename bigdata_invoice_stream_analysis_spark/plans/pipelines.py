@@ -1403,3 +1403,210 @@ def q_streaming_centroid_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.col("dist"), -3).alias("dist"),
         (F.col("dist") > F.lit(SCORING_THRESHOLD)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-based silhouette (clustering-quality audit)
+# ---------------------------------------------------------------------------
+
+
+def _sql_cdist(center: list[float]) -> str:
+    terms = " + ".join(
+        f"(f.{c} - {v!r}) * (f.{c} - {v!r})"
+        for c, v in zip(_FEATURE_ALIASES, center)
+    )
+    return f"sqrt({terms})"
+
+
+@query(
+    "centroid_silhouette",
+    oracle=f"""
+WITH {PURCHASE_CTE}, feats AS ({FEATS_SELECT}),
+scored AS (
+  SELECT CASE WHEN {_sql_cdist(SCORING_CENTROIDS[0])} <= {_sql_cdist(SCORING_CENTROIDS[1])}
+              THEN 0 ELSE 1 END AS prediction,
+         LEAST({_sql_cdist(SCORING_CENTROIDS[0])}, {_sql_cdist(SCORING_CENTROIDS[1])}) AS a,
+         GREATEST({_sql_cdist(SCORING_CENTROIDS[0])}, {_sql_cdist(SCORING_CENTROIDS[1])}) AS b
+  FROM feats f
+)
+SELECT prediction,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CAST(ROUND((b - a) / GREATEST(a, b) * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_s_micro,
+       ROUND(SUM(CAST(ROUND((b - a) / GREATEST(a, b) * 1000000) AS BIGINT))
+             / (1000000.0 * COUNT(*)), 6) AS mean_silhouette
+FROM scored GROUP BY 1
+""",
+)
+def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit: the centroid-based (simplified)
+    silhouette — a = distance to the assigned centroid, b = distance
+    to the nearest OTHER centroid, s = (b-a)/max(a,b) — aggregated per
+    cluster. The per-row math is pure codegen over the plan-literal
+    centroids (no pairwise O(N²) term, which is what makes silhouette
+    computable at corpus scale); per-row s is quantized to integer
+    micro-units BEFORE the aggregation so the cross-partition sum is
+    exact and shuffle-order-independent. From the registry of queries
+    the reference's training job would need to pick k honestly (its
+    elbow criterion, SURVEY §3.1, is gated separately)."""
+    from bigdata_invoice_stream_analysis_spark.plans.queries import QUERIES as _Q
+
+    feats = _Q["invoice_features"](spark, sf_dir)
+    d0, d1 = [
+        F.sqrt(
+            sum(
+                (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v))
+                for c, v in zip(_FEATURE_ALIASES, ctr)
+            )
+        )
+        for ctr in SCORING_CENTROIDS
+    ]
+    scored = feats.select(
+        F.when(d0 <= d1, 0).otherwise(1).alias("prediction"),
+        F.least(d0, d1).alias("a"),
+        F.greatest(d0, d1).alias("b"),
+    )
+    s_micro = F.round(
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")) * 1_000_000
+    ).cast("long")
+    return scored.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(s_micro).alias("sum_s_micro"),
+        r6(F.sum(s_micro) / (F.lit(1_000_000.0) * F.count(F.lit(1)))).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (table diff audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "table_diff_audit",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderstatus AS st
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 101 = 0 THEN 100 ELSE 0 END AS cents,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 103 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderstatus
+  FROM orders WHERE o_orderkey % 107 = 0
+),
+d AS (
+  SELECT a.k AS ka, b.k AS kb,
+         CASE WHEN a.cents = b.cents AND a.st = b.st THEN 0 ELSE 1 END AS chg
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT CAST(SUM(CASE WHEN ka IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN kb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL THEN chg ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL AND chg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM d
+""",
+)
+def q_table_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the anti-entropy audit run between two
+    versions of a table (replica divergence, backfill validation, CDC
+    sanity): a keyed full outer join classifying every key as
+    added / removed / changed / unchanged by comparing integer row
+    digests. Version B is derived deterministically (drop %103 keys,
+    perturb %101 prices, insert %107 copies under new keys) so both
+    engines diff identical snapshots. One key-partitioned shuffle per
+    side; at 100 TB the row digest would be a hash over all columns
+    computed at scan time, and the join output is counts only — the
+    shuffle never carries the wide rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    b_mod = o.filter(F.col("o_orderkey") % 103 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (cents + F.when(F.col("o_orderkey") % 101 == 0, 100).otherwise(0)).alias(
+            "cents"
+        ),
+        F.col("o_orderstatus").alias("st"),
+    )
+    b_new = o.filter(F.col("o_orderkey") % 107 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("k"),
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    b = b_mod.unionAll(b_new)
+    d = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    chg = F.when(
+        (F.col("a.cents") == F.col("b.cents")) & (F.col("a.st") == F.col("b.st")), 0
+    ).otherwise(1)
+    both = F.col("a.k").isNotNull() & F.col("b.k").isNotNull()
+    return d.agg(
+        F.sum(F.when(F.col("a.k").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("b.k").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(both, chg).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(both & (chg == 0), 1).otherwise(0)).alias("n_unchanged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered integer EWMA per key (recursive fold the window API can't express)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_value_ewma",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(ROUND(value * 100) AS BIGINT) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       CAST(list_reduce(vals, (acc, x) -> (3 * acc + x) // 4) AS BIGINT) AS ewma_cents
+FROM ordered
+""",
+)
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user with alpha = 1/4
+    carried as EXACT integer arithmetic: e_t = (3*e_{t-1} + x_t) div 4
+    over the (ts, event_id)-ordered value stream. A recursive
+    per-element fold is precisely what SQL window frames cannot
+    express (each output depends on the previous OUTPUT, not the
+    previous input), so the engine shape is: one keyed shuffle,
+    in-group ordering via sort_array on (ts, event_id, value) structs,
+    then a higher-order fold — state O(1) per group, no UDF. The
+    streaming twin is the same recurrence inside keyed state
+    (streaming/state.py's update pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), cents.alias("cents"))
+            )
+        ).alias("evs")
+    )
+    vals = F.transform(F.col("evs"), lambda e: e["cents"])
+    # (3*acc + x) div 4: operands are non-negative cents, so long-cast
+    # truncation equals DuckDB's floor division bit-for-bit.
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: ((F.lit(3) * acc + x) / F.lit(4)).cast("long"),
+    )
+    return g.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        ewma.alias("ewma_cents"),
+    )

@@ -181,3 +181,65 @@ def test_zorder_profile_zero_join_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(exchanges) == 1, plan
+
+
+def test_promo_interval_join_binned_broadcast(spark, sf_dir):
+    df = QUERIES["promo_interval_join"](spark, sf_dir)
+    plan = _plan(df)
+    # the exploded period side broadcasts; no nested-loop/cartesian scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    # At test SF the orders side is broadcast-sized, so AQE would
+    # (correctly) pick BHJ; disable broadcast to expose the plan the
+    # join has at production scale — where bucketing must yield a
+    # zero-Exchange sort-merge join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_join_revenue"](spark, sf_dir)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    # the join region (below the final aggregate) adds no Exchange
+    join_part = plan.split("HashAggregate")[-1]
+    assert "Exchange" not in join_part
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    df = QUERIES["chunk_dedup_stats"](spark, sf_dir)
+    plan = _plan(df)
+    # the window/agg shuffles carry (hash, doc, idx) — the chunk string
+    # must be projected away before any exchange
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "chunk" not in first_line or "chunk_idx" in first_line
+
+
+def test_pareto_frontier_no_quadratic_join(spark, sf_dir):
+    df = QUERIES["pareto_frontier_parts"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # frontier prices broadcast back onto parts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_cms_topk_no_global_window(spark, sf_dir):
+    df = QUERIES["heavy_hitters_cms"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_event_transition_single_fact_exchange(spark, sf_dir):
+    df = QUERIES["event_transition_matrix"](spark, sf_dir)
+    plan = _plan(df)
+    # one window over user_id, aggregation over the transition domain;
+    # the events table is scanned exactly once
+    assert plan.count("FileScan parquet") == 1
