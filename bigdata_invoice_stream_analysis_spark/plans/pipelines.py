@@ -1610,3 +1610,100 @@ def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("evs").cast("long").alias("n_events"),
         ewma.alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize (NN-resample) profile, driver-gated
+# ---------------------------------------------------------------------------
+
+from bigdata_invoice_stream_analysis_spark.operators import multimodal as MM  # noqa: E402
+
+_RS_W, _RS_H = 16, 4
+
+
+@query(
+    "media_resize_profile",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS w FROM documents
+),
+sel AS (
+  SELECT media_id,
+         list_transform(generate_series(0, {_RS_W - 1}),
+                        c -> CAST(ascii(substr(text, (c * w) // {_RS_W} + 1, 1)) AS BIGINT)) AS rowbytes
+  FROM m
+)
+SELECT media_id,
+       CAST({_RS_W * _RS_H} AS BIGINT) AS n_bytes,
+       CAST({_RS_H} * list_sum(rowbytes) AS BIGINT) AS byte_sum,
+       CAST(list_min(rowbytes) AS INT) AS byte_min,
+       CAST(list_max(rowbytes) AS INT) AS byte_max,
+       'image' AS kind
+FROM sel
+""",
+)
+def q_media_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-resize stage of a multimodal pipeline, driver-gated:
+    documents-as-media payloads run through the deterministic
+    nearest-neighbor resample (operators/multimodal.resize_stub,
+    resample=True — real NN index arithmetic over the byte raster;
+    only the codec is a stand-in) to a {w}x{h} raster, then through the
+    same Arrow byte-stats extractor as media_byte_stats. The oracle
+    recomputes the NN sampling relationally (payload height is 1, so
+    every output row repeats the column samples (c*w)//{w}), proving
+    the resample's INDEX MATH, not just that bytes moved. Plan: two
+    chained mapInPandas stages, zero shuffle — the whole pipeline is
+    scan-parallel at any scale."""
+    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
+    resized = MM.resize_stub(media, _RS_W, _RS_H, resample=True)
+    return MM.extract_byte_stats(resized)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK violation counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+WITH cust_kept AS (SELECT c_custkey FROM customer WHERE c_custkey % 211 != 0),
+part_kept AS (SELECT p_partkey FROM part WHERE p_partkey % 223 != 0)
+SELECT
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM cust_kept c WHERE c.c_custkey = o.o_custkey))
+       AS BIGINT) AS orphan_orders,
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part_kept p WHERE p.p_partkey = l.l_partkey))
+       AS BIGINT) AS orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_orders,
+  CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitems
+""",
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality gate run before
+    any fact/dim join is trusted: count fact rows whose foreign key has
+    no match in the dimension, via LEFT ANTI joins (Catalyst's
+    NOT EXISTS plan). Violations are planted deterministically by
+    thinning the dimension side (%211 customers, %223 parts dropped)
+    so both engines audit identical states. Each audit is one
+    key-shuffle anti join where only the KEY column crosses the wire;
+    the dims broadcast when they fit. At 100 TB this runs as a
+    by-product of the bucketed layout (same key partitioning as the
+    production joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 211 != 0
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 223 != 0)
+    orphan_o = o.join(
+        cust, o["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    orphan_l = li.join(
+        part, li["l_partkey"] == part["p_partkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    totals = o.agg(F.count(F.lit(1)).alias("n_orders")).crossJoin(
+        li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    return orphan_o.crossJoin(orphan_l).crossJoin(totals)

@@ -55,6 +55,38 @@ def vecs_x(spark, sf_dir, mult=1):
     return out
 
 
+def _chunk_dedup(corpus):
+    from pyspark.sql.window import Window
+
+    from bigdata_invoice_stream_analysis_spark.functions import text as TX
+
+    ch = corpus.select(
+        "doc_id", F.posexplode(TX.chunks(TX.tokenize(F.col("text")), 10)).alias("pos", "chunk")
+    ).select("doc_id", (F.col("pos") + 1).alias("idx"), TX.poly_hash(F.col("chunk")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    return ch.withColumn("rn", F.row_number().over(w)).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("d")
+    )
+
+
+def _semdedup(vecs):
+    cb = [
+        (int(r["vec_id"]), [int(x) for x in r["qv"]])
+        for r in vecs.filter(F.col("vec_id") % 97 == 0).limit(60).collect()
+    ]
+    assigned = SIM.assign_cells_np(vecs, cb, "qv")
+    return SIM.semdedup_cell_drops(assigned, tau=0.99)
+
+
+def _pq_encode(vecs):
+    sampled = vecs.filter(F.col("vec_id") % 149 == 0).limit(40).collect()
+    books = [
+        [(int(r["vec_id"]), [int(x) for x in r["qv"][m * 8:(m + 1) * 8]]) for r in sampled]
+        for m in range(8)
+    ]
+    return SIM.pq_encode_np(vecs, books, "qv")
+
+
 def timed(fn):
     t0 = time.perf_counter()
     n = fn()
@@ -77,11 +109,17 @@ def main():
         "simhash_pairs": lambda corpus: DD.simhash_pairs(
             corpus, "doc_id", "text"
         ).count(),
+        "jaccard_prefix": lambda corpus: DD.jaccard_prefix_pairs(
+            corpus, "doc_id", "text", n=3, threshold=0.2
+        ).count(),
+        "chunk_dedup": lambda corpus: _chunk_dedup(corpus).count(),
     }
     vec_probes = {
         "sign_lsh_pairs": lambda vecs: SIM.sign_lsh_pairs(
             vecs, id_col="vec_id", vec_col="qv", threshold=0.99, quantized=True
         ).count(),
+        "semdedup": lambda vecs: _semdedup(vecs).count(),
+        "pq_encode": lambda vecs: _pq_encode(vecs).count(),
     }
 
     tiers = [("sf0.01", small, 1), ("sf0.1", big, 1), ("sf0.1 x5", big, 5)]
