@@ -1707,3 +1707,301 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.agg(F.count(F.lit(1)).alias("n_lineitems"))
     )
     return orphan_o.crossJoin(orphan_l).crossJoin(totals)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation funnel (lang -> quality -> dedup, one audited pass)
+# ---------------------------------------------------------------------------
+
+from bigdata_invoice_stream_analysis_spark.plans.extensions import (  # noqa: E402
+    QF_MAX_STOPWORD_RATIO,
+    QF_MIN_TOKENS,
+)
+
+
+def _sql_funnel() -> str:
+    q = TX.sql_quality_features("text")
+    lang_pred, _ = TX.sql_detect_language("text")
+    fp = TX.sql_fingerprint("text")
+    return f"""
+WITH {DOCS_EXACTDUP_CTE},
+feat AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         {q["n_tokens"]} AS n_tokens,
+         {q["stopword_ratio"]} AS stopword_ratio,
+         ({lang_pred}) = 'en' AS lang_ok,
+         {fp} AS fp
+  FROM docs_aug
+),
+v AS (
+  SELECT doc_id, n_chars, lang_ok, fp,
+         (n_tokens >= {QF_MIN_TOKENS} AND stopword_ratio <= {QF_MAX_STOPWORD_RATIO})
+           AS q_ok
+  FROM feat
+),
+d AS (
+  SELECT doc_id, n_chars, lang_ok, q_ok,
+         CASE WHEN lang_ok AND q_ok THEN
+           row_number() OVER (PARTITION BY fp, CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END
+                              ORDER BY doc_id)
+         ELSE NULL END AS rn
+  FROM v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_input,
+       CAST(SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(SUM(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dedup
+FROM d
+"""
+
+
+@query("corpus_curation_funnel", oracle=_sql_funnel())
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation report a pretraining-data pipeline publishes per
+    snapshot: one pass computing how many documents (and chars) survive
+    each stage — language ID, quality filter, exact dedup keep-first —
+    over the dup-augmented corpus. Stage predicates are pure per-row
+    expressions stacked in ONE scan; the only shuffle is the
+    fingerprint window for the dedup stage, keyed by the 8-byte hash.
+    Composition is the point: every stage reuses the gated operator
+    (language_id / quality_filter_verdicts / exact_dedup_groups
+    semantics) unchanged, so the funnel numbers reconcile with the
+    per-stage queries."""
+    from pyspark.sql.window import Window
+
+    d = docs_exactdup(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        (TX.detect_language(F.col("text")) == "en").alias("lang_ok"),
+        (
+            (feats["n_tokens"] >= QF_MIN_TOKENS)
+            & (feats["stopword_ratio"] <= QF_MAX_STOPWORD_RATIO)
+        ).alias("q_ok"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    )
+    passing = F.col("lang_ok") & F.col("q_ok")
+    w = Window.partitionBy(
+        "fp", F.when(passing, 1).otherwise(0)
+    ).orderBy("doc_id")
+    ranked = base.withColumn(
+        "rn", F.when(passing, F.row_number().over(w)).otherwise(F.lit(None))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum("n_chars").alias("chars_input"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(passing, 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_dedup"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_dedup"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT-style MaxSim top-k)
+# ---------------------------------------------------------------------------
+
+_MS_TOK = 8  # token vectors per doc (64-dim embedding -> 8 x 8-dim)
+_MS_QUERIES = 10
+_MS_K = 5
+
+
+def _sql_maxsim() -> str:
+    tok_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, 8),"
+        " d -> q.qv[(i - 1) * 8 + d] * c.qv[(j - 1) * 8 + d])) AS DOUBLE)"
+    )
+    tok_norm = (
+        "sqrt(CAST(list_sum(list_transform(generate_series(1, 8),"
+        " d -> {v}.qv[({t} - 1) * 8 + d] * {v}.qv[({t} - 1) * 8 + d])) AS DOUBLE))"
+    )
+    qn = tok_norm.format(v="q", t="i")
+    cn = tok_norm.format(v="c", t="j")
+    return f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(generate_series(1, {_MS_TOK}), i ->
+           list_max(list_transform(generate_series(1, {_MS_TOK}), j ->
+             {tok_dot} / ({qn} * {cn})))))
+           AS score
+  FROM qv q JOIN qv c ON q.vec_id < {_MS_QUERIES} AND c.vec_id != q.vec_id
+)
+SELECT query_id, cand_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, cand_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_MS_K}
+"""
+
+
+@query("maxsim_topk", oracle=_sql_maxsim())
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT's MaxSim, Khattab &
+    Zaharia 2020): each embedding is treated as {t} token vectors
+    (8-dim slices); score(query, doc) = sum over query tokens of the
+    MAX cosine against any doc token. Executed the way a production
+    late-interaction scorer runs on Spark: the query token matrices
+    broadcast, and each Arrow batch scores its candidates with two
+    einsum-shaped numpy contractions (token-dot tensor -> max over doc
+    tokens -> sum over query tokens) — the per-pair cost is one 8x8
+    integer GEMM, vectorized across the batch. Integer token dots and
+    correctly-rounded sqrts keep the floats engine-identical; ranking
+    ties break by candidate id."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
+    qrows = sorted(
+        base.filter(F.col("vec_id") < _MS_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    Q = np.array([[int(x) for x in r["qv"]] for r in qrows], dtype=np.int64)
+    q_ids = np.array([int(r["vec_id"]) for r in qrows], dtype=np.int64)
+    nq = len(q_ids)
+    Qt = Q.reshape(nq, _MS_TOK, 8)
+    Qn = np.sqrt((Qt.astype(np.float64) ** 2).sum(axis=2))
+
+    def score_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["qv"].tolist(), dtype=np.int64).reshape(
+                len(pdf), _MS_TOK, 8
+            )
+            Cn = np.sqrt((C.astype(np.float64) ** 2).sum(axis=2))
+            # dots[b, q, i, j] = Qt[q, i] . C[b, j]
+            dots = np.einsum("qid,bjd->bqij", Qt, C).astype(np.float64)
+            cos = dots / (Qn[None, :, :, None] * Cn[:, None, None, :])
+            score = cos.max(axis=3).sum(axis=2)  # max over doc tokens, sum over query tokens
+            cand = pdf["vec_id"].values
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, len(pdf)),
+                    "cand_id": np.tile(cand, nq),
+                    "score": score.T.reshape(-1),
+                }
+            )
+            yield out[out["query_id"] != out["cand_id"]]
+
+    scored = base.mapInPandas(
+        score_batches, schema="query_id long, cand_id long, score double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MS_K)
+        .select(
+            "query_id", "cand_id", r6(F.col("score")).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25-lite document search (log-free rational idf, integer-exact sums)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = ["table", "spark", "window", "vector", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def _sql_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+  WHERE token IN ({terms}) GROUP BY 1, 2
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+term_scores AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_BM25_K1} + 1))
+           / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+           * 1000000) AS BIGINT) AS s_micro
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro
+  FROM term_scores GROUP BY 1
+)
+SELECT doc_id, score_micro, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_BM25_TOPN}
+"""
+
+
+@query("bm25_lite_search", oracle=_sql_bm25())
+def q_bm25_lite_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance search with BM25 term weighting — idf kept
+    as the RATIO (N - df + 0.5)/(df + 0.5) rather than its log (ln is
+    not bit-specified across engines; the ratio is monotone in the
+    same df, so ranking semantics survive — documented deviation).
+    Per-term scores are quantized to integer micro-units BEFORE the
+    per-doc sum, so cross-partition aggregation is exact. Plan: the
+    token explode is filtered to the query terms AT THE EXPLODE (the
+    inverted-index access pattern — only matching postings shuffle);
+    doc lengths aggregate in the same pass family; df and avgdl are
+    term-domain/1-row broadcasts; final top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(_BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    s_micro = F.round(
+        ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = term.select("doc_id", s_micro.alias("s_micro")).groupBy("doc_id").agg(
+        F.sum("s_micro").alias("score_micro")
+    )
+    top = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(_BM25_TOPN)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
