@@ -2005,3 +2005,101 @@ def q_bm25_lite_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+from bigdata_invoice_stream_analysis_spark.operators import sampling as SAMPLING  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Leakage-aware group split (whole sources stay in one split)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "group_aware_split",
+    oracle=f"""
+WITH s AS (
+  SELECT source, {SAMPLING.sql_split_case("source", 0.7, 0.15)} AS split,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1
+""",
+)
+def q_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/val/test split: the hash key is the GROUP
+    (source/site), not the row — every document of a site lands in the
+    same split, so near-duplicate pages within a site can never
+    straddle the train/eval boundary (the contamination mode row-level
+    splitting invites; split_contamination measures exactly that
+    residue). Same zero-shuffle md5-bucket mechanics as
+    stratified_split — the only change is the key, which is the whole
+    point: split keys must be chosen at the leakage granularity."""
+    d = SAMPLING.with_split(
+        load_table(spark, sf_dir, "documents"), "source", train=0.7, val=0.15
+    )
+    return d.groupBy("split").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch planning (padding-efficiency audit)
+# ---------------------------------------------------------------------------
+
+_LB_BUCKET = 64  # token-length bucket width
+_LB_BATCH = 16   # sequences per batch
+
+
+@query(
+    "length_bucketed_batches",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, len({TX.SQL_TOKENIZE.format(col="text")}) AS n_tok FROM documents
+),
+b AS (
+  SELECT (n_tok // {_LB_BUCKET}) AS bucket, COUNT(*) AS n_docs,
+         SUM(n_tok) AS sum_tok, MAX(n_tok) AS max_tok
+  FROM dl GROUP BY 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(CEIL(CAST(n_docs AS DOUBLE) / {_LB_BATCH}) AS BIGINT) AS n_batches,
+       CAST(sum_tok AS BIGINT) AS sum_tok,
+       CAST(n_docs * ((bucket + 1) * {_LB_BUCKET}) - sum_tok AS BIGINT) AS pad_waste
+FROM b
+""",
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning — the padding-efficiency audit
+    behind bucketed batching for sequence training (cf.
+    sequence_packing, which packs instead of pads): documents group
+    into {w}-token length buckets, each bucket pads to its ceiling, and
+    the report prices the padding waste per bucket. Per-row length +
+    one bucket-domain aggregation; the bucket id doubles as the
+    repartition key a real loader would write by."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TX.tokenize(F.col("text")))
+    b = (
+        d.select((n_tok / _LB_BUCKET).cast("long").alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+        )
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        F.ceil(F.col("n_docs").cast("double") / _LB_BATCH).alias("n_batches"),
+        "sum_tok",
+        (
+            F.col("n_docs") * ((F.col("bucket") + 1) * _LB_BUCKET) - F.col("sum_tok")
+        ).alias("pad_waste"),
+    )
