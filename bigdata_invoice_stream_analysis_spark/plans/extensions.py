@@ -2324,7 +2324,65 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.join(F.broadcast(mdf), "pos").select("dim_i", "dim_j", "gram")
 
 
-@query("embedding_top_pc")
+def _sql_top_pc() -> str:
+    # Full power iteration replicated in SQL: the Gram matrix as a
+    # 64x64 list-of-lists in ONE row, iterated by a recursive CTE whose
+    # recursive term is pure scalar list arithmetic (no aggregates, so
+    # it is legal in the recursion). Identical op order to the Python
+    # driver loop; power iteration is contractive, so last-ulp
+    # summation differences decay instead of compounding — r6 output
+    # is bit-stable.
+    q = SIM.SQL_QUANTIZE.format(v="embedding")
+    return f"""
+WITH RECURSIVE qv AS (
+  SELECT {q} AS qv FROM embeddings
+),
+gram_flat AS (
+  SELECT s1.i AS i, s2.j AS j, CAST(SUM(qv[s1.i] * qv[s2.j]) AS BIGINT) AS g
+  FROM qv,
+       UNNEST(generate_series(1, {_EMB_DIM})) AS s1(i),
+       UNNEST(generate_series(1, {_EMB_DIM})) AS s2(j)
+  GROUP BY 1, 2
+),
+gmat AS (
+  SELECT list(glist ORDER BY i) AS G FROM (
+    SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS glist
+    FROM gram_flat GROUP BY i
+  )
+),
+it AS (
+  SELECT 0 AS t,
+         list_transform(generate_series(1, {_EMB_DIM}), x -> CAST(1.0 AS DOUBLE)) AS v,
+         CAST(0.0 AS DOUBLE) AS eig
+  UNION ALL
+  SELECT t + 1, list_transform(w, x -> x / nrm), nrm
+  FROM (
+    SELECT t, w, sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+    FROM (
+      SELECT it.t AS t,
+             list_transform(generate_series(1, {_EMB_DIM}), i ->
+               list_sum(list_transform(generate_series(1, {_EMB_DIM}), k ->
+                 G[i][k] * v[k]))) AS w
+      FROM it, gmat
+      WHERE it.t < 300
+    )
+  )
+),
+fin AS (
+  SELECT v, eig,
+         CASE WHEN len(list_filter(v, x -> x != 0)) = 0 THEN 1.0
+              WHEN list_filter(v, x -> x != 0)[1] > 0 THEN 1.0
+              ELSE -1.0 END AS sgn
+  FROM it WHERE t = 300
+)
+SELECT CAST(s.d AS INT) AS dim,
+       ROUND(sgn * v[s.d], 6) AS weight,
+       ROUND(eig, 6) AS eigenvalue
+FROM fin, UNNEST(generate_series(1, {_EMB_DIM})) AS s(d)
+"""
+
+
+@query("embedding_top_pc", oracle=_sql_top_pc())
 def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus by power
     iteration on the Gram matrix: the DATA pass is the single
