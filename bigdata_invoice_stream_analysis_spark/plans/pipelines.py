@@ -2103,3 +2103,98 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * ((F.col("bucket") + 1) * _LB_BUCKET) - F.col("sum_tok")
         ).alias("pad_waste"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal sample audit (text ⋈ embedding consistency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "crossmodal_sample_audit",
+    oracle=f"""
+WITH n2 AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform({SIM.SQL_QUANTIZE.format(v="embedding")},
+                                      x -> x * x)) AS BIGINT) AS n2
+  FROM embeddings
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n2) AS BIGINT) AS sum_n2 FROM n2),
+j AS (
+  SELECT d.doc_id,
+         CAST(len({TX.SQL_TOKENIZE.format(col="d.text")}) AS BIGINT) AS n_tokens,
+         n2.n2, s.n, s.sum_n2
+  FROM documents d JOIN n2 ON n2.vec_id = d.doc_id CROSS JOIN s
+)
+SELECT doc_id, n_tokens, n2 AS norm2,
+       (n2 * n > 2 * sum_n2) AS high_norm,
+       (n_tokens < 30) AS short_text
+FROM j
+WHERE (n2 * n > 2 * sum_n2) OR (n_tokens < 30)
+""",
+)
+def q_crossmodal_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit — the sample-quality sweep a
+    multimodal training set runs across PAIRED columns: join each
+    document to its embedding (doc_id = vec_id) and flag rows whose
+    vector norm is an outlier (norm² > 2× the corpus mean, compared by
+    exact integer CROSS-MULTIPLICATION — n2*N > 2*Σn2 — so no float
+    mean is ever formed) or whose text is suspiciously short. The
+    audit is one key join plus a 1-row statistics broadcast; both
+    flags are per-row integer predicates. At 100 TB paired-modality
+    joins like this are the backbone of contrastive-pair curation
+    (CLIP-style), and the key join is the bucketed-layout case."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = e.select(
+        F.col("vec_id"),
+        SIM.int_norm2(SIM.quantize(F.col("embedding"))).alias("n2"),
+    )
+    s = n2.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n2").alias("sum_n2")
+    )
+    j = (
+        d.join(n2, d["doc_id"] == n2["vec_id"])
+        .crossJoin(F.broadcast(s))
+        .select(
+            "doc_id",
+            F.size(TX.tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+            F.col("n2").alias("norm2"),
+            (F.col("n2") * F.col("n") > 2 * F.col("sum_n2")).alias("high_norm"),
+            (F.size(TX.tokenize(F.col("text"))) < 30).alias("short_text"),
+        )
+    )
+    return j.filter(F.col("high_norm") | F.col("short_text"))
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour load heatmap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_dow_hour_heatmap",
+    oracle="""
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal load heatmap: events bucketed by (day-of-week, hour) —
+    the capacity-planning / seasonality matrix behind trigger sizing
+    and backfill windows. Spark numbers Sunday=1; DuckDB's dayofweek
+    is 0-based, so the oracle shifts by one. Pure per-row date parts into a 7x24-domain hash agg:
+    partial aggregation collapses each partition to <=168 rows before
+    the exchange, the smallest shuffle a full-table profile can have."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
