@@ -2198,3 +2198,104 @@ def q_event_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-write + partition-pruned read (lakehouse layout gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partitioned_write_prune",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '1995-02-01' AND DATE '1995-02-28'
+GROUP BY 1
+""",
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date-partitioned lakehouse layout, graded end to end: events
+    are WRITTEN partitioned by event date (the layout every production
+    event table uses), then read back with a date-range predicate that
+    must be answered by PARTITION PRUNING — the scan lists only the
+    matching date directories, never opening the rest
+    (tests/test_plan_properties asserts the PartitionFilters). At
+    100 TB this is the difference between scanning a month and
+    scanning the table; the write itself is the one-time layout cost,
+    exactly like bucketing for joins."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="part_events_")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(root)
+    back = spark.read.parquet(root)
+    pruned = back.filter(
+        (F.col("event_date") >= F.lit("1995-02-01").cast("date"))
+        & (F.col("event_date") <= F.lit("1995-02-28").cast("date"))
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution merge read (mergeSchema over heterogeneous batches)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+WITH unioned AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN priority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       CAST(SUM(CASE WHEN priority IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM unioned
+""",
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under mergeSchema: two parquet batches of the
+    same table written with DIFFERENT schemas (the second gains a
+    `priority` column — the additive evolution every long-lived
+    dataset accumulates) are read back as ONE table via
+    ``mergeSchema=true``; legacy rows surface the new column as NULL.
+    The gate proves the merged read loses no rows, no values, and
+    NULL-fills exactly the legacy batch. Merging footers is a driver-
+    side metadata operation at any scale; the data files are untouched
+    — which is why additive evolution is free in a parquet lake."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", cents.alias("cents")
+    ).write.mode("overwrite").parquet(f"{root}/batch=legacy")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents.alias("cents"), F.col("o_orderpriority").alias("priority")
+    ).write.mode("overwrite").parquet(f"{root}/batch=evolved")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/batch=legacy", f"{root}/batch=evolved"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("priority").isNull(), 1).otherwise(0)).alias("n_legacy"),
+        F.sum(F.when(F.col("priority").isNotNull(), 1).otherwise(0)).alias(
+            "n_evolved"
+        ),
+        F.sum("cents").alias("total_cents"),
+    )

@@ -243,3 +243,11 @@ def test_event_transition_single_fact_exchange(spark, sf_dir):
     # one window over user_id, aggregation over the transition domain;
     # the events table is scanned exactly once
     assert plan.count("FileScan parquet") == 1
+
+
+def test_partitioned_write_prune_has_partition_filters(spark, sf_dir):
+    df = QUERIES["partitioned_write_prune"](spark, sf_dir)
+    plan = _plan(df)
+    # the date predicate must prune at the directory level, not filter rows
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
