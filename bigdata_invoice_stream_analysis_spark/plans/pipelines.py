@@ -29,6 +29,7 @@ from bigdata_invoice_stream_analysis_spark.plans.extensions import (
     vecs_neardup,
 )
 from bigdata_invoice_stream_analysis_spark.plans.queries import query, r6
+from bigdata_invoice_stream_analysis_spark.scratch import fresh_checkpoint, scratch_dir
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -652,6 +653,12 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PQ_MOD = 149
+# Codebook size bound: the mod-filter alone grows as N/149, i.e. a
+# linear-in-corpus driver pull; the id-range cap makes the codebook a
+# fixed ≤256 centroids per subspace regardless of corpus size (the
+# semdedup_drop pattern, q_semdedup_drop). Mirrored in the oracle.
+_PQ_MAX_CODES = 256
+_PQ_CAP_ID = _PQ_MOD * _PQ_MAX_CODES
 _PQ_SUB = 8  # dims per subspace (64 / PQ_M)
 _SQL_SUB_SQDIST = (
     "CAST(list_sum(list_transform(generate_series(1, {n}),"
@@ -671,7 +678,8 @@ subq AS (
   SELECT vec_id, m, list_slice(qv, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS sv
   FROM qv CROSS JOIN (SELECT unnest(generate_series(0, {SIM.PQ_M - 1})) AS m)
 ),
-cents AS (SELECT m, vec_id AS cid, sv AS cv FROM subq WHERE vec_id % {_PQ_MOD} = 0),
+cents AS (SELECT m, vec_id AS cid, sv AS cv FROM subq
+          WHERE vec_id % {_PQ_MOD} = 0 AND vec_id < {_PQ_CAP_ID}),
 codes AS (
   SELECT vec_id, m, cid FROM (
     SELECT s.vec_id, s.m, c.cid,
@@ -716,7 +724,9 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties by (dist, neighbor_id, code id)."""
     e = load_table(spark, sf_dir, "embeddings")
     base = e.select("vec_id", SIM.quantize(F.col("embedding")).alias("qv"))
-    sampled = base.filter(F.col("vec_id") % _PQ_MOD == 0).collect()
+    sampled = base.filter(
+        (F.col("vec_id") % _PQ_MOD == 0) & (F.col("vec_id") < _PQ_CAP_ID)
+    ).collect()
     codebooks = [
         [
             (int(r["vec_id"]), [int(x) for x in r["qv"][m * _PQ_SUB:(m + 1) * _PQ_SUB]])
@@ -1039,6 +1049,9 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import _drain_input_diet
+
+    stream = _drain_input_diet(stream)
     cells_stream = SK.cms_cells(stream.select("user_id"), "user_id")
     acc: dict[tuple[int, int], int] = {}
 
@@ -1046,7 +1059,7 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bdf.collect():
             acc[(r["r"], r["c"])] = r["cnt"]
 
-    ckpt = tempfile.mkdtemp(prefix="stream_cms_ckpt_")
+    ckpt = fresh_checkpoint("stream_cms_ckpt_")
     writer = (
         cells_stream.writeStream.outputMode("update")
         .foreachBatch(sink)
@@ -1102,7 +1115,7 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     from bigdata_invoice_stream_analysis_spark.sources.tables import write_bucketed
 
-    root = tempfile.mkdtemp(prefix="bkt_join_")
+    root = scratch_dir("bkt_join")
     write_bucketed(li, "bkt_lineitem_rev", "l_orderkey", 8, path=f"{root}/li")
     write_bucketed(o, "bkt_orders_rev", "o_orderkey", 8, path=f"{root}/o")
     lb = spark.table("bkt_lineitem_rev")
@@ -1342,6 +1355,9 @@ def q_streaming_centroid_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
         .option("pathGlobFilter", "lineitem.parquet")
         .parquet(sf_dir)
     )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import _drain_input_diet
+
+    sli = _drain_input_diet(sli)
     o = load_table(spark, sf_dir, "orders")
     p = purchase_projection(sli.join(o, sli["l_orderkey"] == o["o_orderkey"]))
     p = p.filter(
@@ -1368,7 +1384,7 @@ def q_streaming_centroid_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
                 r["sum_minutes"], r["sum_qty"], r["n_lines"],
             )
 
-    ckpt = tempfile.mkdtemp(prefix="stream_score_ckpt_")
+    ckpt = fresh_checkpoint("stream_score_ckpt_")
     writer = (
         agg.writeStream.outputMode("update")
         .foreachBatch(sink)
@@ -2229,7 +2245,7 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    root = tempfile.mkdtemp(prefix="part_events_")
+    root = scratch_dir("part_events")
     ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
         "event_date"
     ).parquet(root)
@@ -2281,7 +2297,7 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    root = tempfile.mkdtemp(prefix="schema_evo_")
+    root = scratch_dir("schema_evo")
     o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", cents.alias("cents")
     ).write.mode("overwrite").parquet(f"{root}/batch=legacy")

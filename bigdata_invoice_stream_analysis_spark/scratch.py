@@ -1,0 +1,48 @@
+"""Per-session scratch space for layout-gate writes and streaming
+checkpoints.
+
+The lakehouse layout gates (partitioned_write_prune,
+schema_evolution_merge, bucketed_join_revenue) write real data copies
+and the streaming drain gates write checkpoint directories; with bare
+``tempfile.mkdtemp`` every bench/parity/driver invocation leaked a new
+copy to /tmp for the life of the machine. All such paths now live
+under ONE per-process root that is removed at interpreter exit.
+
+Two flavors:
+  * ``scratch_dir(name)`` — a STABLE subdir, reused (and overwritten
+    via ``mode("overwrite")``) across invocations in the same session,
+    so repeated sweeps hold at most one copy of a gate's data.
+  * ``fresh_checkpoint(name)`` — a FRESH dir per call. Streaming
+    checkpoints cannot be reused: an availableNow restart against an
+    old checkpoint resumes from its commit log and re-emits nothing,
+    which would silently empty a gate's second run in one session.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+_ROOT: str | None = None
+
+
+def _root() -> str:
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+    return _ROOT
+
+
+def scratch_dir(name: str) -> str:
+    """Stable per-session scratch subdir (caller overwrites in place)."""
+    d = os.path.join(_root(), name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def fresh_checkpoint(name: str) -> str:
+    """Fresh checkpoint dir under the session scratch root."""
+    return tempfile.mkdtemp(prefix=name, dir=scratch_dir("ckpt"))

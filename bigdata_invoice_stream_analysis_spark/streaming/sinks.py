@@ -44,6 +44,36 @@ def to_kafka_records(
     )
 
 
+def from_kafka_records(
+    records: DataFrame, payload_schema, legacy_tuple: bool = False
+) -> DataFrame:
+    """Inverse of ``to_kafka_records`` — what a consumer of the four
+    output topics runs after the Kafka source's binary→string cast:
+    value JSON (or the legacy ``Invoice(a,b,...)`` tuple format) back
+    to typed payload columns, key kept as string. ``payload_schema`` is
+    the StructType of the original non-key columns, in order.
+
+    Caveat carried over from the wire format itself: the legacy tuple
+    has no quoting or null marker (the reference emits Scala's
+    ``Invoice.toString``, InvoicePipeline.scala:141,147), so it only
+    round-trips payloads with non-null, comma-free fields — exactly the
+    reference's Invoice rows. The JSON value (default) round-trips
+    nulls and arbitrary strings. tests/test_kafka_roundtrip
+    property-tests both paths byte-for-byte."""
+    value = F.col("value").cast("string")
+    if legacy_tuple:
+        inner = F.regexp_extract(value, r"^Invoice\((.*)\)$", 1)
+        parts = F.split(inner, ",")
+        cols = [
+            parts.getItem(i).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(payload_schema.fields)
+        ]
+    else:
+        parsed = F.from_json(value, payload_schema)
+        cols = [parsed[f.name].alias(f.name) for f in payload_schema.fields]
+    return records.select(F.col("key").cast("string").alias("key"), *cols)
+
+
 def kafka_writer_options(
     brokers: str, topic: str, checkpoint: str
 ) -> dict[str, str]:

@@ -49,6 +49,20 @@ def kafka_reader_options(
     return opts
 
 
+def decode_kafka_records(records: DataFrame) -> DataFrame:
+    """Normalize Kafka-wire rows (binary ``key``/``value`` + broker
+    ``timestamp``) to the line envelope. Factored out of
+    kafka_lines_source so the BYTE-LEVEL inverse of the producer's
+    (key, value) encoding is testable without a broker: the cast
+    binary→string is UTF-8 decode, the exact inverse of the string→
+    binary encode the Kafka sink applies (tests/test_kafka_roundtrip)."""
+    return records.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ingest_ts"),
+    )
+
+
 def kafka_lines_source(
     spark: SparkSession,
     brokers: str,
@@ -65,11 +79,7 @@ def kafka_lines_source(
             brokers, topic, starting_offsets, max_offsets_per_trigger
         )
     )
-    return reader.load().select(
-        F.col("key").cast("string").alias("key"),
-        F.col("value").cast("string").alias("value"),
-        F.col("timestamp").alias("ingest_ts"),
-    )
+    return decode_kafka_records(reader.load())
 
 
 def file_lines_source(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from bigdata_invoice_stream_analysis_spark.cache import release_caches
 from bigdata_invoice_stream_analysis_spark.operators import dedup as DD
+from bigdata_invoice_stream_analysis_spark.operators import graph as G
 from bigdata_invoice_stream_analysis_spark.operators import similarity as SIM
 from bigdata_invoice_stream_analysis_spark.session import get_spark
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
@@ -70,21 +71,97 @@ def _chunk_dedup(corpus):
 
 
 def _semdedup(vecs):
+    # orderBy before limit: limit without ordering is partitioning-
+    # dependent, which would make probe timings non-reproducible.
     cb = [
         (int(r["vec_id"]), [int(x) for x in r["qv"]])
-        for r in vecs.filter(F.col("vec_id") % 97 == 0).limit(60).collect()
+        for r in vecs.filter(F.col("vec_id") % 97 == 0)
+        .orderBy("vec_id").limit(60).collect()
     ]
     assigned = SIM.assign_cells_np(vecs, cb, "qv")
     return SIM.semdedup_cell_drops(assigned, tau=0.99)
 
 
-def _pq_encode(vecs):
-    sampled = vecs.filter(F.col("vec_id") % 149 == 0).limit(40).collect()
-    books = [
+def _pq_books(vecs):
+    sampled = (
+        vecs.filter(F.col("vec_id") % 149 == 0)
+        .orderBy("vec_id").limit(40).collect()
+    )
+    return [
         [(int(r["vec_id"]), [int(x) for x in r["qv"][m * 8:(m + 1) * 8]]) for r in sampled]
         for m in range(8)
     ]
-    return SIM.pq_encode_np(vecs, books, "qv")
+
+
+def _pq_encode(vecs):
+    return SIM.pq_encode_np(vecs, _pq_books(vecs), "qv")
+
+
+def _pq_topk(vecs):
+    """End-to-end PQ ANN: capped codebook → Arrow encode → per-query
+    ADC LUT → ranked top-5 (the full ann_pq_topk shape, so the probe
+    times the whole family, not just the encode)."""
+    from pyspark.sql.window import Window
+
+    books = _pq_books(vecs)
+    n_codes = len(books[0])
+    encoded = SIM.pq_encode_np(vecs, books, "qv").drop("qv")
+    qrows = sorted(
+        vecs.filter(F.col("vec_id") < 5).collect(), key=lambda r: r["vec_id"]
+    )
+    queries = vecs.sparkSession.createDataFrame(
+        [
+            (int(r["vec_id"]), SIM.pq_adc_lut([int(x) for x in r["qv"]], books))
+            for r in qrows
+        ],
+        "query_id long, lut array<long>",
+    )
+    adc = encoded.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        SIM.adc_from_lut_codes(
+            F.col("lut"), F.col("codes"), n_codes, SIM.PQ_M
+        ).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def edges_x(spark, sf_dir, mult=1):
+    """Symmetrized co-purchase edge set (the copurchase_pagerank
+    construction); mult>1 unions id-shifted disconnected copies so
+    per-round join+agg cost scales with edge count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    if mult > 1:
+        parts = [
+            e0.select(
+                (F.col("u") + 10_000_000 * i).alias("u"),
+                (F.col("v") + 10_000_000 * i).alias("v"),
+            )
+            for i in range(mult)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        e0 = out
+    return G.symmetrize(e0)
 
 
 def timed(fn):
@@ -120,6 +197,12 @@ def main():
         ).count(),
         "semdedup": lambda vecs: _semdedup(vecs).count(),
         "pq_encode": lambda vecs: _pq_encode(vecs).count(),
+        "pq_topk_e2e": lambda vecs: _pq_topk(vecs).count(),
+    }
+    edge_probes = {
+        "pagerank_5rounds": lambda edges: G.pagerank_int(
+            edges, iterations=5
+        ).count(),
     }
 
     tiers = [("sf0.01", small, 1), ("sf0.1", big, 1), ("sf0.1 x5", big, 5)]
@@ -129,6 +212,9 @@ def main():
         release_caches()
     for name, fn in vec_probes.items():
         fn(vecs_x(spark, small))
+        release_caches()
+    for name, fn in edge_probes.items():
+        fn(edges_x(spark, small))
         release_caches()
 
     print(f"{'operator':<20} " + " ".join(f"{t[0]:>12}" for t in tiers) + "   growth/decade")
@@ -147,6 +233,16 @@ def main():
         times = []
         for _, d, m in tiers:
             dt, n = timed(lambda: fn(vecs_x(spark, d, m)))
+            release_caches()
+            times.append(dt)
+        print(
+            f"{name:<20} " + " ".join(f"{t:>10.2f}s" for t in times)
+            + f"   {times[1]/times[0]:>6.1f}x per 10x rows, {times[2]/times[1]:.1f}x per 5x"
+        )
+    for name, fn in edge_probes.items():
+        times = []
+        for _, d, m in tiers:
+            dt, n = timed(lambda: fn(edges_x(spark, d, m)))
             release_caches()
             times.append(dt)
         print(

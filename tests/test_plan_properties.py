@@ -215,10 +215,14 @@ def test_chunk_dedup_shuffles_hashes_not_text(spark, sf_dir):
     df = QUERIES["chunk_dedup_stats"](spark, sf_dir)
     plan = _plan(df)
     # the window/agg shuffles carry (hash, doc, idx) — the chunk string
-    # must be projected away before any exchange
+    # must be projected away before any exchange: no bare `chunk#N`
+    # attribute may appear in an exchange header (`chunk_idx#N` and
+    # `chunk_hash#N` are the allowed carriers)
+    import re
+
     for seg in plan.split("Exchange")[1:]:
         first_line = seg.splitlines()[0]
-        assert "chunk" not in first_line or "chunk_idx" in first_line
+        assert not re.search(r"\bchunk#\d", first_line), first_line
 
 
 def test_pareto_frontier_no_quadratic_join(spark, sf_dir):
