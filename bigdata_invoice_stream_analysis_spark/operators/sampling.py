@@ -69,3 +69,32 @@ def sql_split_case(key_sql: str, train: float = 0.8, val: float = 0.1) -> str:
         f"CASE WHEN {h} < '{t1}' THEN 'train' "
         f"WHEN {h} < '{t2}' THEN 'val' ELSE 'test' END"
     )
+
+
+def bucket_int(key: Column) -> Column:
+    """The md5 bucket as an integer in [0, 65536) — for per-row
+    VARIABLE acceptance thresholds (weighted sampling), where the hex
+    string comparison of hash_sample can't express the bound."""
+    return F.conv(md5_bucket(key), 16, 10).cast("long")
+
+
+def weighted_keep(key: Column, weight: Column, max_weight: int) -> Column:
+    """Deterministic importance-weighted acceptance (the DSIR /
+    quality-resampling primitive): row kept with probability
+    weight/max_weight, decided by the key's md5 bucket —
+    ``bucket · max_weight < weight · 65536`` in exact integers, so the
+    decision is reproducible across runs, engines, partitionings, and
+    tables (same key + same weight ⇒ same verdict everywhere).
+    weight=0 never keeps; weight=max_weight always keeps. Pure map-side
+    expression — zero shuffle at any scale."""
+    return bucket_int(key) * F.lit(max_weight) < weight.cast("long") * F.lit(
+        _BUCKETS
+    )
+
+
+def sql_weighted_keep(key_sql: str, weight_sql: str, max_weight: int) -> str:
+    """DuckDB twin of weighted_keep ('0x'||hex → UBIGINT parse)."""
+    b = (
+        f"(('0x' || substring(md5(CAST({key_sql} AS VARCHAR)), 1, 4))::UBIGINT)"
+    )
+    return f"({b} * {max_weight} < ({weight_sql}) * {_BUCKETS})"

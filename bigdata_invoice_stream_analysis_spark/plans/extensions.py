@@ -1382,6 +1382,48 @@ def q_per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QWS_MAX = 2000  # weight cap: weight = min(n_chars, 2000)
+
+
+@query(
+    "quality_weighted_sample",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {SAMPLING.sql_weighted_keep('doc_id', f'LEAST(n_chars, {_QWS_MAX})', _QWS_MAX)}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {SAMPLING.sql_weighted_keep('doc_id', f'LEAST(n_chars, {_QWS_MAX})', _QWS_MAX)}
+                THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling (the DSIR /
+    quality-resampling primitive a pretraining mixture pipeline runs
+    after scoring): each doc is kept with probability
+    weight/max_weight — here weight = min(n_chars, 2000), i.e. longer
+    docs up to the cap are proportionally more likely to survive — and
+    the accept/reject decision is a pure integer function of the doc
+    key's md5 bucket (operators/sampling.weighted_keep), so the SAME
+    docs survive on every run, engine, and partitioning, and the
+    decision composes with entity-consistent sampling across joined
+    tables. Pure map-side expression + one source-keyed audit agg;
+    at 100 TB the sample decision costs one hash per row, no shuffle.
+    Gate: per-source (docs, kept, kept-chars) — any drift in the hash
+    bucket math or the weight threshold flips the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars"), F.lit(_QWS_MAX))
+    keep = SAMPLING.weighted_keep(F.col("doc_id"), w, _QWS_MAX)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0))).alias(
+            "kept_chars"
+        ),
+    )
+
+
 # Quality-filter thresholds (chosen to split the synthetic corpus
 # non-trivially: token count 10-99 w/ median 56; stopword ratio 0-0.22
 # w/ median 0.06).

@@ -532,6 +532,61 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_value_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(cents, 0.5), 6) AS p50_cents,
+       ROUND(quantile_cont(cents, 0.95), 6) AS p95_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS approx_ok
+FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+GROUP BY 1
+""",
+)
+def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """price_percentiles' scale path, gated the approx_distinct_users
+    way: exact p50/p95 buffer every group value (fine when groups are
+    bounded; pathological at 100 TB), while ``approx_percentile`` keeps
+    an O(1/eps) Greenwald-Khanna sketch per group that merges map-side
+    — shuffle volume is O(groups · sketch), not O(rows). Sketch VALUES
+    aren't bit-specified cross-engine, so the graded columns are (a)
+    the exact interpolated percentiles over integer cents — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the h=(n-1)·q
+    definition, checked exactly — and (b) ``approx_ok``: the sketch
+    answer sits inside the exact [q−0.005, q+0.005] percentile band
+    (accuracy=1000 guarantees rank error ≤ 0.001·n; 5× headroom, and
+    deterministic for fixed data — a stable regression bit, not a
+    flaky tolerance). The oracle asserts TRUE."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("p50"),
+        F.expr("percentile(cents, 0.95)").alias("p95"),
+        F.expr("approx_percentile(cents, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(cents, 0.95, 1000)").alias("ap95"),
+        F.expr("percentile(cents, 0.495)").alias("lo50"),
+        F.expr("percentile(cents, 0.505)").alias("hi50"),
+        F.expr("percentile(cents, 0.945)").alias("lo95"),
+        F.expr("percentile(cents, 0.955)").alias("hi95"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ok = (
+        (F.col("ap50") >= F.col("lo50") - 0.5)
+        & (F.col("ap50") <= F.col("hi50") + 0.5)
+        & (F.col("ap95") >= F.col("lo95") - 0.5)
+        & (F.col("ap95") <= F.col("hi95") + 0.5)
+    )
+    return agg.select(
+        "event_type",
+        r6(F.col("p50")).alias("p50_cents"),
+        r6(F.col("p95")).alias("p95_cents"),
+        "n_events",
+        ok.alias("approx_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: sliding event-time window (W1 semantics, batch twin)
 # ---------------------------------------------------------------------------

@@ -123,3 +123,37 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     n_fp = flags_out.filter(F.col("might_contain")).count()
     # 1000 keys × 2 hashes against 1000/262144 fill — expected FPs ≪ 10
     assert n_fp < 25
+
+
+def test_weighted_keep_endpoints_rate_and_determinism(spark):
+    """weighted_keep: weight=0 never keeps, weight=max always keeps,
+    mid weights accept ≈ weight/max of keys, and the verdict is a pure
+    function of (key, weight) — identical across repartitionings and
+    equal to a driver-side md5 recomputation."""
+    import hashlib
+
+    from bigdata_invoice_stream_analysis_spark.operators import sampling as SP
+
+    n = 4000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    assert df.filter(SP.weighted_keep(F.col("k"), F.lit(0), 100)).count() == 0
+    assert df.filter(SP.weighted_keep(F.col("k"), F.lit(100), 100)).count() == n
+
+    kept = df.filter(SP.weighted_keep(F.col("k"), F.lit(25), 100))
+    rate = kept.count() / n
+    assert 0.20 < rate < 0.30  # ±5 pp of the 25% target at n=4000
+
+    ids = sorted(r.k for r in kept.collect())
+    ids_repart = sorted(
+        r.k
+        for r in df.repartition(13)
+        .filter(SP.weighted_keep(F.col("k"), F.lit(25), 100))
+        .collect()
+    )
+    assert ids == ids_repart
+
+    def py_keep(k, weight, maxw):
+        bucket = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16)
+        return bucket * maxw < weight * 65536
+
+    assert ids == [k for k in range(n) if py_keep(k, 25, 100)]

@@ -255,3 +255,23 @@ def test_partitioned_write_prune_has_partition_filters(spark, sf_dir):
     # the date predicate must prune at the directory level, not filter rows
     assert "PartitionFilters: [" in plan
     assert "event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_media_decoded_pixels_zero_shuffle(spark, sf_dir):
+    """The real-decode pipeline is pure map-side: payload build +
+    mapInPandas decode with NO Exchange — media bytes never shuffle."""
+    df = QUERIES["media_decoded_pixels"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_quality_weighted_sample_map_side_decision(spark, sf_dir):
+    """The weighted accept/reject is a per-row expression; the only
+    Exchange is the per-source audit aggregation, and the text payload
+    is pruned from the scan (only the columns the query needs read)."""
+    df = QUERIES["quality_weighted_sample"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    scan = plan[plan.index("FileScan") :].splitlines()[0]
+    assert "text" not in scan  # ReadSchema prunes the payload column
