@@ -587,6 +587,108 @@ def q_approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_partial_merge",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       TRUE AS merged_ok,
+       TRUE AS merge_consistent
+FROM events GROUP BY 1
+""",
+)
+def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-sketch lakehouse pattern: per-(type, day) HLL
+    sketches (Datasketches ``hll_sketch_agg`` — the binary column a
+    rollup table would STORE) union-merged across days
+    (``hll_union_agg``) and compared against both the single-pass
+    sketch and the exact distinct. This is the mergeability contract
+    that makes distinct-count rollups incremental at 100 TB: day
+    partials are computed once, new days merge in O(sketch), and no
+    re-scan of history is ever needed (daily_to_monthly_rollup proves
+    the same for algebraic aggs). HLL registers are max-merged, so
+    union-of-partials must agree with the direct sketch — gated as
+    ``merge_consistent`` (≤2% of direct; deterministic for fixed
+    data), with ``merged_ok`` (≤5% of exact) as the accuracy bound and
+    the exact count + day count hash-checked against the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    j = merged.join(F.broadcast(direct), "event_type")
+    return j.select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_ok"),
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= 0.02 * F.col("direct_est")
+        ).alias("merge_consistent"),
+    )
+
+
+@query(
+    "temporal_split_audit",
+    oracle="""
+SELECT CAST(SUM(n_before) AS BIGINT) AS n_train_orders,
+       CAST(SUM(n_after) AS BIGINT) AS n_test_orders,
+       CAST(SUM(CASE WHEN n_before > 0 AND n_after > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS leaked_customers,
+       CAST(SUM(CASE WHEN n_before > 0 AND n_after = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_only_customers,
+       CAST(SUM(CASE WHEN n_before = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS test_only_customers
+FROM (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderdate <  DATE '1997-01-01' THEN 1 ELSE 0 END) AS n_before,
+         SUM(CASE WHEN o_orderdate >= DATE '1997-01-01' THEN 1 ELSE 0 END) AS n_after
+  FROM orders GROUP BY 1
+)
+""",
+)
+def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split audit: train = orders before the
+    cutoff, test = after — the standard temporal decontamination for
+    forecasting-style tasks — plus the leakage count a pure time split
+    silently ignores: customers with activity on BOTH sides. That
+    entity overlap is exactly what group_aware_split eliminates; this
+    audit quantifies the tradeoff (row-level temporal splits leak
+    entity-level signal). Plan: one customer-keyed partial-agg shuffle
+    (flags computed from per-customer counts), then a 1-row global
+    fold — no joins, no second scan; at 100 TB the shuffle carries two
+    counters per customer."""
+    cutoff = F.lit("1997-01-01").cast("date")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum((F.col("o_orderdate") < cutoff).cast("long")).alias("n_before"),
+        F.sum((F.col("o_orderdate") >= cutoff).cast("long")).alias("n_after"),
+    )
+    before = F.col("n_before") > 0
+    after = F.col("n_after") > 0
+    return per_cust.agg(
+        F.sum("n_before").alias("n_train_orders"),
+        F.sum("n_after").alias("n_test_orders"),
+        F.sum((before & after).cast("long")).alias("leaked_customers"),
+        F.sum((before & ~after).cast("long")).alias("train_only_customers"),
+        F.sum((~before).cast("long")).alias("test_only_customers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: sliding event-time window (W1 semantics, batch twin)
 # ---------------------------------------------------------------------------
@@ -2871,6 +2973,72 @@ def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(int(u), int(n), int(c)) for u, (n, c) in sorted(acc.items())]
     return spark.createDataFrame(
         rows, "user_id long, n_events long, value_cents long"
+    )
+
+
+@query(
+    "streaming_hll_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1
+""",
+)
+def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Datasketches HLL maintained INCREMENTALLY by the streaming
+    state store: ``hll_sketch_agg`` as an update-mode streaming
+    aggregation — a sketch is mergeable by construction, so the engine
+    carries it across micro-batches in O(sketch) keyed state no matter
+    how many events flow (the same property streaming_heavy_hitters
+    proves for CMS, here for the distinct-count sketch family,
+    completing the batch twin hll_partial_merge). The drained sketch's
+    estimate must land within 5% of the batch-exact distinct
+    (deterministic for fixed data); the exact count itself is
+    hash-checked against the oracle."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    agg = stream.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est: dict[str, int] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect():
+            est[r["event_type"]] = int(r["est"])
+
+    ckpt = fresh_checkpoint("stream_hll_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .collect()
+    )
+    rows = [
+        (
+            r["event_type"],
+            int(r["exact_users"]),
+            abs(est.get(r["event_type"], 0) - r["exact_users"])
+            <= 0.05 * r["exact_users"],
+        )
+        for r in sorted(exact, key=lambda x: x["event_type"])
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_users long, sketch_ok boolean"
     )
 
 

@@ -90,3 +90,45 @@ def test_observe_metrics_on_batch(spark, sf_dir):
     assert got["n_rows"] == n
     assert got["null_cust"] == 0
     assert got["cents"] > 0
+
+
+def test_purchase_gen_streaming_matches_batch(spark, tmp_path):
+    """The Python streaming DataSource (SimpleDataSourceStreamReader)
+    replays the EXACT byte sequence the batch reader produces: offsets
+    are row indices, micro-batches advance rowsPerBatch at a time, and
+    readBetweenOffsets makes any range replayable after restart — the
+    source-side property exactly-once sinks rely on."""
+    import time
+
+    from bigdata_invoice_stream_analysis_spark.sources.pydatasource import (
+        PurchaseGenSource,
+    )
+
+    spark.dataSource.register(PurchaseGenSource)
+    batch = [
+        r.value
+        for r in spark.read.format("purchase_gen").option("rows", 300).load().collect()
+    ]
+    assert len(batch) == 300
+
+    got: list[str] = []
+
+    def sink(bdf, _bid):
+        got.extend(r.value for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("purchase_gen")
+        .option("maxRows", 300)
+        .option("rowsPerBatch", 120)  # 3 uneven micro-batches (120/120/60)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "pg_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(got) < 300:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(got) == sorted(batch)
