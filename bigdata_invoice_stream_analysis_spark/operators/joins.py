@@ -85,3 +85,52 @@ def asof_join(
         .filter(F.col("__l").isNotNull())
         .select("__l.*", *[F.col(f"__m.{c}").alias(c) for c in right_cols])
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics (upsert + delete apply) on plain
+    DataFrames — the CDC write path a lakehouse table format runs
+    under the hood, expressed as its relational core so the engine
+    works without Delta/Iceberg in the container:
+
+      * change op 'D'  → row removed,
+      * 'U' / 'I'      → change row's payload wins (insert-or-replace),
+      * no change      → base row passes through.
+
+    Implemented as ONE full-outer equi-join on the key: unmatched base
+    rows flow through, unmatched 'I' rows append, matched rows resolve
+    by op. That is the textbook shuffle shape for MERGE — at 100 TB
+    both sides hash-partition on the key once (zero-Exchange when base
+    is bucketed on the key, `sources.tables.write_bucketed`), and the
+    rewrite is bounded by the touched partitions under dynamic
+    partition overwrite. Changes must be 1-row-per-key (pre-compacted
+    CDC, e.g. latest_event_per_user's keep-latest).
+
+    Returns base's columns; payload columns present in both sides are
+    taken from the winning side.
+    """
+    payload = [c for c in base.columns if c != key]
+    b = base.select(F.col(key), *[F.col(c).alias(f"__b_{c}") for c in payload])
+    c = changes.select(
+        F.col(key),
+        F.col(op_col).alias("__op"),
+        *[F.col(x).alias(f"__c_{x}") for x in payload if x in changes.columns],
+    )
+    j = b.join(c, key, "full_outer")
+    kept = j.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
+    cols = [F.col(key)]
+    for x in payload:
+        if f"__c_{x}" in c.columns:
+            cols.append(
+                F.when(F.col("__op").isin("U", "I"), F.col(f"__c_{x}"))
+                .otherwise(F.col(f"__b_{x}"))
+                .alias(x)
+            )
+        else:
+            cols.append(F.col(f"__b_{x}").alias(x))
+    return kept.select(*cols)

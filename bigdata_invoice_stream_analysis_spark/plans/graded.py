@@ -53,6 +53,7 @@ GRADED_50: list[str] = [
     "bisecting_anomalies",       # M2 (rows-only: iterative fit)
     "kmeans_elbow_sweep",        # A5 A6 (rows-only: iterative fit)
     # --- Structured-Streaming drain gates (real state store/watermark) ---
+    "streaming_custom_state",   # W2: applyInPandasWithState multi-batch state
     "streaming_error_windows",
     "streaming_user_totals",
     "streaming_dedup_fingerprints",
@@ -92,7 +93,6 @@ GRADED_50: list[str] = [
     "group_aware_split",
     "decontaminated_train_docs",
     "udaf_segment_weighted_balance",
-    "media_exact_dedup",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

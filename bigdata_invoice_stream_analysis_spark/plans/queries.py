@@ -689,6 +689,131 @@ def q_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000 AS cents
+  FROM orders WHERE o_orderkey % 97 = 0 OR o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', CAST(ROUND(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 113 = 0
+),
+merged AS (
+  SELECT COALESCE(b.k, c.k) AS k,
+         CASE WHEN c.op IN ('U', 'I') THEN c.cents ELSE b.cents END AS cents
+  FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+  WHERE c.op IS NULL OR c.op != 'D'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN k >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+FROM merged
+""",
+)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (CDC apply: upsert + delete) as its relational core
+    (operators/joins.merge_upsert) — the write path a Delta/Iceberg
+    MERGE runs under the hood, gated without needing a table format in
+    the container. A deterministic change feed is derived from orders
+    (every-97th key deleted, every-10th updated +1000.00, every-113th
+    re-inserted under a shifted key) and applied to the base through
+    ONE full-outer equi-join on the key: unmatched base rows pass,
+    'I' rows append, matched rows resolve by op. 100 TB posture: both
+    sides hash-partition once on the key (zero-Exchange when the base
+    is bucketed, write_bucketed), and a real table rewrite is bounded
+    by touched partitions under dynamic partition overwrite. The gate
+    hashes the merged table's digest (row count, total cents, inserted
+    count) so a dropped delete, double-applied update, or lost base
+    row flips it."""
+    from bigdata_invoice_stream_analysis_spark.operators.joins import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+    upd = o.filter(
+        (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 10 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (cents + 100000).alias("cents"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 113 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("k"),
+        F.lit("I").alias("op"),
+        cents.alias("cents"),
+    )
+    merged = merge_upsert(base, upd.unionByName(ins), key="k")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("total_cents"),
+        F.sum((F.col("k") >= 10_000_000).cast("long")).alias("n_inserted"),
+    )
+
+
+@query(
+    "compaction_bin_packing",
+    oracle="""
+WITH files AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(SUM(24 + length(event_type)) AS BIGINT) AS bytes
+  FROM events GROUP BY 1
+),
+planned AS (
+  SELECT d, bytes,
+         (SUM(bytes) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - bytes) // 100000 AS bin
+  FROM files
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       strftime(MIN(d), '%Y-%m-%d') AS first_day,
+       strftime(MAX(d), '%Y-%m-%d') AS last_day
+FROM planned GROUP BY 1
+""",
+)
+def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning — the lakehouse maintenance job
+    that bin-packs per-partition file groups into ~target-size rewrite
+    tasks (the OPTIMIZE/compact planner of a table format, as plain
+    relational ops): per-day byte totals (a deterministic per-row size
+    model over the events payload) are packed next-fit by running
+    cumulative size, bin = floor(bytes_before / target). Plan shape:
+    one day-keyed partial-agg shuffle over the DATA, then the ordered
+    window runs on the FILE-LEVEL aggregate only — metadata-scale rows
+    (days × partitions), which is why a single ordered pass is fine
+    here and never on raw rows. Adjacent days land in the same rewrite
+    task, preserving time-locality for range pruning after compaction.
+    Integer bytes end-to-end, so the packing is bit-identical across
+    engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.lit(24) + F.length("event_type")).cast("long").alias("bytes")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    planned = files.withColumn(
+        "bin",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / F.lit(100000)).cast("long"),
+    )
+    return planned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("total_bytes"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: sliding event-time window (W1 semantics, batch twin)
 # ---------------------------------------------------------------------------
@@ -3039,6 +3164,116 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "event_type string, exact_users long, sketch_ok boolean"
+    )
+
+
+@query(
+    "streaming_custom_state",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+)
+SELECT InvoiceNo,
+       MIN(UnitPrice) AS min_unit_price,
+       MAX(UnitPrice) AS max_unit_price,
+       CAST(SUM(Quantity) AS BIGINT) AS number_items,
+       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS lines
+FROM good GROUP BY 1
+""",
+)
+def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 under the driver gate: the CUSTOM stateful operator
+    (``applyInPandasWithState``, streaming/state.apply_invoice_state —
+    the legacy-exact twin of the reference's updateInvoiceState,
+    InvoicePipeline.scala:93-130) run as a REAL multi-micro-batch
+    drain. The purchase lines are staged into 3 parquet files keyed by
+    ``line_no % 3`` and streamed with ``maxFilesPerTrigger=1``, so an
+    invoice's lines arrive across up to 3 micro-batches and the
+    operator must CARRY ARROW-BATCHED STATE between them: running
+    min/max price, running quantity total, and the batches-touched
+    counter (the reference's ``lines``). The gated columns are exactly
+    the fold-order-independent state fields — min/max/sum and the
+    DISTINCT-bucket count — so the output is deterministic while the
+    state machinery (state rows, cross-batch merge, update-mode
+    emission, last-emission-wins snapshot) is fully exercised;
+    the arrival-order artifacts (head-of-batch hour, incremental avg)
+    are deliberately not hashed (their fidelity is unit-tested in
+    test_streaming/test_state_recovery)."""
+    import glob as globmod
+    import shutil
+
+    from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
+        parse_invoice_ts,
+    )
+    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        apply_invoice_state,
+    )
+
+    p = purchase_rows(spark, sf_dir).filter(
+        ~F.col("InvoiceNo").startswith("C") & (F.col("CustomerID") != "")
+    ).select(
+        "InvoiceNo",
+        "CustomerID",
+        F.col("Quantity").cast("double").alias("Quantity"),
+        "UnitPrice",
+        parse_invoice_ts(F.col("InvoiceDate")).alias("ts"),
+        (F.col("line_no") % 3).alias("bkt"),
+    )
+    work = scratch_dir("custom_state_in")
+    stage = scratch_dir("custom_state_stage")
+    for b in range(3):
+        p.filter(F.col("bkt") == b).drop("bkt").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/b{b}")
+        part = globmod.glob(f"{stage}/b{b}/part-*.parquet")[0]
+        shutil.copy(part, f"{work}/bucket{b}.parquet")
+    schema = p.drop("bkt").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work)
+    )
+    stream = _drain_input_diet(stream)
+    scored = apply_invoice_state(stream)
+    acc: dict[str, tuple[float, float, float, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["InvoiceNo"]] = (
+                r["MinUnitPrice"],
+                r["MaxUnitPrice"],
+                r["NumberItems"],
+                r["Lines"],
+            )
+
+    ckpt = fresh_checkpoint("stream_cstate_ckpt_")
+    writer = (
+        scored.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    rows = [
+        (k, mn, mx, int(ni), int(ln)) for k, (mn, mx, ni, ln) in sorted(acc.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "InvoiceNo string, mn double, mx double, number_items long, lines int",
+    )
+    # min/max are the IDENTICAL IEEE double on both engines (same
+    # division, same parquet round-trip), so they ship unrounded —
+    # the weighted_invoice_features convention; a divergent pre-round
+    # (Spark HALF_UP vs DuckDB) flips .5-boundary rows.
+    return out.select(
+        "InvoiceNo",
+        F.col("mn").alias("min_unit_price"),
+        F.col("mx").alias("max_unit_price"),
+        "number_items",
+        "lines",
     )
 
 

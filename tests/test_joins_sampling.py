@@ -157,3 +157,28 @@ def test_weighted_keep_endpoints_rate_and_determinism(spark):
         return bucket * maxw < weight * 65536
 
     assert ids == [k for k in range(n) if py_keep(k, 25, 100)]
+
+
+def test_merge_upsert_semantics(spark):
+    """merge_upsert: delete removes, update replaces payload, insert
+    appends, untouched base rows pass through; payload columns absent
+    from the change feed always come from base."""
+    from bigdata_invoice_stream_analysis_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "k long, v long, tag string",
+    )
+    changes = spark.createDataFrame(
+        [(2, "D", 0), (3, "U", 99), (9, "I", 900)],
+        "k long, op string, v long",
+    )
+    got = sorted(
+        (r["k"], r["v"], r["tag"]) for r in merge_upsert(base, changes, "k").collect()
+    )
+    assert got == [
+        (1, 10, "a"),      # untouched
+        (3, 99, "c"),      # updated v, tag (not in feed) kept from base
+        (4, 40, "d"),      # untouched
+        (9, 900, None),    # inserted; base-only column null
+    ]

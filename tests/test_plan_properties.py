@@ -275,3 +275,30 @@ def test_quality_weighted_sample_map_side_decision(spark, sf_dir):
     assert plan.count("Exchange") == 1
     scan = plan[plan.index("FileScan") :].splitlines()[0]
     assert "text" not in scan  # ReadSchema prunes the payload column
+
+
+def test_cdc_merge_equi_join_only(spark, sf_dir):
+    """MERGE's full-outer apply must be an equi-join on the key
+    (SMJ/SHJ at scale, zero-Exchange when bucketed) — never a
+    cartesian or nested-loop scan."""
+    df = QUERIES["cdc_merge_upsert"](spark, sf_dir)
+    plan = _plan(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compaction_window_on_file_aggregate_only(spark, sf_dir):
+    """The bin-packing window may single-partition sort ONLY the
+    file-level aggregate (metadata-scale rows): the SinglePartition
+    exchange must sit above the day aggregation, and the raw-event
+    exchange count stays at 1 (the day agg itself)."""
+    df = QUERIES["compaction_bin_packing"](spark, sf_dir)
+    plan = _plan(df)
+    single = plan.count("Exchange SinglePartition")
+    assert single == 1, plan
+    # the single-partition sort consumes the aggregated (d, bytes)
+    # rows, not raw events: the segment below it must contain the
+    # day-level HashAggregate
+    below = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in below
