@@ -1382,6 +1382,71 @@ def q_per_source_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contrastive_negatives",
+    oracle="""
+WITH pool AS (
+  SELECT vec_id, label FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+),
+anchors AS (SELECT vec_id AS anchor_id, label AS al FROM embeddings WHERE vec_id < 50),
+cand AS (
+  SELECT anchor_id, p.vec_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY anchor_id
+           ORDER BY md5(CAST(anchor_id AS VARCHAR) || '_' || CAST(p.vec_id AS VARCHAR)),
+                    p.vec_id) AS rnk
+  FROM anchors a JOIN pool p ON p.label != a.al
+)
+SELECT anchor_id, neg_id, CAST(rnk AS INT) AS rank
+FROM cand WHERE rnk <= 3
+""",
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws k=3 negatives (different label) from a BOUNDED
+    hash-ranked candidate pool, with the pick order itself a pure
+    function of the (anchor, candidate) pair's md5 — so the same
+    anchor gets the same negatives on every run, engine, and
+    partitioning (the property that makes training data lineage
+    auditable). Scale shape: the pool is 64 rows chosen by
+    TakeOrderedAndProject and BROADCAST, so the label-mismatch join is
+    a per-anchor scan of a constant-size in-memory list (a broadcast
+    nested loop over 64 rows — bounded by construction, NOT a corpus
+    self-join), and the per-anchor ranking window orders ≤64 rows.
+    At 10⁹ anchors the cost is linear in anchors with zero corpus
+    shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pool = (
+        e.select("vec_id", "label")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(64)
+    )
+    anchors = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("al")
+    )
+    cand = anchors.join(
+        F.broadcast(pool), F.col("label") != F.col("al")
+    ).select("anchor_id", F.col("vec_id").alias("neg_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("_"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        "neg_id",
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("anchor_id", "neg_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 _QWS_MAX = 2000  # weight cap: weight = min(n_chars, 2000)
 
 

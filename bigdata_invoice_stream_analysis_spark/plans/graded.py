@@ -26,6 +26,13 @@ from CORRECTNESS_r02.json and remain locally parity-gated by
 tests/test_oracle_parity.py over ALL registered oracles.
 tests/test_graded_window.py asserts the window matches this list so
 slot changes are deliberate diffs, not import-order accidents.
+
+Round-4 rotation candidates (registered late in round 3, local parity
+green, no driver row yet): approx_value_percentiles,
+quality_weighted_sample, hll_partial_merge, temporal_split_audit,
+streaming_hll_users, cdc_merge_upsert, compaction_bin_packing,
+media_exact_dedup (displaced this round), plus any r02 graded names
+worth re-pinning.
 """
 
 from __future__ import annotations
