@@ -3222,13 +3222,20 @@ def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_invoice_ts(F.col("InvoiceDate")).alias("ts"),
         (F.col("line_no") % 3).alias("bkt"),
     )
+    # Bench diet applies at staging (the stream then reads less too);
+    # driver/parity never set the env var, so they stage full volume.
+    p = _drain_input_diet(p)
     work = scratch_dir("custom_state_in")
     stage = scratch_dir("custom_state_stage")
+    # ONE write job: repartition on the bucket key puts each bucket in
+    # its own task → exactly one data file per bkt= dir (partitionBy
+    # strips the bkt column from the data files), vs 3 sequential
+    # filtered writes that each re-ran the purchase synthesis.
+    p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
+        stage
+    )
     for b in range(3):
-        p.filter(F.col("bkt") == b).drop("bkt").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{stage}/b{b}")
-        part = globmod.glob(f"{stage}/b{b}/part-*.parquet")[0]
+        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
         shutil.copy(part, f"{work}/bucket{b}.parquet")
     schema = p.drop("bkt").schema
     stream = (
@@ -3236,7 +3243,6 @@ def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(work)
     )
-    stream = _drain_input_diet(stream)
     scored = apply_invoice_state(stream)
     acc: dict[str, tuple[float, float, float, int]] = {}
 
