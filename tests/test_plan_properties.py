@@ -302,3 +302,35 @@ def test_compaction_window_on_file_aggregate_only(spark, sf_dir):
     # day-level HashAggregate
     below = plan.split("Exchange SinglePartition", 1)[1]
     assert "HashAggregate" in below
+
+
+def test_contrastive_negatives_bounded_pool_broadcast(spark, sf_dir):
+    """The negative pool must reach the join as a broadcast (64 rows by
+    construction via TakeOrderedAndProject); the non-equi label
+    condition is acceptable ONLY against that bounded side — assert
+    the broadcast and that no shuffle-side join handles it."""
+    df = QUERIES["contrastive_negatives"](spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # the 64-row pool cut
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hll_partial_merge_mapside_sketches(spark, sf_dir):
+    """Both sketch pipelines (daily partials and the direct pass) are
+    hash aggregates with map-side partials — no joins other than the
+    1-row-per-type broadcast reconciliation."""
+    df = QUERIES["hll_partial_merge"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # daily agg + union agg + direct agg all plan as HashAggregate
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_quality_weighted_and_temporal_no_joins(spark, sf_dir):
+    """Pure aggregate pipelines: the sampling decision and the split
+    flags are per-row expressions — no join may appear."""
+    for q in ["quality_weighted_sample", "temporal_split_audit"]:
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "Join" not in plan, q
