@@ -152,3 +152,47 @@ def test_star_cc_handles_self_loops_and_isolated_pairs(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in DD.connected_components_star(df).collect()}
     assert got == {5: 5, 1: 1, 2: 1, 7: 7, 9: 7}
+
+
+def test_minhash_pairs_cross_checked_against_pyspark_ml_lsh(spark, sf_dir):
+    """Fidelity cross-check against an INDEPENDENT implementation:
+    pyspark.ml.feature.MinHashLSH (different hash family, different
+    banding) must agree with operators/dedup on the high-similarity
+    pair set (exact Jaccard >= 0.8 — the planted near-dups). Both
+    sides verify candidates with the exact Jaccard, so any
+    disagreement means one candidate generator missed a true pair.
+    Deterministic: fixed LSH seed, fixed corpus."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from bigdata_invoice_stream_analysis_spark.functions import text as TX
+    from bigdata_invoice_stream_analysis_spark.plans.extensions import docs_neardup
+
+    d = docs_neardup(spark, sf_dir)
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert ours, "corpus must contain planted >=0.8 pairs"
+
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(TX.shingles(TX.tokenize(F.col("text")), 3)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    v = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=7
+    ).fit(v)
+    joined = model.approxSimilarityJoin(v, v, 0.2, distCol="jd")
+    ml = {
+        (a, b)
+        for a, b in (
+            (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+            for r in joined.filter(
+                F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+            ).collect()
+        )
+    }
+    assert ours <= ml, f"ml LSH missed {sorted(ours - ml)[:5]}"
+    assert ml <= ours, f"ml found extra high-sim pairs {sorted(ml - ours)[:5]}"

@@ -182,3 +182,23 @@ def test_merge_upsert_semantics(spark):
         (4, 40, "d"),      # untouched
         (9, 900, None),    # inserted; base-only column null
     ]
+
+
+def test_merge_upsert_idempotent_replay(spark):
+    """Applying the same compacted change feed twice equals applying it
+    once — the invariant that makes MERGE safe under at-least-once
+    delivery of a CDC stream (replayed batch re-applies cleanly)."""
+    from bigdata_invoice_stream_analysis_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 30)], "k long, v long"
+    )
+    changes = spark.createDataFrame(
+        [(k, "D", 0) for k in range(1, 30, 7)]
+        + [(k, "U", k * 100) for k in range(2, 30, 7)]
+        + [(k, "I", k) for k in range(100, 103)],
+        "k long, op string, v long",
+    )
+    once = merge_upsert(base, changes, "k")
+    twice = merge_upsert(once, changes, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
