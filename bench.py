@@ -21,9 +21,10 @@ recorded `parsed: null`): the printed line carries only the totals and
 the 10 slowest queries; the FULL per-query map goes to
 BENCH_DETAIL.json next to this script so rounds can diff every query.
 
-The 7 driver-graded streaming drain gates replay full corpora through
-the state store; at bench time that re-times the streaming engine 7×
-on identical machinery. SPARK_GRAFT_DRAIN_KEEP_1_IN=8 (set below,
+The driver-graded streaming drain gates (9 dieted queries as of round
+3: 8 in the graded window plus streaming_hll_users) replay full
+corpora through the state store; at bench time that re-times the
+streaming engine once per gate. SPARK_GRAFT_DRAIN_KEEP_1_IN=8 (set below,
 bench-process only) diets their INPUT deterministically; the driver's
 correctness run and the parity tests never set it, so the graded
 plan/oracle comparison always sees full volume. The dedicated

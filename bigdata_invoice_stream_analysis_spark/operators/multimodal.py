@@ -389,8 +389,12 @@ def decode_pixel_stats(
                 while payload[i : i + 1].isspace():
                     i += 1
                 if payload[i : i + 1] == b"#":
-                    while payload[i : i + 1] != b"\n":
+                    # bounds-checked like decode_pnm: a comment with no
+                    # terminating newline must raise, not spin the task
+                    while i < len(payload) and payload[i : i + 1] != b"\n":
                         i += 1
+                    if i >= len(payload):
+                        raise ValueError("truncated PGM header")
                     continue
                 j = i
                 while j < len(payload) and not payload[j : j + 1].isspace():

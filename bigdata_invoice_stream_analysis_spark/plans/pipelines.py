@@ -491,21 +491,7 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents the per-iteration plan: one rank⋈edge join plus one
     destination-keyed aggregation, lineage truncated per round."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.where(F.col("l_quantity") > 30)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    e0 = G.copurchase_edges(li)
     return G.pagerank_int(G.symmetrize(e0), iterations=_PR_ITERS)
 
 
@@ -1039,7 +1025,6 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle), proving the incremental merge is lossless. Exact per-key
     counts are computed batch-side only to rank the probe keys and
     exhibit the one-sided error."""
-    import tempfile
 
     from bigdata_invoice_stream_analysis_spark.plans.queries import _run_drain
 
@@ -1109,7 +1094,6 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact table on every recurring join and paying the shuffle once
     at layout time — the bucketed write is the one-time cost a real
     deployment amortizes across every downstream join on the key."""
-    import tempfile
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -1339,7 +1323,6 @@ def q_streaming_centroid_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
     is O(open invoices) integer sums, and scoring is per-row codegen —
     the same shapes the batch twins carry, now through
     IncrementalExecution."""
-    import tempfile
 
     from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
         parse_invoice_ts,
@@ -2242,7 +2225,6 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the difference between scanning a month and
     scanning the table; the write itself is the one-time layout cost,
     exactly like bucketing for joins."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
     root = scratch_dir("part_events")
@@ -2293,7 +2275,6 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-fills exactly the legacy batch. Merging footers is a driver-
     side metadata operation at any scale; the data files are untouched
     — which is why additive evolution is free in a parquet lake."""
-    import tempfile
 
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")

@@ -130,25 +130,12 @@ def _pq_topk(vecs):
 
 
 def edges_x(spark, sf_dir, mult=1):
-    """Symmetrized co-purchase edge set (the copurchase_pagerank
-    construction); mult>1 unions id-shifted disconnected copies so
-    per-round join+agg cost scales with edge count."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.where(F.col("l_quantity") > 30)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    """Symmetrized co-purchase edge set — the SAME builder the graded
+    copurchase queries use (operators/graph.copurchase_edges), so the
+    probe times the exact shipped graph; mult>1 unions id-shifted
+    disconnected copies so per-round join+agg cost scales with edge
+    count."""
+    e0 = G.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
     if mult > 1:
         parts = [
             e0.select(

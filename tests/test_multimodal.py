@@ -220,3 +220,14 @@ def test_decode_pixel_stats_matches_driver_decode(spark):
         assert r["resized_sum"] == sum(
             px[(rr * 2) * 16 + cc * 2] for rr in range(8) for cc in range(8)
         )
+
+
+def test_decode_pixel_stats_raises_on_truncated_comment(spark):
+    """The worker-inlined P5 parser must RAISE on a header comment with
+    no terminating newline (bounds-checked like decode_pnm) — never
+    spin the executor task."""
+    media = spark.createDataFrame(
+        [(1, b"P5 # truncated")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        MM.decode_pixel_stats(media).collect()
