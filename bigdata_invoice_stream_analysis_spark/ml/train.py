@@ -51,13 +51,23 @@ def train_sweep(
     seed: int = 42,
     max_iter: int = 20,
     rows_per_partition: int | None = 50_000,
+    parallelism: int = 4,
 ) -> list[SweepResult]:
     """M1/M2 + A5 — fit one model per k and record its training cost.
 
     The input should be cached by the caller (the reference caches,
-    train.scala:33); 20 sequential fits re-scan it otherwise. Each fit
+    train.scala:33); concurrent fits re-scan it otherwise. Each fit
     is internally distributed (per-iteration treeAggregate of cluster
-    sums); the sweep itself is sequential like the reference.
+    sums).
+
+    ``parallelism`` runs the independent fits as CONCURRENT Spark jobs
+    from a thread pool (the reference sweeps sequentially) — each
+    KMeans iteration is one small job over right-sized partitions, so
+    a sequential sweep leaves the scheduler idle between iterations;
+    concurrent submission overlaps them. Deterministic: every fit
+    depends only on (data, k, seed), never on submission order, and
+    results return ordered by k. Set parallelism=1 for the reference's
+    sequential behavior.
 
     ``rows_per_partition`` right-sizes partitioning before the sweep:
     every KMeans iteration is one Spark job, so len(ks) × maxIter jobs
@@ -74,8 +84,8 @@ def train_sweep(
         want = max(1, min(cur, n // rows_per_partition + 1))
         if want < cur:
             features_df = features_df.coalesce(want)
-    results: list[SweepResult] = []
-    for k in ks:
+
+    def fit_one(k: int) -> SweepResult:
         if algo == "kmeans":
             est = KMeans(k=k, seed=seed, maxIter=max_iter)
         elif algo == "bisecting":
@@ -83,9 +93,17 @@ def train_sweep(
         else:
             raise ValueError(f"unknown algo {algo!r}")
         model = est.fit(features_df)
-        cost = float(model.summary.trainingCost)
-        results.append(SweepResult(k=k, model=model, cost=cost))
-    return results
+        return SweepResult(k=k, model=model, cost=float(model.summary.trainingCost))
+
+    k_list = list(ks)
+    if parallelism > 1 and len(k_list) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(parallelism, len(k_list))
+        ) as pool:
+            return list(pool.map(fit_one, k_list))
+    return [fit_one(k) for k in k_list]
 
 
 def elbow_selection(costs: list[float], ratio: float = ELBOW_RATIO) -> int:
