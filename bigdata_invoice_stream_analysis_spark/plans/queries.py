@@ -826,6 +826,64 @@ def q_compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "equidepth_value_bins",
+    oracle="""
+WITH vals AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+bnds AS (
+  SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM vals
+),
+binned AS (
+  SELECT cents,
+         1 + list_sum(list_transform(bs, b -> CASE WHEN cents > b THEN 1 ELSE 0 END))
+           AS bucket
+  FROM vals CROSS JOIN bnds
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM binned GROUP BY 1
+""",
+)
+def q_equidepth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) feature binning WITHOUT a global sort — the
+    training-feature discretization step, in the two-phase shape that
+    scales: (1) ONE aggregate computes the 9 decile boundaries over
+    integer cents (single per-group percentile buffer), (2) the 9
+    doubles are collected — a sanctioned driver pull of the
+    codebook/centroid size class — and folded back as literals, so
+    every row buckets itself map-side (count of boundaries strictly
+    below its value; ties at a boundary deterministically stay in the
+    lower bucket). Compare ntile(): identical assignment but a
+    single-partition global sort of every row. The oracle computes the
+    same boundaries inline (quantile_cont shares Spark's h=(n-1)·q
+    interpolation on identical integer inputs ⇒ identical doubles) and
+    buckets identically, so boundary drift or a tie-break difference
+    flips the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    qs = [i / 10 for i in range(1, 10)]
+    bnds = vals.agg(
+        F.expr(
+            f"percentile(cents, array({', '.join(f'{q}D' for q in qs)}))"
+        ).alias("bs")
+    ).first()["bs"]
+    bucket = (
+        sum((F.col("cents") > F.lit(float(b))).cast("int") for b in bnds) + 1
+    ).alias("bucket")
+    return vals.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q: sliding event-time window (W1 semantics, batch twin)
 # ---------------------------------------------------------------------------
