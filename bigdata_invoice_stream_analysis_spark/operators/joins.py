@@ -109,7 +109,12 @@ def merge_upsert(
     is bucketed on the key, `sources.tables.write_bucketed`), and the
     rewrite is bounded by the touched partitions under dynamic
     partition overwrite. Changes must be 1-row-per-key (pre-compacted
-    CDC, e.g. latest_event_per_user's keep-latest).
+    CDC, e.g. latest_event_per_user's keep-latest); a duplicate-key
+    change feed fails loudly at execution time (like Delta/Iceberg's
+    multiple-matches error) instead of silently fanning base rows out
+    through the join — enforced by an in-plan ``raise_error`` guarded
+    on a per-key window count, which Catalyst cannot prune because it
+    feeds the op resolution itself.
 
     Returns base's columns; payload columns present in both sides are
     taken from the winning side.
@@ -121,6 +126,22 @@ def merge_upsert(
         F.col(op_col).alias("__op"),
         *[F.col(x).alias(f"__c_{x}") for x in payload if x in changes.columns],
     )
+    # Per-key multiplicity on the change feed; shuffles on the same key
+    # as the merge join so the exchange is shared, and the guard rides
+    # the op column so every downstream use (filter + payload pick)
+    # trips it before a duplicate can corrupt the merged table.
+    c = c.withColumn("__n", F.count("*").over(Window.partitionBy(key)))
+    op_checked = F.when(
+        F.col("__n") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("merge_upsert: multiple change rows for key "),
+                F.col(key).cast("string"),
+                F.lit(" — pre-compact the CDC feed (keep-latest per key)"),
+            )
+        ).cast("string"),
+    ).otherwise(F.col("__op"))
+    c = c.withColumn("__op", op_checked).drop("__n")
     j = b.join(c, key, "full_outer")
     kept = j.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
     cols = [F.col(key)]

@@ -25,6 +25,7 @@ Usage: python scripts/plan_audit.py [--all] [name ...]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -64,8 +65,11 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
         for ln in lines
     )
     n_bcast = plan.count("BroadcastExchange")
-    pushed = "PushedFilters: [" in plan and "PushedFilters: []" not in plan.replace(
-        "PushedFilters: [],", "PushedFilters: []"
+    # pushed=yes iff ANY scan carries a non-empty PushedFilters list —
+    # checked per occurrence so a second, unfiltered scan in the same
+    # plan (e.g. a dimension table read in full) can't mask a pushed one.
+    pushed = any(
+        m.strip() for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     )
     hazards = []
     if "CartesianProduct" in plan:

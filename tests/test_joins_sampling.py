@@ -202,3 +202,25 @@ def test_merge_upsert_idempotent_replay(spark):
     once = merge_upsert(base, changes, "k")
     twice = merge_upsert(once, changes, "k")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_upsert_rejects_duplicate_change_keys(spark):
+    """A change feed with two rows for one key must fail loudly (like
+    Delta/Iceberg's multiple-source-rows MERGE error), not silently fan
+    the base row out through the full-outer join."""
+    import pytest
+
+    from bigdata_invoice_stream_analysis_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    dup = spark.createDataFrame(
+        [(2, "U", 21), (2, "U", 22), (3, "I", 30)], "k long, op string, v long"
+    )
+    with pytest.raises(Exception, match="multiple change rows"):
+        merge_upsert(base, dup, "k").collect()
+    # and the same feed compacted to one row per key goes through
+    ok = dup.groupBy("k").agg(
+        F.max_by("op", "v").alias("op"), F.max("v").alias("v")
+    )
+    got = sorted((r["k"], r["v"]) for r in merge_upsert(base, ok, "k").collect())
+    assert got == [(1, 10), (2, 22), (3, 30)]
