@@ -1,0 +1,580 @@
+"""Driver-graded Structured-Streaming drain gates: real file-source micro-batch drains through the state store / watermark machinery, snapshot-gated against batch SQL oracles.
+
+Split out of plans/queries.py (round 4) to keep per-file size reviewable;
+registration still flows through the shared ``@query`` decorator, and
+plans/graded.py owns the driver grading window, so module boundaries are
+layout only — zero behavior change (pinned by tests/test_graded_window.py
+and the full oracle-parity suite).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_invoice_stream_analysis_spark.plans.queries import (
+    PURCHASE_CTE,
+    _drain_input_diet,
+    _run_drain,
+    purchase_rows,
+    query,
+    r6,
+)
+from bigdata_invoice_stream_analysis_spark.scratch import fresh_checkpoint
+from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q: driver-graded STREAMING correctness — the windowed aggregation runs
+# as a real Structured Streaming drain (file source → watermark →
+# sliding window → update-mode foreachBatch) and the accumulated result
+# is gated against the same batch SQL every other query uses. This
+# closes the "streaming untested by driver" gap: the state store,
+# watermark bookkeeping, and micro-batch planner are in the graded path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_error_windows",
+    oracle="""
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(window_start + INTERVAL 8 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_errors
+FROM (
+  SELECT time_bucket(INTERVAL 1 MINUTE, ts) - k * INTERVAL 1 MINUTE AS window_start
+  FROM events, generate_series(0, 7) AS t(k)
+  WHERE event_type = 'error'
+)
+GROUP BY window_start
+""",
+)
+def q_streaming_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 under the driver gate: 8-min/1-min sliding error counts
+    computed BY THE STREAMING ENGINE — parquet file-source stream,
+    1-minute event-time watermark, update-mode drain through
+    foreachBatch, last emitted value per window wins (update mode
+    re-emits a window whenever a batch changes it, so after an
+    availableNow drain the accumulated map equals the batch answer —
+    append mode would hold back every window newer than the final
+    watermark). The oracle is plain batch SQL: the gate proves the
+    state store + watermark machinery reproduce the declarative
+    semantics byte-for-byte. Schema/timestamp handling mirrors
+    load_table (NTZ → session-UTC timestamp; nanos → micros)."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        # file source wants a directory; the glob filter selects just
+        # the events table out of the shared sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    for col, dtype in stream.dtypes:
+        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) round
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif col == "ts" and dtype.startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "8 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "n_errors",
+        )
+    )
+    acc: dict[str, tuple[str, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["window_start"]] = (r["window_end"], r["n_errors"])
+
+    ckpt = fresh_checkpoint("stream_gate_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    rows = [(ws, we, int(n)) for ws, (we, n) in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "window_start string, window_end string, n_errors long"
+    )
+
+
+@query(
+    "streaming_user_totals",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A4 under the driver gate: unbounded keyed running totals
+    maintained by the streaming state store (update mode, no
+    watermark — state lives forever, the reference's updateStateByKey
+    semantic) and drained to a final snapshot that must hash-match the
+    batch GROUP BY. Exercises keyed state persistence + incremental
+    merge in the graded path; money stays in exact integer cents
+    inside the state."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    acc: dict[int, tuple[int, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["user_id"]] = (r["n_events"], r["value_cents"])
+
+    ckpt = fresh_checkpoint("stream_totals_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    rows = [(int(u), int(n), int(c)) for u, (n, c) in sorted(acc.items())]
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, value_cents long"
+    )
+
+
+@query(
+    "streaming_hll_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1
+""",
+)
+def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Datasketches HLL maintained INCREMENTALLY by the streaming
+    state store: ``hll_sketch_agg`` as an update-mode streaming
+    aggregation — a sketch is mergeable by construction, so the engine
+    carries it across micro-batches in O(sketch) keyed state no matter
+    how many events flow (the same property streaming_heavy_hitters
+    proves for CMS, here for the distinct-count sketch family,
+    completing the batch twin hll_partial_merge). The drained sketch's
+    estimate must land within 5% of the batch-exact distinct
+    (deterministic for fixed data); the exact count itself is
+    hash-checked against the oracle."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    agg = stream.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est: dict[str, int] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("est")
+        ).collect():
+            est[r["event_type"]] = int(r["est"])
+
+    ckpt = fresh_checkpoint("stream_hll_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+        .collect()
+    )
+    rows = [
+        (
+            r["event_type"],
+            int(r["exact_users"]),
+            abs(est.get(r["event_type"], 0) - r["exact_users"])
+            <= 0.05 * r["exact_users"],
+        )
+        for r in sorted(exact, key=lambda x: x["event_type"])
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_users long, sketch_ok boolean"
+    )
+
+
+@query(
+    "streaming_custom_state",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+)
+SELECT InvoiceNo,
+       MIN(UnitPrice) AS min_unit_price,
+       MAX(UnitPrice) AS max_unit_price,
+       CAST(SUM(Quantity) AS BIGINT) AS number_items,
+       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS lines
+FROM good GROUP BY 1
+""",
+)
+def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 under the driver gate: the CUSTOM stateful operator
+    (``applyInPandasWithState``, streaming/state.apply_invoice_state —
+    the legacy-exact twin of the reference's updateInvoiceState,
+    InvoicePipeline.scala:93-130) run as a REAL multi-micro-batch
+    drain. The purchase lines are staged into 3 parquet files keyed by
+    ``line_no % 3`` and streamed with ``maxFilesPerTrigger=1``, so an
+    invoice's lines arrive across up to 3 micro-batches and the
+    operator must CARRY ARROW-BATCHED STATE between them: running
+    min/max price, running quantity total, and the batches-touched
+    counter (the reference's ``lines``). The gated columns are exactly
+    the fold-order-independent state fields — min/max/sum and the
+    DISTINCT-bucket count — so the output is deterministic while the
+    state machinery (state rows, cross-batch merge, update-mode
+    emission, last-emission-wins snapshot) is fully exercised;
+    the arrival-order artifacts (head-of-batch hour, incremental avg)
+    are deliberately not hashed (their fidelity is unit-tested in
+    test_streaming/test_state_recovery)."""
+    import glob as globmod
+    import shutil
+
+    from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
+        parse_invoice_ts,
+    )
+    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        apply_invoice_state,
+    )
+
+    p = purchase_rows(spark, sf_dir).filter(
+        ~F.col("InvoiceNo").startswith("C") & (F.col("CustomerID") != "")
+    ).select(
+        "InvoiceNo",
+        "CustomerID",
+        F.col("Quantity").cast("double").alias("Quantity"),
+        "UnitPrice",
+        parse_invoice_ts(F.col("InvoiceDate")).alias("ts"),
+        (F.col("line_no") % 3).alias("bkt"),
+    )
+    # Bench diet applies at staging (the stream then reads less too);
+    # driver/parity never set the env var, so they stage full volume.
+    p = _drain_input_diet(p)
+    work = scratch_dir("custom_state_in")
+    stage = scratch_dir("custom_state_stage")
+    # ONE write job: repartition on the bucket key puts each bucket in
+    # its own task → exactly one data file per bkt= dir (partitionBy
+    # strips the bkt column from the data files), vs 3 sequential
+    # filtered writes that each re-ran the purchase synthesis.
+    p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
+        stage
+    )
+    for b in range(3):
+        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
+        shutil.copy(part, f"{work}/bucket{b}.parquet")
+    schema = p.drop("bkt").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work)
+    )
+    scored = apply_invoice_state(stream)
+    acc: dict[str, tuple[float, float, float, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["InvoiceNo"]] = (
+                r["MinUnitPrice"],
+                r["MaxUnitPrice"],
+                r["NumberItems"],
+                r["Lines"],
+            )
+
+    ckpt = fresh_checkpoint("stream_cstate_ckpt_")
+    writer = (
+        scored.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    rows = [
+        (k, mn, mx, int(ni), int(ln)) for k, (mn, mx, ni, ln) in sorted(acc.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "InvoiceNo string, mn double, mx double, number_items long, lines int",
+    )
+    # min/max are the IDENTICAL IEEE double on both engines (same
+    # division, same parquet round-trip), so they ship unrounded —
+    # the weighted_invoice_features convention; a divergent pre-round
+    # (Spark HALF_UP vs DuckDB) flips .5-boundary rows.
+    return out.select(
+        "InvoiceNo",
+        F.col("mn").alias("min_unit_price"),
+        F.col("mx").alias("max_unit_price"),
+        "number_items",
+        "lines",
+    )
+
+
+@query(
+    "streaming_dedup_fingerprints",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dropped
+FROM (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 13 = 0
+)
+""",
+)
+def q_streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (dedup) under the streaming gate: documents plus verbatim
+    copies of every 13th doc flow through dropDuplicates on the
+    content digest — the state store holds one entry per fingerprint
+    and suppresses cross-batch redeliveries. The drain counts
+    survivors; together with the input count the gate pins exactly how
+    many duplicates the STATE deduplicated (which doc survives is
+    arrival-order-dependent, so the gate asserts the deterministic
+    aggregate, not survivor identity — same contract a replayed Kafka
+    topic gives you)."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    dup = stream.filter(F.col("doc_id") % 13 == 0)
+    all_docs = stream.unionByName(dup).select(
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
+    )
+    deduped = all_docs.dropDuplicates(["fp"])
+    acc: dict[str, bool] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["fp"]] = True
+
+    ckpt = fresh_checkpoint("stream_dedup_ckpt_")
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    total = load_table(spark, sf_dir, "documents")
+    n_docs = total.count() + total.filter(F.col("doc_id") % 13 == 0).count()
+    n_unique = len(acc)
+    return spark.createDataFrame(
+        [(n_docs, n_unique, n_docs - n_unique)],
+        "n_docs long, n_unique long, n_dropped long",
+    )
+
+
+@query(
+    "streaming_error_purchase_join",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = e.user_id
+ AND p.ts > e.ts
+ AND p.ts <= e.ts + INTERVAL 10 MINUTE
+""",
+)
+def q_streaming_error_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join under the driver gate: purchases
+    within 10 minutes after an error by the same user, both sides real
+    streams with event-time watermarks, the time-range condition
+    bounding join state (each side retains only rows younger than
+    watermark + interval — the property that keeps state finite on an
+    unbounded stream). Inner-join matches emit as soon as both sides
+    arrive; the drain accumulates (error, purchase) pair identities so
+    a replayed batch cannot double-count. The oracle is the plain
+    batch interval join — the gate proves the streaming join planner
+    and state manager reproduce relational semantics exactly."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(evt: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        s = _drain_input_diet(s)
+        for col, dtype in s.dtypes:
+            if col == "ts" and dtype == "bigint":
+                s = s.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
+            elif col == "ts" and dtype.startswith("timestamp_ntz"):
+                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.filter(F.col("event_type") == evt)
+            .select("user_id", "event_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+
+    e = side("error").withColumnsRenamed(
+        {"event_id": "e_id", "ts": "e_ts", "user_id": "e_user"}
+    )
+    p = side("purchase").withColumnsRenamed(
+        {"event_id": "p_id", "ts": "p_ts", "user_id": "p_user"}
+    )
+    joined = e.join(
+        p,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("p_ts") > F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("e_user", "e_id", "p_id")
+    pairs: set[tuple[int, int]] = set()
+    users: set[int] = set()
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            pairs.add((r["e_id"], r["p_id"]))
+            users.add(r["e_user"])
+
+    ckpt = fresh_checkpoint("stream_join_ckpt_")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    return spark.createDataFrame(
+        [(len(pairs), len(users))], "n_pairs long, n_users long"
+    )
+@query(
+    "streaming_sessions",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 > INTERVAL 240 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+grp AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id,
+         MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 240 MINUTE AS s_end,
+         COUNT(*) AS n_events
+  FROM grp GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(n_events AS BIGINT) AS n_events
+FROM sess
+WHERE s_end <= (SELECT MAX(ts) - INTERVAL 1 MINUTE FROM events)
+""",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization under the driver gate:
+    `session_window(ts, 4h)` per user on the file-source event stream,
+    1-minute watermark, APPEND mode — the engine merges events into
+    gap-bounded sessions in the state store and emits each session
+    exactly once, when the watermark passes its end (last event +
+    gap). The availableNow drain's final watermark is data-derived
+    (max ts − 1 min), so the emitted set is deterministic: exactly the
+    sessions with end <= final watermark — which is what the batch
+    oracle's gap-sessionization (lag/running-sum, the same shape as
+    `user_sessions`) computes, horizon filter included. Sessions still
+    open at end-of-stream are correctly withheld by append semantics;
+    the oracle mirrors that. State is O(open sessions per user), the
+    cluster-scale bound."""
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    for col, dtype in stream.dtypes:
+        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) round
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif col == "ts" and dtype.startswith("timestamp_ntz"):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", "240 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    rows: list[tuple[int, str, str, int]] = []
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            rows.append(
+                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            )
+
+    ckpt = fresh_checkpoint("stream_sessions_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    return spark.createDataFrame(
+        sorted(rows),
+        "user_id long, session_start string, session_end string, n_events long",
+    )
+
+
+# Round-2 pipeline queries (sub-document dedup, boilerplate, bigram LM,
+# SemDeDup, binned interval join, PageRank) — registered on import;
+# must come after extensions (it reuses its augmented-corpus CTEs).

@@ -1435,1573 +1435,6 @@ def register(name: str):
     return QUERIES[name]
 
 
-# Extension queries (text analysis / dedup / similarity / multimodal)
-# register themselves on import; keep this at module bottom so the
-# @query decorator above is defined first.
-from bigdata_invoice_stream_analysis_spark.plans import extensions  # noqa: E402,F401
-
-
-# ---------------------------------------------------------------------------
-# Q: window-function + as-of surface (§2.9 was empty in the reference;
-# these complete the SQL-window shapes: rank-per-group, time-RANGE
-# frame, and the point-in-time as-of join a feature pipeline needs).
-# ---------------------------------------------------------------------------
-
-@query(
-    "top_parts_per_nation",
-    oracle="""
-WITH rev AS (
-  SELECT n.n_name AS nation_name, l.l_partkey AS part_key,
-         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev_e4,
-         COUNT(*) AS n_lines
-  FROM lineitem l
-  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-  JOIN nation n ON s.s_nationkey = n.n_nationkey
-  GROUP BY 1, 2
-),
-rk AS (
-  SELECT nation_name, part_key, rev_e4, n_lines,
-         row_number() OVER (PARTITION BY nation_name
-                            ORDER BY rev_e4 DESC, part_key) AS part_rank
-  FROM rev
-)
-SELECT nation_name, CAST(part_key AS BIGINT) AS part_key,
-       ROUND(rev_e4 / 10000.0, 6) AS revenue,
-       CAST(n_lines AS BIGINT) AS n_lines,
-       CAST(part_rank AS BIGINT) AS part_rank
-FROM rk WHERE part_rank <= 3
-""",
-)
-def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 parts by discounted revenue per supplier nation — the
-    rank-per-group window shape (row_number over a partitioned sort).
-    Physical plan: fact-side agg shuffle on (nation, part) with both
-    dims broadcast, then a second shuffle on nation for the window;
-    the rank filter cuts each partition to 3 rows before any further
-    movement. Ties broken by part_key so the result is deterministic.
-    Money math in exact integer 1e-4 dollars (see q_pricing_summary)."""
-    from pyspark.sql.window import Window
-
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc = F.round(F.col("l_discount") * 100).cast("long")
-    rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation_name"),
-            F.col("l_partkey").alias("part_key"),
-        )
-        .agg(
-            F.sum(cents * (100 - disc)).alias("rev_e4"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-    w = Window.partitionBy("nation_name").orderBy(
-        F.desc("rev_e4"), F.asc("part_key")
-    )
-    return (
-        rev.withColumn("part_rank", F.row_number().over(w))
-        .filter(F.col("part_rank") <= 3)
-        .select(
-            "nation_name",
-            "part_key",
-            r6(F.col("rev_e4") / 10000.0).alias("revenue"),
-            "n_lines",
-            F.col("part_rank").cast("long").alias("part_rank"),
-        )
-    )
-
-
-@query(
-    "rolling_user_value",
-    oracle="""
-WITH e AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-         CAST(ROUND(value * 100) AS BIGINT) AS vc
-  FROM events
-)
-SELECT event_id, user_id, ts_us,
-       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-       ROUND(CAST(SUM(vc) OVER w AS BIGINT) / 100.0, 6) AS value_sum_1h,
-       ROUND(CAST(SUM(vc) OVER w AS BIGINT)
-             / (100.0 * COUNT(*) OVER w), 6) AS value_avg_1h
-FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-""",
-)
-def q_rolling_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event trailing-1-hour count/sum/mean of the user's event
-    values — the time-RANGE window frame (feature engineering's
-    'activity in the last hour'). One shuffle on user_id; the frame is
-    evaluated by a running two-pointer pass per partition, never
-    materializing per-row frames. Values aggregate in integer cents
-    over exact microsecond epochs (ts DIV 1000 truncation matches
-    DuckDB's ns→us read), so both engines see identical frames and
-    identical sums."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("vc"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    n = F.count(F.lit(1)).over(w)
-    s = F.sum("vc").over(w)
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts_us",
-        n.alias("n_1h"),
-        r6(s / 100.0).alias("value_sum_1h"),
-        r6(s / (100.0 * n)).alias("value_avg_1h"),
-    )
-
-
-@query(
-    "time_since_error",
-    oracle="""
-WITH e AS (
-  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
-),
-err AS (
-  SELECT event_id AS last_error_id, user_id, ts_us AS r_us
-  FROM e WHERE event_type = 'error'
-),
-cand AS (
-  SELECT e.event_id, e.user_id, e.ts_us, err.last_error_id, err.r_us,
-         row_number() OVER (PARTITION BY e.event_id
-                            ORDER BY err.r_us DESC, err.last_error_id DESC) AS rn
-  FROM e JOIN err ON err.user_id = e.user_id AND err.r_us < e.ts_us
-)
-SELECT event_id, user_id, ts_us, last_error_id,
-       ROUND((ts_us - r_us) / 1000000.0, 6) AS sec_since_error
-FROM cand WHERE rn = 1
-""",
-)
-def q_time_since_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event matched to the user's most recent strictly
-    earlier error event ('time since last failure'). The oracle is the
-    quadratic per-key inequality join + rank; the Spark plan is
-    operators/joins.asof_join — union + running last(ignorenulls) over
-    one key shuffle, linear in events-per-user. Events with no prior
-    error are dropped (inner as-of)."""
-    from bigdata_invoice_stream_analysis_spark.operators.joins import asof_join
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        "event_type",
-    )
-    err = ev.filter(F.col("event_type") == "error").select(
-        F.col("user_id"),
-        F.col("ts_us"),
-        F.col("event_id").alias("last_error_id"),
-        F.col("ts_us").alias("r_us"),
-    )
-    joined = asof_join(
-        ev.drop("event_type"),
-        err,
-        on="user_id",
-        left_ts="ts_us",
-        right_ts="ts_us",
-        right_cols=["last_error_id", "r_us"],
-        strict=True,
-        tiebreak="last_error_id",
-    )
-    return joined.filter(F.col("last_error_id").isNotNull()).select(
-        "event_id",
-        "user_id",
-        "ts_us",
-        "last_error_id",
-        r6((F.col("ts_us") - F.col("r_us")) / 1_000_000.0).alias("sec_since_error"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q: remaining relational shapes — semi join (EXISTS), INTERSECT,
-# CUBE, and scalar-subquery comparison. §2.7/2.8 were empty in the
-# reference; with these, every classic SQL shape is first-class and
-# oracle-gated.
-# ---------------------------------------------------------------------------
-
-@query(
-    "segment_active_customers",
-    oracle="""
-SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
-GROUP BY 1
-""",
-)
-def q_segment_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS / left-semi join: customers with at least one big order,
-    counted per market segment. The semi join carries only the key and
-    stops probing a customer at its first match — no fact-side payload
-    ever shuffles, and the output can't exceed the customer table.
-    Complements segment_order_gap (the anti twin)."""
-    c = load_table(spark, sf_dir, "customer")
-    big = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 200000
-    ).select("o_custkey")
-    return (
-        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@query(
-    "repeat_customers",
-    oracle="""
-SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'F'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-""",
-)
-def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT-distinct: customers holding both a finished ('F') and
-    an open ('O') order. Catalyst plans set-intersect as a distinct +
-    left-semi join on the key — one shuffle each side, no payload.
-    Completes the set-op surface next to unordered_parts (EXCEPT) and
-    the corpus-augmentation UNIONs."""
-    o = load_table(spark, sf_dir, "orders")
-    f = o.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("cust_key")
-    )
-    op = o.filter(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("cust_key")
-    )
-    return f.intersect(op)
-
-
-@query(
-    "order_status_cube",
-    oracle="""
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
-         AS total_price
-FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-)
-def q_order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all four grouping-set combinations
-    in a single Expand + one aggregation pass — the same plan shape as
-    order_priority_rollup but with the full lattice (×4 row expansion
-    pre-shuffle, partial aggregation keeps the exchange small). Neither
-    column is ever null in the data, so COALESCE('ALL') marks the
-    subtotal rows identically in both engines. Money sums in exact
-    integer cents, divided after (FP-determinism convention)."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return (
-        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("sc"))
-        .select(
-            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
-            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
-            "n_orders",
-            r6(F.col("sc") / 100.0).alias("total_price"),
-        )
-    )
-
-
-@query(
-    "orders_above_avg",
-    oracle="""
-WITH t AS (
-  SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
-         COUNT(*) AS n
-  FROM orders
-)
-SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders o, t
-WHERE CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * t.n > t.s
-GROUP BY 1
-""",
-)
-def q_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery comparison: orders priced above the global mean,
-    counted per priority. The 1-row global aggregate broadcasts and the
-    predicate is cross-multiplied (cents*n > sum) so the comparison is
-    exact integer arithmetic — no float mean, no engine divergence on
-    the boundary. Two passes over orders (one agg, one filter+agg),
-    both with only the needed columns scanned."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    t = o.agg(
-        F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        o.select(F.col("o_orderpriority"), cents.alias("cents"))
-        .join(F.broadcast(t))
-        .filter(F.col("cents") * F.col("n") > F.col("s"))
-        .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q: distinct-aggregates, pivot, histogram, SQL front-end — §2.12
-# listed distinct-aggregates among the reference's explicit absences;
-# these make them (and the remaining reshaping shapes) first-class.
-# ---------------------------------------------------------------------------
-
-@query(
-    "priority_distinct_reach",
-    oracle="""
-SELECT o_orderpriority AS priority,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-       CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
-       CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders GROUP BY 1
-""",
-)
-def q_priority_distinct_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiple DISTINCT aggregates in one pass: per priority, distinct
-    customers AND distinct order days next to a plain count. Catalyst
-    plans multi-distinct as a single Expand (one row replica per
-    distinct clause) + two-level aggregation — one logical pass over
-    orders, not one job per distinct. At extreme cardinality each
-    distinct clause becomes a dedicated HLL/sketch; this is the exact
-    form."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
-        F.count_distinct(F.col("o_orderdate").cast("date")).alias("n_days"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-@query(
-    "status_priority_pivot",
-    oracle="""
-SELECT o_orderpriority AS priority,
-       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
-       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
-       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
-FROM orders GROUP BY 1
-""",
-)
-def q_status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT: order counts reshaped to one column per status. The pivot
-    values are declared explicitly ('F','O','P'), which keeps this a
-    single aggregation pass — omitting them would cost an extra
-    distinct-scan job to discover the columns, and a skew/typo in the
-    data would silently change the output schema (schema stability
-    matters more than convenience at scale)."""
-    o = load_table(spark, sf_dir, "orders")
-    p = (
-        o.groupBy(F.col("o_orderpriority").alias("priority"))
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .count()
-    )
-    return p.select(
-        "priority",
-        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
-        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
-        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
-    )
-
-
-@query(
-    "order_value_histogram",
-    oracle="""
-SELECT CAST(FLOOR(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket_lo,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
-         AS bucket_value
-FROM orders GROUP BY 1
-""",
-)
-def q_order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-width value histogram (50k-wide buckets) — the
-    distribution-profiling pass a data-quality pipeline runs per
-    numeric column. Bucketing is a map-side floor-division, so the
-    shuffle carries one row per bucket per partition (partial agg),
-    regardless of input size. Complements price_percentiles (exact
-    quantiles) with the full-shape view."""
-    o = load_table(spark, sf_dir, "orders")
-    bucket = (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("long")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return (
-        o.groupBy(bucket.alias("bucket_lo"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(cents).alias("sc"),
-        )
-        .select("bucket_lo", "n_orders", r6(F.col("sc") / 100.0).alias("bucket_value"))
-    )
-
-
-@query(
-    "region_revenue_sql",
-    oracle="""
-SELECT r.r_name AS region_name,
-       CAST(COUNT(*) AS BIGINT) AS n_lines,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS revenue
-FROM lineitem l
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-GROUP BY 1
-""",
-)
-def q_region_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL FRONT-END path: this query is authored as a Spark SQL
-    string over registered views (sources.tables.register_views), not
-    the DataFrame API — proving a reference user can bring plain SQL
-    and get the identical Catalyst plan (both front-ends converge on
-    the same logical plan; the dims broadcast all the same). Same
-    integer-cents revenue convention as the DataFrame queries."""
-    from bigdata_invoice_stream_analysis_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT r.r_name AS region_name,
-               COUNT(*) AS n_lines,
-               -- CAST to DOUBLE: a bare 10000.0 literal is DECIMAL in
-               -- Spark SQL and would make revenue a Decimal column.
-               ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                         * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-                     / CAST(10000 AS DOUBLE), 6) AS revenue
-        FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY r.r_name
-    """)
-
-
-@query(
-    "user_value_trend",
-    oracle="""
-WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us,
-         CAST(ROUND(value * 100) AS BIGINT) AS yc
-  FROM events
-),
-shifted AS (
-  SELECT user_id,
-         (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 60000000 AS xm,
-         yc
-  FROM e
-),
-s AS (
-  SELECT user_id, COUNT(*) AS n, SUM(xm) AS sx, SUM(yc) AS sy,
-         SUM(xm * yc) AS sxy, SUM(xm * xm) AS sx2
-  FROM shifted GROUP BY 1
-)
-SELECT user_id, CAST(n AS BIGINT) AS n_events,
-       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (n * sx2 - sx * sx), 6) AS slope_cents_per_min
-FROM s WHERE n * sx2 - sx * sx != 0
-""",
-)
-def q_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user linear trend (least-squares slope) of event value over
-    time — the 'is this metric drifting' aggregate. The regression
-    decomposes into FOUR plain integer sums (n, Σx, Σy, Σxy, Σx²), so
-    one hash aggregation computes an exact closed-form slope: no UDF,
-    no per-group pandas fit, no float summation-order divergence.
-    x is shifted per user (minutes since the user's first event, via a
-    window MIN) — slope is shift-invariant and the shift keeps every
-    sum well inside int64 at any realistic group size. The window and
-    the aggregation share one user_id shuffle (Catalyst reuses the
-    partitioning). Degenerate single-instant users are dropped
-    (denominator 0)."""
-    from pyspark.sql.window import Window
-
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.round(F.col("value") * 100).cast("long").alias("yc"),
-    )
-    w = Window.partitionBy("user_id")
-    shifted = e.select(
-        "user_id",
-        F.expr("(ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) DIV 60000000").alias("xm"),
-        "yc",
-    )
-    s = shifted.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("xm").alias("sx"),
-        F.sum("yc").alias("sy"),
-        F.sum(F.col("xm") * F.col("yc")).alias("sxy"),
-        F.sum(F.col("xm") * F.col("xm")).alias("sx2"),
-    )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
-    return s.filter(den != 0).select(
-        "user_id",
-        F.col("n").alias("n_events"),
-        r6(num.cast("double") / den).alias("slope_cents_per_min"),
-    )
-
-
-@query(
-    "customer_balance_quartiles",
-    oracle="""
-WITH q AS (
-  SELECT c_mktsegment, c_acctbal,
-         ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
-  FROM customer
-)
-SELECT CAST(quartile AS BIGINT) AS quartile,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
-       ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 6)
-         AS total_balance
-FROM q GROUP BY 1
-""",
-)
-def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing: customers split into account-balance quartiles,
-    then profiled per bucket. The global ORDER BY under ntile is the
-    one genuinely serial shape in SQL (a single total order); the sort
-    key is (acctbal, custkey) so ties can't make bucket membership
-    engine-dependent. At 100 TB the exact-ntile plan range-partitions
-    the sort; the cheap alternative is approx-percentile boundaries +
-    a map-side bucket join, which avoids the total order entirely."""
-    from pyspark.sql.window import Window
-
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    q = c.select(
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-    return q.groupBy(F.col("quartile").cast("long").alias("quartile")).agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.count_distinct("c_mktsegment").alias("n_segments"),
-        r6(F.sum("bal_c") / 100.0).alias("total_balance"),
-    )
-
-
-@query(
-    "orders_profile",
-    oracle="""
-SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(o_custkey) AS BIGINT) AS n_filled,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
-       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
-       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
-FROM orders
-UNION ALL
-SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
-       COUNT(DISTINCT o_orderstatus),
-       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
-FROM orders
-UNION ALL
-SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
-       COUNT(DISTINCT o_orderpriority),
-       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
-FROM orders
-""",
-)
-def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-level data profiling (the completeness/cardinality audit
-    a pipeline runs on every ingested table): one row per profiled
-    column with fill, distinct, and min/max. All columns profile in a
-    SINGLE aggregation pass — the per-column stats are parallel
-    aggregate expressions, unpivoted afterwards with a stack() — not
-    one scan per column (the oracle's UNION ALL form is the naive
-    3-scan equivalent DuckDB can afford at test SF)."""
-    o = load_table(spark, sf_dir, "orders")
-    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}__filled"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__filled, {c}__distinct, {c}__min, {c}__max" for c in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS "
-            "(col_name, n_filled, n_distinct, min_val, max_val)"
-        ),
-        "n_rows",
-    ).select("col_name", "n_rows", "n_filled", "n_distinct", "min_val", "max_val")
-
-
-@query(
-    "balance_quartiles_bucketed",
-    oracle="""
-WITH b AS (
-  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c, c_mktsegment
-  FROM customer
-),
-hist AS (SELECT bal_c, COUNT(*) AS cnt FROM b GROUP BY 1),
-cum AS (
-  SELECT bal_c,
-         SUM(cnt) OVER (ORDER BY bal_c
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum
-  FROM hist
-),
-n AS (SELECT COUNT(*) AS n FROM b),
-bounds AS (
-  SELECT
-    MIN(CASE WHEN cum * 4 >= 1 * (SELECT n FROM n) THEN bal_c END) AS b1,
-    MIN(CASE WHEN cum * 4 >= 2 * (SELECT n FROM n) THEN bal_c END) AS b2,
-    MIN(CASE WHEN cum * 4 >= 3 * (SELECT n FROM n) THEN bal_c END) AS b3
-  FROM cum
-),
-q AS (
-  SELECT b.bal_c, b.c_mktsegment,
-         CASE WHEN bal_c <= b1 THEN 1
-              WHEN bal_c <= b2 THEN 2
-              WHEN bal_c <= b3 THEN 3
-              ELSE 4 END AS quartile
-  FROM b, bounds
-)
-SELECT CAST(quartile AS BIGINT) AS quartile,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
-       ROUND(SUM(bal_c) / 100.0, 6) AS total_balance
-FROM q GROUP BY 1
-""",
-)
-def q_balance_quartiles_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The NO-GLOBAL-SORT scale path for customer_balance_quartiles
-    (whose exact-ntile plan needs one total order). Value-bucketed
-    quartiles in three domain-bounded steps:
-
-      1. histogram: groupBy the integer-cents balance — cardinality is
-         bounded by the VALUE DOMAIN (~1.1M distinct cents for TPC-H
-         acctbal), not the row count, so this shuffle stays constant as
-         data scales 100×;
-      2. boundaries: a running-count window over the (small) histogram
-         finds the smallest balance whose cumulative count reaches
-         k·N/4 (integer comparison cum·4 ≥ k·N — no float quantile);
-      3. assignment: the 3 boundary values broadcast back and every row
-         picks its quartile map-side.
-
-    Semantics differ from ntile only on boundary TIES: equal balances
-    always land in the same quartile here (value-deterministic), while
-    ntile splits them by row position. Deviation documented; for a
-    data pipeline the value-deterministic form is usually the one you
-    want (reproducible under repartitioning)."""
-    from pyspark.sql.window import Window
-
-    c = load_table(spark, sf_dir, "customer")
-    bal = c.select(
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
-        "c_mktsegment",
-    )
-    hist = bal.groupBy("bal_c").agg(F.count(F.lit(1)).alias("cnt"))
-    # Running count over the histogram: ordered by balance value. The
-    # single-partition window is over DISTINCT balances (domain-bounded,
-    # ≤ ~1.1M rows at any SF) — not over the customer table.
-    wc = Window.orderBy("bal_c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(wc))
-    tot = bal.agg(F.count(F.lit(1)).alias("n"))
-    bounds = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("bal_c"))).alias("b1"),
-            F.min(F.when(F.col("cum") * 4 >= 2 * F.col("n"), F.col("bal_c"))).alias("b2"),
-            F.min(F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("bal_c"))).alias("b3"),
-        )
-    )
-    q = bal.crossJoin(F.broadcast(bounds)).withColumn(
-        "quartile",
-        F.when(F.col("bal_c") <= F.col("b1"), 1)
-        .when(F.col("bal_c") <= F.col("b2"), 2)
-        .when(F.col("bal_c") <= F.col("b3"), 3)
-        .otherwise(4)
-        .cast("long"),
-    )
-    return q.groupBy("quartile").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.count_distinct("c_mktsegment").alias("n_segments"),
-        r6(F.sum("bal_c") / 100.0).alias("total_balance"),
-    )
-
-
-@query(
-    "salted_event_totals",
-    oracle="""
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-       CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
-FROM events GROUP BY 1
-""",
-)
-def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew-resistant aggregation path (operators/skew.salted_agg),
-    driver-gated: per-event-type totals computed as a TWO-PHASE salted
-    groupBy — phase 1 aggregates (key, salt) so a pathologically hot key
-    spreads across n_salt reducers, phase 2 merges the tiny partials.
-    event_type has brutal natural skew (a handful of types over millions
-    of rows), making it exactly the shape salting exists for. The oracle
-    is the plain GROUP BY: salting must be RESULT-INVISIBLE for
-    algebraic aggregates, and this gate proves it stays so every round."""
-    from bigdata_invoice_stream_analysis_spark.operators.skew import salted_agg
-
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "cents", F.round(F.col("value") * 100).cast("long")
-    )
-    return salted_agg(
-        ev,
-        keys=["event_type"],
-        aggs={
-            "n_events": ("count", F.lit(1)),
-            "total_cents": ("sum", F.col("cents")),
-            "min_cents": ("min", F.col("cents")),
-            "max_cents": ("max", F.col("cents")),
-        },
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q: classic warehouse reporting shapes (TPC-H Q3/Q8/Q10/Q14/Q19 adapted
-# to the driver star schema) — the multi-join + selective-predicate
-# surface a reference user runs daily. All money math in exact integer
-# 1e-4 dollars (see q_pricing_summary) for hash stability.
-# ---------------------------------------------------------------------------
-
-@query(
-    "shipping_priority",
-    oracle="""
-SELECT CAST(l.l_orderkey AS BIGINT) AS order_key,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS revenue,
-       o.o_orderdate AS order_date,
-       o.o_orderpriority AS priority
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '1998-01-01'
-  AND l.l_shipdate > TIMESTAMP '1998-01-01'
-GROUP BY 1, 3, 4
-ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
-         order_key
-LIMIT 10
-""",
-)
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: unshipped-revenue top-10 for one market segment.
-    Plan shape that matters at 100 TB: the segment filter cuts customer
-    ~5× BEFORE the join and broadcasts (dim-side reduction first); the
-    date predicates push into both parquet scans (min/max row-group
-    skipping on o_orderdate / l_shipdate); the top-10 runs as
-    TakeOrderedAndProject after partial aggregation — no global sort of
-    the aggregate ever materializes. Ties broken by order key."""
-    cutoff = F.lit("1998-01-01").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
-    rev_e4 = F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.col("l_orderkey").alias("order_key"),
-            F.col("o_orderdate").alias("order_date"),
-            F.col("o_orderpriority").alias("priority"),
-        )
-        .agg(rev_e4.alias("rev_e4"))
-        .orderBy(F.col("rev_e4").desc(), F.col("order_key"))
-        .limit(10)
-        .select(
-            "order_key",
-            r6(F.col("rev_e4") / 10000.0).alias("revenue"),
-            "order_date",
-            "priority",
-        )
-    )
-
-
-@query(
-    "promo_revenue_share",
-    oracle="""
-SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
-       ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
-                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
-                      ELSE 0 END) / 10000.0, 6) AS promo_revenue,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS total_revenue,
-       ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                              THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
-                              ELSE 0 END)
-             / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 6)
-         AS promo_pct
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-GROUP BY 1
-""",
-)
-def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape per ship-year: promotional revenue share via
-    conditional aggregation. One broadcast join (part is the small dim)
-    and one hash agg on the 7-value year key — the promo/total split is
-    two parallel aggregate expressions over the same pass, NOT two
-    scans. The percentage divides the two exact integer sums once per
-    output row (7 rows), so float noise cannot accumulate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    line_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    promo_e4 = F.when(F.col("p_type") == "PROMO", line_e4).otherwise(F.lit(0))
-    agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(F.year("l_shipdate").alias("ship_year"))
-        .agg(
-            F.sum(promo_e4).alias("promo_e4"),
-            F.sum(line_e4).alias("total_e4"),
-        )
-    )
-    return agg.select(
-        "ship_year",
-        r6(F.col("promo_e4") / 10000.0).alias("promo_revenue"),
-        r6(F.col("total_e4") / 10000.0).alias("total_revenue"),
-        r6(F.lit(100.0) * F.col("promo_e4") / F.col("total_e4")).alias("promo_pct"),
-    )
-
-
-@query(
-    "returned_items",
-    oracle="""
-SELECT CAST(c.c_custkey AS BIGINT) AS cust_key,
-       c.c_name AS cust_name,
-       n.n_name AS nation_name,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS returned_revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM customer c
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN orders o ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-WHERE l.l_returnflag = 'R'
-GROUP BY 1, 2, 3
-ORDER BY SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) DESC,
-         cust_key
-LIMIT 20
-""",
-)
-def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by returned-merchandise
-    revenue. The returnflag filter pushes to the lineitem scan
-    (dictionary-encoded column → cheap row-group skip), the fact-fact
-    join shuffles on orderkey, and customer/nation broadcast. Aggregate
-    keyed on custkey (+functionally-dependent name/nation carried in
-    the key) then TakeOrderedAndProject(20) — the full customer ranking
-    never sorts globally. Ties broken by cust_key."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    rev_e4 = F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(
-            F.col("c_custkey").alias("cust_key"),
-            F.col("c_name").alias("cust_name"),
-            F.col("n_name").alias("nation_name"),
-        )
-        .agg(rev_e4.alias("rev_e4"), F.count(F.lit(1)).alias("n_lines"))
-        .orderBy(F.col("rev_e4").desc(), F.col("cust_key"))
-        .limit(20)
-        .select(
-            "cust_key",
-            "cust_name",
-            "nation_name",
-            r6(F.col("rev_e4") / 10000.0).alias("returned_revenue"),
-            "n_lines",
-        )
-    )
-
-
-@query(
-    "nation_market_share",
-    oracle="""
-SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
-       ROUND(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
-                      ELSE 0 END) / 10000.0, 6) AS nation_revenue,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS total_revenue,
-       ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                           THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
-                           ELSE 0 END) AS DOUBLE)
-             / SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))), 6)
-         AS mkt_share
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-JOIN region r ON nc.n_regionkey = r.r_regionkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-JOIN nation ns ON s.s_nationkey = ns.n_nationkey
-WHERE r.r_name = 'EUROPE'
-GROUP BY 1
-""",
-)
-def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: NATION_3 suppliers' share of the EUROPE customer
-    market per order year. Six-way join where every dim side
-    (customer, nation×2 roles, region, supplier) broadcasts — the only
-    shuffle in the whole plan is the lineitem⋈orders fact join plus the
-    7-key year agg. The region filter prunes the customer-side nation
-    broadcast BEFORE it ships. The share is a conditional/total pair of
-    exact integer sums divided once per output row (same discipline as
-    promo_revenue_share)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    nc = load_table(spark, sf_dir, "nation").alias("nc")
-    ns = load_table(spark, sf_dir, "nation").alias("ns")
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    s = load_table(spark, sf_dir, "supplier")
-    line_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    nation_e4 = F.when(F.col("ns.n_name") == "NATION_3", line_e4).otherwise(F.lit(0))
-    agg = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
-        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
-        .groupBy(F.year("o_orderdate").alias("order_year"))
-        .agg(F.sum(nation_e4).alias("nation_e4"), F.sum(line_e4).alias("total_e4"))
-    )
-    return agg.select(
-        "order_year",
-        r6(F.col("nation_e4") / 10000.0).alias("nation_revenue"),
-        r6(F.col("total_e4") / 10000.0).alias("total_revenue"),
-        r6(F.col("nation_e4").cast("double") / F.col("total_e4")).alias("mkt_share"),
-    )
-
-
-@query(
-    "brand_band_revenue",
-    oracle="""
-SELECT CAST(CASE WHEN p.p_brand = 'Brand#1' THEN 1
-                 WHEN p.p_brand = 'Brand#2' THEN 2
-                 ELSE 3 END AS INT) AS band,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
-       AND l.l_quantity BETWEEN 1 AND 20)
-   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
-       AND l.l_quantity BETWEEN 10 AND 40)
-   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
-       AND l.l_quantity BETWEEN 20 AND 50)
-GROUP BY 1
-""",
-)
-def q_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: revenue under an OR of brand/size/quantity
-    band predicates. The disjunction mixes dim-side (brand, size) and
-    fact-side (quantity) conditions; Catalyst splits what it can —
-    the derivable dim-only disjunction (brand ∈ {1,2,9}) prunes the
-    broadcast build side, and the quantity bounds
-    (l_quantity BETWEEN 1 AND 50, the union of the bands) push to the
-    fact scan, leaving the exact OR as a post-join filter. Grouped by
-    matched band so the result exposes per-band contribution."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part")
-    band_pred = (
-        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
-         & F.col("l_quantity").between(1, 20))
-        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
-           & F.col("l_quantity").between(10, 40))
-        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(20, 50)
-           & F.col("l_quantity").between(20, 50))
-    )
-    line_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
-        100 - F.round(F.col("l_discount") * 100).cast("long")
-    )
-    band = (
-        F.when(F.col("p_brand") == "Brand#1", 1)
-        .when(F.col("p_brand") == "Brand#2", 2)
-        .otherwise(3)
-        .cast("int")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .where(band_pred)
-        .groupBy(band.alias("band"))
-        .agg(
-            r6(F.sum(line_e4) / 10000.0).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q: event-log analytics (semi-structured extraction, funnel, cohort
-# retention, interval load) — the product-analytics surface over the
-# events stream table.
-# ---------------------------------------------------------------------------
-
-@query(
-    "event_props_stats",
-    oracle="""
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-         AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-         AS sum_k,
-       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
-             / COUNT(CAST(json_extract_string(props, '$.k') AS INT)), 6)
-         AS avg_k,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-FROM events GROUP BY 1
-""",
-)
-def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON property extraction + profiling: pull a
-    typed field out of the free-form `props` JSON column and aggregate
-    it per event type. get_json_object evaluates JVM-side inside
-    whole-stage codegen (no Python), and because extraction happens in
-    the map stage, the shuffle carries 5 partial-agg rows per
-    partition — never the JSON strings. At 100 TB the win is exactly
-    that: parse once, aggregate integers. The average divides the two
-    exact integer sums after aggregation (ulp-stable)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count(k).alias("n_with_k"),
-            F.sum(k).alias("sum_k"),
-            F.min(k).alias("min_k"),
-            F.max(k).alias("max_k"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            "n_with_k",
-            "sum_k",
-            r6(F.col("sum_k").cast("double") / F.col("n_with_k")).alias("avg_k"),
-            "min_k",
-            "max_k",
-        )
-    )
-
-
-@query(
-    "signup_funnel",
-    oracle="""
-WITH s AS (
-  SELECT user_id, MIN(ts) AS t_signup
-  FROM events WHERE event_type = 'signup' GROUP BY 1
-),
-c AS (
-  SELECT e.user_id, MIN(e.ts) AS t_click
-  FROM events e JOIN s ON e.user_id = s.user_id
-  WHERE e.event_type = 'click' AND e.ts > s.t_signup GROUP BY 1
-),
-p AS (
-  SELECT e.user_id, MIN(e.ts) AS t_purchase
-  FROM events e JOIN c ON e.user_id = c.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
-)
-SELECT 1 AS stage_no, 'signup' AS stage, CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_users
-UNION ALL
-SELECT 2, 'click_after_signup', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
-UNION ALL
-SELECT 3, 'purchase_after_click', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
-""",
-)
-def q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel (signup → first later click → first
-    later purchase). Each stage's anchor time depends on the previous
-    stage, so the computation is three window passes over the SAME
-    user_id partitioning — Catalyst plans one exchange and chains the
-    window operators without re-shuffling. The final counts collapse
-    via a single per-user distinct then one global conditional
-    aggregate (3 output rows); no self-joins of the event table, which
-    is what the naive oracle formulation does and what you cannot
-    afford at 100 TB."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    t_signup = F.min(
-        F.when(F.col("event_type") == "signup", F.col("ts"))
-    ).over(w)
-    step1 = ev.select("user_id", "ts", "event_type", t_signup.alias("t_signup"))
-    t_click = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
-            F.col("ts"),
-        )
-    ).over(w)
-    step2 = step1.select("*", t_click.alias("t_click"))
-    t_purchase = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
-            F.col("ts"),
-        )
-    ).over(w)
-    step3 = step2.select("*", t_purchase.alias("t_purchase"))
-    per_user = step3.groupBy("user_id").agg(
-        F.max("t_signup").alias("t_signup"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_purchase").alias("t_purchase"),
-    )
-    counts = per_user.agg(
-        F.count("t_signup").alias("n1"),
-        F.count("t_click").alias("n2"),
-        F.count("t_purchase").alias("n3"),
-    )
-    return counts.select(
-        F.expr(
-            "stack(3, 1, 'signup', n1, 2, 'click_after_signup', n2, "
-            "3, 'purchase_after_click', n3) AS (stage_no, stage, n_users)"
-        )
-    )
-
-
-@query(
-    "weekly_retention",
-    oracle="""
-WITH fe AS (
-  SELECT user_id,
-         CAST(FLOOR(date_diff('day', DATE '1970-01-05',
-                              MIN(CAST(ts AS DATE))) / 7.0) AS BIGINT)
-           AS cohort_week
-  FROM events GROUP BY 1
-),
-act AS (
-  SELECT DISTINCT e.user_id, fe.cohort_week,
-         CAST(FLOOR(date_diff('day', DATE '1970-01-05',
-                              CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
-           AS event_week
-  FROM events e JOIN fe ON e.user_id = fe.user_id
-)
-SELECT cohort_week,
-       CAST(event_week - cohort_week AS BIGINT) AS week_offset,
-       CAST(COUNT(*) AS BIGINT) AS n_active_users
-FROM act GROUP BY 1, 2
-""",
-)
-def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-seen week,
-    counted as active per subsequent week offset. The cohort
-    assignment is a window min over user_id — the activity dedup
-    (user, week) REUSES that same partitioning, so the whole query is
-    one shuffle on user_id plus the final small matrix agg. Week
-    indexing is integer day-arithmetic against a fixed Monday epoch
-    (no date_trunc semantics drift between engines)."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    anchor = F.lit("1970-01-05").cast("date")
-    week = F.floor(F.datediff(F.col("ts").cast("date"), anchor) / 7)
-    w = Window.partitionBy("user_id")
-    act = (
-        ev.select("user_id", week.alias("event_week"))
-        .select(
-            "user_id",
-            "event_week",
-            F.min("event_week").over(w).alias("cohort_week"),
-        )
-        .distinct()
-    )
-    return act.groupBy("cohort_week", (F.col("event_week") - F.col("cohort_week")).alias("week_offset")).agg(
-        F.count(F.lit(1)).alias("n_active_users")
-    )
-
-
-@query(
-    "session_hourly_load",
-    oracle=f"""
-WITH brk AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_SEC}
-              THEN 1 ELSE 0 END AS is_new
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_no,
-         ts
-  FROM brk
-),
-spans AS (
-  SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
-  FROM sess GROUP BY 1, 2
-),
-hours AS (
-  SELECT user_id,
-         unnest(generate_series(date_trunc('hour', st),
-                                date_trunc('hour', en),
-                                INTERVAL 1 HOUR)) AS hour_ts
-  FROM spans
-)
-SELECT strftime(hour_ts, '%Y-%m-%d %H:00') AS hour_label,
-       CAST(COUNT(*) AS BIGINT) AS n_sessions,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM hours GROUP BY 1
-""",
-)
-def q_session_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval → hourly load: how many sessions (and distinct users)
-    were active in each clock hour. The interval/point range-join is
-    re-expressed as an EXPLODE of each session into its covered hours
-    (F.sequence + explode) followed by a plain hash aggregate — the
-    scalable idiom when interval lengths are bounded (gap-bounded
-    sessions), because it replaces an unbounded range join with
-    linear fan-out on the equi-key. Sessionization itself reuses the
-    user_sessions single-shuffle window plan."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("long")
-    gap = secs - F.lag(secs).over(w)
-    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
-    sess = ev.select(
-        "user_id",
-        "ts",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("session_no"),
-    )
-    spans = sess.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("st"), F.max("ts").alias("en")
-    )
-    hours = spans.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", F.col("st")),
-                F.date_trunc("hour", F.col("en")),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("hour_ts"),
-    )
-    return hours.groupBy(
-        F.date_format("hour_ts", "yyyy-MM-dd HH:00").alias("hour_label")
-    ).agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.count_distinct("user_id").alias("n_users"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q: remaining SQL-surface shapes — explicit GROUPING SETS, rank-family
-# window functions, and INTERSECT/EXCEPT set operations.
-# ---------------------------------------------------------------------------
-
-@query(
-    "status_priority_grouping_sets",
-    oracle="""
-SELECT o_orderstatus AS status, o_orderpriority AS priority,
-       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
-         AS gid,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
-         AS total_value
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-                        (o_orderstatus, o_orderpriority))
-""",
-)
-def q_status_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form that cube/rollup
-    specialize): per-status, per-priority, and per-pair totals in ONE
-    aggregation pass — Catalyst plans a single Expand (one replica per
-    set) + hash agg, not three scans. grouping_id disambiguates the
-    NULLs a grouping-set output necessarily contains (a real NULL key
-    vs 'this column not in this set') — shipping gid alongside is the
-    contract that makes the output machine-consumable."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    return (
-        o.groupingSets(
-            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
-            F.col("o_orderstatus"),
-            F.col("o_orderpriority"),
-        )
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n_orders"),
-            r6(F.sum(cents) / 100.0).alias("total_value"),
-        )
-        .select(
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_orderpriority").alias("priority"),
-            "gid",
-            "n_orders",
-            "total_value",
-        )
-    )
-
-
-@query(
-    "supplier_balance_standing",
-    oracle="""
-SELECT s_suppkey AS supp_key, n_name AS nation_name,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist() OVER w, 6) AS cume,
-       CAST(ntile(4) OVER w AS INT) AS quartile
-FROM supplier JOIN nation ON s_nationkey = n_nationkey
-WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal, s_suppkey)
-""",
-)
-def q_supplier_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-family window coverage: percent_rank, cume_dist, and ntile
-    over one shared per-nation ordering — Catalyst evaluates all three
-    in a single Window operator (one shuffle on nation, one sort).
-    Ties broken by supp_key so every engine computes identical ranks.
-    Per-nation partitioning bounds each sort; there is no global
-    order anywhere in the plan."""
-    from pyspark.sql.window import Window
-
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    w = Window.partitionBy("n_name").orderBy("s_acctbal", "s_suppkey")
-    return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(
-            F.col("s_suppkey").alias("supp_key"),
-            F.col("n_name").alias("nation_name"),
-            r6(F.percent_rank().over(w)).alias("pct_rank"),
-            r6(F.cume_dist().over(w)).alias("cume"),
-            F.ntile(4).over(w).alias("quartile"),
-        )
-    )
-
-
-@query(
-    "segment_overlap_customers",
-    oracle="""
-SELECT 'both_years' AS cohort, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-  INTERSECT
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-)
-UNION ALL
-SELECT 'only_1996', CAST(COUNT(*) AS BIGINT) FROM (
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-  EXCEPT
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-)
-""",
-)
-def q_segment_overlap_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT set-operation coverage: customers ordering in
-    both 1996 and 1997 vs only 1996. Spark plans both as aggregated
-    semi/anti joins on the key (set semantics = distinct first), so the
-    physical shape is the same one-shuffle join the EXISTS form would
-    produce — the set-op syntax is free. Year predicates push to the
-    orders scan on both branches."""
-    o = load_table(spark, sf_dir, "orders")
-    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
-    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey")
-    both = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n_customers")).select(
-        F.lit("both_years").alias("cohort"), "n_customers"
-    )
-    only96 = y96.subtract(y97).agg(
-        F.count(F.lit(1)).alias("n_customers")
-    ).select(F.lit("only_1996").alias("cohort"), "n_customers")
-    return both.unionByName(only96)
-
-
-@query(
-    "rolling_active_users",
-    oracle="""
-WITH au AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-),
-cover AS (
-  SELECT DISTINCT user_id, day + CAST(s.i AS INT) AS cover_day
-  FROM au, UNNEST(generate_series(0, 6)) AS s(i)
-),
-days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
-SELECT d.day,
-       CAST(COUNT(*) AS BIGINT) AS active_7d
-FROM days d JOIN cover c ON c.cover_day = d.day
-GROUP BY 1
-""",
-)
-def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-day rolling DISTINCT user count — the WAU/DAU-style metric
-    that a naive window cannot express (count_distinct is not a
-    window function) and a self-join-per-day cannot afford. Scalable
-    form: dedup to (user, active_day), fan each activity out to the
-    <= 7 rolling days it supports (bounded explode — the same idiom as
-    session_hourly_load), dedup (user, cover_day), count per day. Two
-    hash-agg shuffles, both on bounded keys; restricted to days that
-    actually occur so the output matches the observable metric."""
-    ev = load_table(spark, sf_dir, "events")
-    au = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
-    cover = (
-        au.select(
-            "user_id",
-            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
-            "day",
-        )
-        .select("user_id", F.date_add(F.col("day"), F.col("i")).alias("cover_day"))
-        .distinct()
-    )
-    days = ev.select(F.col("ts").cast("date").alias("day")).distinct()
-    return (
-        days.join(cover, days.day == cover.cover_day)
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("active_7d"))
-    )
-
-
-@query(
-    "priority_peak_day",
-    oracle="""
-WITH daily AS (
-  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
-         COUNT(*) AS n
-  FROM orders GROUP BY 1, 2
-)
-SELECT priority,
-       arg_max(day, n * 100000 + CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT))
-         AS peak_day,
-       CAST(MAX(n) AS BIGINT) AS peak_orders
-FROM daily GROUP BY 1
-""",
-)
-def q_priority_peak_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by / arg_max coverage: per priority, the day with the most
-    orders. Ties resolved INSIDE the aggregate by a composite ordering
-    key (count, then later day) — deterministic without a window sort;
-    the pre-aggregation to daily counts keeps the arg_max input at
-    |days|×|priorities| rows. The two-level shape means the expensive
-    shuffle is the daily rollup; the arg_max pass is map-side small."""
-    o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_orderdate").cast("date").alias("day"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    # Composite BIGINT ordering key (count dominant, epoch-day breaks
-    # ties): epoch days stay < 1e5 for any realistic date, so the
-    # packing is collision-free. DuckDB's arg_max takes scalar keys
-    # only, hence the packed form on both sides.
-    key = F.col("n") * 100000 + F.datediff(
-        F.col("day"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    return daily.groupBy("priority").agg(
-        F.max_by(F.col("day"), key).alias("peak_day"),
-        F.max("n").alias("peak_orders"),
-    )
-
-
-@query(
-    "customer_order_gap_stats",
-    oracle="""
-WITH seq AS (
-  SELECT o_custkey,
-         date_diff('day', o_orderdate,
-                   lead(o_orderdate) OVER (PARTITION BY o_custkey
-                                           ORDER BY o_orderdate, o_orderkey))
-           AS gap_days
-  FROM orders
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       ROUND(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS mean_gap_days,
-       CAST(MIN(gap_days) AS BIGINT) AS min_gap,
-       CAST(MAX(gap_days) AS BIGINT) AS max_gap
-FROM seq WHERE gap_days IS NOT NULL
-""",
-)
-def q_customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lead() coverage + inter-arrival profile: the gap in days between
-    consecutive orders of the same customer, aggregated corpus-wide.
-    One window shuffle on custkey (deterministic sibling order via
-    orderkey tie-break), then a global single-row aggregate of exact
-    integer day gaps — the mean divides two exact integers once."""
-    from pyspark.sql.window import Window
-
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    gap = F.datediff(
-        F.lead(F.col("o_orderdate")).over(w), F.col("o_orderdate")
-    ).cast("long")
-    seq = o.select(gap.alias("gap_days")).where(F.col("gap_days").isNotNull())
-    return seq.agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        r6(F.sum("gap_days").cast("double") / F.count(F.lit(1))).alias(
-            "mean_gap_days"
-        ),
-        F.min("gap_days").alias("min_gap"),
-        F.max("gap_days").alias("max_gap"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Q: driver-graded STREAMING correctness — the windowed aggregation runs
-# as a real Structured Streaming drain (file source → watermark →
-# sliding window → update-mode foreachBatch) and the accumulated result
-# is gated against the same batch SQL every other query uses. This
-# closes the "streaming untested by driver" gap: the state store,
-# watermark bookkeeping, and micro-batch planner are in the graded path.
-# ---------------------------------------------------------------------------
-
-
 def _run_drain(spark: SparkSession, writer, timeout: int = 300) -> None:
     """Start a streaming writer and block until its availableNow drain
     finishes, with `spark.sql.shuffle.partitions` temporarily sized to
@@ -3044,1555 +1477,15 @@ def _drain_input_diet(stream: DataFrame) -> DataFrame:
         F.pmod(F.xxhash64(F.col(stream.columns[0])), F.lit(keep)) == 0
     )
 
-
-@query(
-    "streaming_error_windows",
-    oracle="""
-SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-       strftime(window_start + INTERVAL 8 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
-       CAST(COUNT(*) AS BIGINT) AS n_errors
-FROM (
-  SELECT time_bucket(INTERVAL 1 MINUTE, ts) - k * INTERVAL 1 MINUTE AS window_start
-  FROM events, generate_series(0, 7) AS t(k)
-  WHERE event_type = 'error'
-)
-GROUP BY window_start
-""",
-)
-def q_streaming_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W3 under the driver gate: 8-min/1-min sliding error counts
-    computed BY THE STREAMING ENGINE — parquet file-source stream,
-    1-minute event-time watermark, update-mode drain through
-    foreachBatch, last emitted value per window wins (update mode
-    re-emits a window whenever a batch changes it, so after an
-    availableNow drain the accumulated map equals the batch answer —
-    append mode would hold back every window newer than the final
-    watermark). The oracle is plain batch SQL: the gate proves the
-    state store + watermark machinery reproduce the declarative
-    semantics byte-for-byte. Schema/timestamp handling mirrors
-    load_table (NTZ → session-UTC timestamp; nanos → micros)."""
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        # file source wants a directory; the glob filter selects just
-        # the events table out of the shared sf dir
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = _drain_input_diet(stream)
-    for col, dtype in stream.dtypes:
-        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) round
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
-        elif col == "ts" and dtype.startswith("timestamp_ntz"):
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.filter(F.col("event_type") == "error")
-        .withWatermark("ts", "1 minute")
-        .groupBy(F.window("ts", "8 minutes", "1 minute").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_errors"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
-            "n_errors",
-        )
-    )
-    acc: dict[str, tuple[str, int]] = {}
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            acc[r["window_start"]] = (r["window_end"], r["n_errors"])
-
-    ckpt = fresh_checkpoint("stream_gate_ckpt_")
-    writer = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    rows = [(ws, we, int(n)) for ws, (we, n) in sorted(acc.items())]
-    return spark.createDataFrame(
-        rows, "window_start string, window_end string, n_errors long"
-    )
-
-
-@query(
-    "streaming_user_totals",
-    oracle="""
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events
-GROUP BY 1
-""",
-)
-def q_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2/A4 under the driver gate: unbounded keyed running totals
-    maintained by the streaming state store (update mode, no
-    watermark — state lives forever, the reference's updateStateByKey
-    semantic) and drained to a final snapshot that must hash-match the
-    batch GROUP BY. Exercises keyed state persistence + incremental
-    merge in the graded path; money stays in exact integer cents
-    inside the state."""
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = _drain_input_diet(stream)
-    agg = stream.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
-    )
-    acc: dict[int, tuple[int, int]] = {}
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            acc[r["user_id"]] = (r["n_events"], r["value_cents"])
-
-    ckpt = fresh_checkpoint("stream_totals_ckpt_")
-    writer = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    rows = [(int(u), int(n), int(c)) for u, (n, c) in sorted(acc.items())]
-    return spark.createDataFrame(
-        rows, "user_id long, n_events long, value_cents long"
-    )
-
-
-@query(
-    "streaming_hll_users",
-    oracle="""
-SELECT event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS sketch_ok
-FROM events GROUP BY 1
-""",
-)
-def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Datasketches HLL maintained INCREMENTALLY by the streaming
-    state store: ``hll_sketch_agg`` as an update-mode streaming
-    aggregation — a sketch is mergeable by construction, so the engine
-    carries it across micro-batches in O(sketch) keyed state no matter
-    how many events flow (the same property streaming_heavy_hitters
-    proves for CMS, here for the distinct-count sketch family,
-    completing the batch twin hll_partial_merge). The drained sketch's
-    estimate must land within 5% of the batch-exact distinct
-    (deterministic for fixed data); the exact count itself is
-    hash-checked against the oracle."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = _drain_input_diet(stream)
-    agg = stream.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    est: dict[str, int] = {}
-
-    def sink(bdf, _bid):
-        for r in bdf.select(
-            "event_type", F.hll_sketch_estimate("sk").alias("est")
-        ).collect():
-            est[r["event_type"]] = int(r["est"])
-
-    ckpt = fresh_checkpoint("stream_hll_ckpt_")
-    writer = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    exact = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").alias("exact_users"))
-        .collect()
-    )
-    rows = [
-        (
-            r["event_type"],
-            int(r["exact_users"]),
-            abs(est.get(r["event_type"], 0) - r["exact_users"])
-            <= 0.05 * r["exact_users"],
-        )
-        for r in sorted(exact, key=lambda x: x["event_type"])
-    ]
-    return spark.createDataFrame(
-        rows, "event_type string, exact_users long, sketch_ok boolean"
-    )
-
-
-@query(
-    "streaming_custom_state",
-    oracle=f"""
-WITH {PURCHASE_CTE},
-good AS (
-  SELECT * FROM purchase
-  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
-)
-SELECT InvoiceNo,
-       MIN(UnitPrice) AS min_unit_price,
-       MAX(UnitPrice) AS max_unit_price,
-       CAST(SUM(Quantity) AS BIGINT) AS number_items,
-       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS lines
-FROM good GROUP BY 1
-""",
-)
-def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 under the driver gate: the CUSTOM stateful operator
-    (``applyInPandasWithState``, streaming/state.apply_invoice_state —
-    the legacy-exact twin of the reference's updateInvoiceState,
-    InvoicePipeline.scala:93-130) run as a REAL multi-micro-batch
-    drain. The purchase lines are staged into 3 parquet files keyed by
-    ``line_no % 3`` and streamed with ``maxFilesPerTrigger=1``, so an
-    invoice's lines arrive across up to 3 micro-batches and the
-    operator must CARRY ARROW-BATCHED STATE between them: running
-    min/max price, running quantity total, and the batches-touched
-    counter (the reference's ``lines``). The gated columns are exactly
-    the fold-order-independent state fields — min/max/sum and the
-    DISTINCT-bucket count — so the output is deterministic while the
-    state machinery (state rows, cross-batch merge, update-mode
-    emission, last-emission-wins snapshot) is fully exercised;
-    the arrival-order artifacts (head-of-batch hour, incremental avg)
-    are deliberately not hashed (their fidelity is unit-tested in
-    test_streaming/test_state_recovery)."""
-    import glob as globmod
-    import shutil
-
-    from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
-        parse_invoice_ts,
-    )
-    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
-    from bigdata_invoice_stream_analysis_spark.streaming.state import (
-        apply_invoice_state,
-    )
-
-    p = purchase_rows(spark, sf_dir).filter(
-        ~F.col("InvoiceNo").startswith("C") & (F.col("CustomerID") != "")
-    ).select(
-        "InvoiceNo",
-        "CustomerID",
-        F.col("Quantity").cast("double").alias("Quantity"),
-        "UnitPrice",
-        parse_invoice_ts(F.col("InvoiceDate")).alias("ts"),
-        (F.col("line_no") % 3).alias("bkt"),
-    )
-    # Bench diet applies at staging (the stream then reads less too);
-    # driver/parity never set the env var, so they stage full volume.
-    p = _drain_input_diet(p)
-    work = scratch_dir("custom_state_in")
-    stage = scratch_dir("custom_state_stage")
-    # ONE write job: repartition on the bucket key puts each bucket in
-    # its own task → exactly one data file per bkt= dir (partitionBy
-    # strips the bkt column from the data files), vs 3 sequential
-    # filtered writes that each re-ran the purchase synthesis.
-    p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
-        stage
-    )
-    for b in range(3):
-        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
-        shutil.copy(part, f"{work}/bucket{b}.parquet")
-    schema = p.drop("bkt").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(work)
-    )
-    scored = apply_invoice_state(stream)
-    acc: dict[str, tuple[float, float, float, int]] = {}
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            acc[r["InvoiceNo"]] = (
-                r["MinUnitPrice"],
-                r["MaxUnitPrice"],
-                r["NumberItems"],
-                r["Lines"],
-            )
-
-    ckpt = fresh_checkpoint("stream_cstate_ckpt_")
-    writer = (
-        scored.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    rows = [
-        (k, mn, mx, int(ni), int(ln)) for k, (mn, mx, ni, ln) in sorted(acc.items())
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "InvoiceNo string, mn double, mx double, number_items long, lines int",
-    )
-    # min/max are the IDENTICAL IEEE double on both engines (same
-    # division, same parquet round-trip), so they ship unrounded —
-    # the weighted_invoice_features convention; a divergent pre-round
-    # (Spark HALF_UP vs DuckDB) flips .5-boundary rows.
-    return out.select(
-        "InvoiceNo",
-        F.col("mn").alias("min_unit_price"),
-        F.col("mx").alias("max_unit_price"),
-        "number_items",
-        "lines",
-    )
-
-
-@query(
-    "streaming_dedup_fingerprints",
-    oracle="""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
-       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dropped
-FROM (
-  SELECT text FROM documents
-  UNION ALL
-  SELECT text FROM documents WHERE doc_id % 13 = 0
-)
-""",
-)
-def q_streaming_dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 (dedup) under the streaming gate: documents plus verbatim
-    copies of every 13th doc flow through dropDuplicates on the
-    content digest — the state store holds one entry per fingerprint
-    and suppresses cross-batch redeliveries. The drain counts
-    survivors; together with the input count the gate pins exactly how
-    many duplicates the STATE deduplicated (which doc survives is
-    arrival-order-dependent, so the gate asserts the deterministic
-    aggregate, not survivor identity — same contract a replayed Kafka
-    topic gives you)."""
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
-    stream = _drain_input_diet(stream)
-    dup = stream.filter(F.col("doc_id") % 13 == 0)
-    all_docs = stream.unionByName(dup).select(
-        F.md5(F.encode(F.col("text"), "UTF-8")).alias("fp")
-    )
-    deduped = all_docs.dropDuplicates(["fp"])
-    acc: dict[str, bool] = {}
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            acc[r["fp"]] = True
-
-    ckpt = fresh_checkpoint("stream_dedup_ckpt_")
-    writer = (
-        deduped.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    total = load_table(spark, sf_dir, "documents")
-    n_docs = total.count() + total.filter(F.col("doc_id") % 13 == 0).count()
-    n_unique = len(acc)
-    return spark.createDataFrame(
-        [(n_docs, n_unique, n_docs - n_unique)],
-        "n_docs long, n_unique long, n_dropped long",
-    )
-
-
-@query(
-    "streaming_error_purchase_join",
-    oracle="""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
-FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
-JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
-  ON p.user_id = e.user_id
- AND p.ts > e.ts
- AND p.ts <= e.ts + INTERVAL 10 MINUTE
-""",
-)
-def q_streaming_error_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-STREAM interval join under the driver gate: purchases
-    within 10 minutes after an error by the same user, both sides real
-    streams with event-time watermarks, the time-range condition
-    bounding join state (each side retains only rows younger than
-    watermark + interval — the property that keeps state finite on an
-    unbounded stream). Inner-join matches emit as soon as both sides
-    arrive; the drain accumulates (error, purchase) pair identities so
-    a replayed batch cannot double-count. The oracle is the plain
-    batch interval join — the gate proves the streaming join planner
-    and state manager reproduce relational semantics exactly."""
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def side(evt: str):
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        s = _drain_input_diet(s)
-        for col, dtype in s.dtypes:
-            if col == "ts" and dtype == "bigint":
-                s = s.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
-            elif col == "ts" and dtype.startswith("timestamp_ntz"):
-                s = s.withColumn("ts", F.col("ts").cast("timestamp"))
-        return (
-            s.filter(F.col("event_type") == evt)
-            .select("user_id", "event_id", "ts")
-            .withWatermark("ts", "1 minute")
-        )
-
-    e = side("error").withColumnsRenamed(
-        {"event_id": "e_id", "ts": "e_ts", "user_id": "e_user"}
-    )
-    p = side("purchase").withColumnsRenamed(
-        {"event_id": "p_id", "ts": "p_ts", "user_id": "p_user"}
-    )
-    joined = e.join(
-        p,
-        (F.col("p_user") == F.col("e_user"))
-        & (F.col("p_ts") > F.col("e_ts"))
-        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
-    ).select("e_user", "e_id", "p_id")
-    pairs: set[tuple[int, int]] = set()
-    users: set[int] = set()
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            pairs.add((r["e_id"], r["p_id"]))
-            users.add(r["e_user"])
-
-    ckpt = fresh_checkpoint("stream_join_ckpt_")
-    writer = (
-        joined.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    return spark.createDataFrame(
-        [(len(pairs), len(users))], "n_pairs long, n_users long"
-    )
-
-
-@query(
-    "forecast_revenue_change",
-    oracle="""
-SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                 * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0, 6)
-         AS potential_revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem
-WHERE EXTRACT(year FROM l_shipdate) = 1997
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-""",
-)
-def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q6 shape: revenue impact of dropping a discount band —
-    the purest predicate-pushdown query (no join, no group key, three
-    range predicates that all reach the parquet scan for row-group
-    min/max skipping, then ONE global integer sum). At 100 TB this is
-    the query that proves the scan layer: with shipdate-partitioned
-    or sorted data the year predicate prunes ~6/7 of all files before
-    a byte is read. Discount equality on the e-2 grid is exact
-    (integer cents of discount)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_c = F.round(F.col("l_discount") * 100).cast("long")
-    return (
-        li.where(
-            (F.year("l_shipdate") == 1997)
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            r6(F.sum(cents * disc_c) / 10000.0).alias("potential_revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
-# Q: second batch of classic warehouse shapes (TPC-H Q2/Q4/Q5/Q7/Q9/Q13/
-# Q16/Q17/Q18/Q21/Q22 adapted to the driver star schema — no partsupp /
-# commitdate columns exist, so each query keeps the SHAPE that matters
-# at scale: correlated mins, EXISTS rewrites, same-key co-location,
-# aggregate-rewritten anti-joins). Money stays in exact integer cents /
-# 1e-4 dollars (q_pricing_summary convention).
+# Family registration. Each module self-registers via @query on import;
+# order is layout only (plans/graded.py owns the driver grading window).
+# pipelines must come after extensions (it reuses its augmented-corpus
+# CTEs); the rest are independent.
 # ---------------------------------------------------------------------------
-
-@query(
-    "min_cost_supplier",
-    oracle="""
-WITH unit AS (
-  SELECT l_partkey, l_suppkey,
-         MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT))
-           AS unit_cents
-  FROM lineitem GROUP BY 1, 2
-),
-best AS (
-  SELECT l_partkey AS part_key,
-         MIN({'uc': unit_cents, 'sk': l_suppkey}) AS b
-  FROM unit GROUP BY 1
-)
-SELECT p.p_partkey AS part_key, p.p_name AS part_name,
-       s.s_name AS supplier_name,
-       ROUND(b.uc / 100.0, 6) AS min_unit_price
-FROM best
-JOIN part p ON p.p_partkey = best.part_key
-JOIN supplier s ON s.s_suppkey = b.sk
-WHERE p.p_size <= 10
-""",
-)
-def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: the cheapest supplier for every small part — the
-    correlated-min-subquery pattern, rewritten as two ALGEBRAIC
-    aggregations instead of a rank window or re-join against a min
-    subquery: (part,supp) → min unit price, then part → struct-min of
-    (price, suppkey), which partial-aggregates map-side so exactly one
-    row per part crosses each shuffle and ties break to the lowest
-    suppkey inside the aggregate. The size predicate prunes the part
-    dim BEFORE its broadcast join. Unit price = extendedprice/quantity
-    in rounded cents (IEEE division is correctly rounded, so both
-    engines compute identical integers)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
-    s = load_table(spark, sf_dir, "supplier")
-    unit_cents = F.round(
-        F.col("l_extendedprice") * 100 / F.col("l_quantity")
-    ).cast("long")
-    unit = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(unit_cents).alias("unit_cents")
-    )
-    best = unit.groupBy(F.col("l_partkey").alias("part_key")).agg(
-        F.min(
-            F.struct(F.col("unit_cents"), F.col("l_suppkey").alias("supp"))
-        ).alias("b")
-    )
-    return (
-        best.join(F.broadcast(p), F.col("part_key") == p.p_partkey)
-        .join(F.broadcast(s), F.col("b.supp") == s.s_suppkey)
-        .select(
-            "part_key",
-            F.col("p_name").alias("part_name"),
-            F.col("s_name").alias("supplier_name"),
-            r6(F.col("b.unit_cents") / 100.0).alias("min_unit_price"),
-        )
-    )
-
-
-@query(
-    "priority_return_orders",
-    oracle="""
-SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders o
-WHERE EXTRACT(year FROM o.o_orderdate) = 1997
-  AND EXISTS (SELECT 1 FROM lineitem l
-              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-GROUP BY 1
-""",
-)
-def q_priority_return_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: orders (one year) having at least one returned
-    line, counted per priority. The EXISTS runs as a LEFT-SEMI join on
-    orderkey — the returnflag filter shrinks the probe side before the
-    shuffle and the semi join carries NO lineitem payload, only the
-    key. At 100 TB both sides bucket on orderkey for a zero-shuffle
-    semi join; the year predicate prunes the orders scan."""
-    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1997)
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_returnflag") == "R"
-    ).select("l_orderkey")
-    return (
-        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
-        .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-@query(
-    "local_supplier_volume",
-    oracle="""
-SELECT n.n_name AS nation_name,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM customer c
-JOIN orders o ON o.o_custkey = c.c_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-               AND s.s_nationkey = c.c_nationkey
-JOIN nation n ON n.n_nationkey = c.c_nationkey
-JOIN region r ON r.r_regionkey = n.n_regionkey
-WHERE r.r_name = 'ASIA'
-GROUP BY 1
-""",
-)
-def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: revenue where the customer and the line's
-    supplier sit in the SAME nation, per nation of one region. The
-    same-nation constraint is the interesting bit: it is enforced as an
-    extra equi-condition on the supplier broadcast join (suppkey AND
-    nationkey), not a post-filter, so ineligible rows never survive the
-    join. Join order: lineitem ⋈ orders shuffles on orderkey (the two
-    big tables — bucket candidates), everything else broadcasts."""
-    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = load_table(spark, sf_dir, "nation")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    cn = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey)
-    rev_e4 = F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey)
-            & (F.col("c_nationkey") == s.s_nationkey),
-        )
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(
-            r6(rev_e4 / 10000.0).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@query(
-    "nation_trade_flows",
-    oracle="""
-SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
-             / 10000.0, 6) AS volume
-FROM lineitem l
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-JOIN nation sn ON sn.n_nationkey = s.s_nationkey
-WHERE sn.n_nationkey != cn.n_nationkey
-  AND sn.n_nationkey < 4 AND cn.n_nationkey < 4
-GROUP BY 1, 2, 3
-""",
-)
-def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: cross-border trade volume between nation pairs
-    by ship year. Both nation lookups broadcast (a nation dim joined
-    TWICE under different roles — the aliased-dimension pattern); the
-    nation-subset predicates apply to the broadcast sides so the big
-    fact rows for out-of-scope nations drop at the join, and the
-    cross-border inequality compares the two joined keys directly.
-    One hash agg on the (supp, cust, year) composite."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") < 4)
-    cn = n.select(
-        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
-    )
-    sn = n.select(
-        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
-    )
-    rev_e4 = F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
-        .where(F.col("snk") != F.col("cnk"))
-        .groupBy(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").cast("int").alias("ship_year"),
-        )
-        .agg(r6(rev_e4 / 10000.0).alias("volume"))
-    )
-
-
-@query(
-    "product_type_profit",
-    oracle="""
-SELECT n.n_name AS nation_name,
-       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
-       ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
-                 - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
-                   * CAST(ROUND(l.l_quantity) AS BIGINT) * 20)
-             / 10000.0, 6) AS profit
-FROM lineitem l
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-JOIN part p ON p.p_partkey = l.l_partkey
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n ON n.n_nationkey = s.s_nationkey
-WHERE p.p_name LIKE '%widget%'
-GROUP BY 1, 2
-""",
-)
-def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit on one product family per supplier nation
-    and order year. The schema has no partsupp.ps_supplycost, so cost
-    is proxied as 20% of retail price × quantity — the SHAPE (fact ⋈
-    2 big-ish dims ⋈ 2 tiny dims, LIKE predicate pruning the part dim
-    before its broadcast, revenue-minus-cost inside one aggregate
-    expression) is what carries. All terms are integer 1e-4 dollars:
-    retail cents × integral quantity × 20 == e4-scale cost."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    amount_e4 = F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("long")
-        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
-        - F.round(F.col("p_retailprice") * 100).cast("long")
-        * F.round(F.col("l_quantity")).cast("long")
-        * 20
-    )
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .groupBy(
-            F.col("n_name").alias("nation_name"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
-        )
-        .agg(r6(amount_e4 / 10000.0).alias("profit"))
-    )
-
-
-@query(
-    "customer_urgent_order_counts",
-    oracle="""
-WITH per_cust AS (
-  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
-  FROM customer c
-  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-                    AND o.o_orderpriority = '1-URGENT'
-  GROUP BY 1
-)
-SELECT CAST(n_orders AS BIGINT) AS n_orders,
-       CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM per_cust GROUP BY 1
-""",
-)
-def q_customer_urgent_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: the distribution of customers by how many
-    urgent orders they placed — INCLUDING the zero bucket, which is
-    what forces the outer join (an inner join would silently drop
-    customers with no urgent orders). Plan: filter orders to the
-    priority class first (predicate pushdown), LEFT join customer →
-    orders on custkey, count the non-null side, then a second tiny agg
-    over the counts. count(o_orderkey) counts only matched rows —
-    the outer-join-aware aggregate."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return per_cust.groupBy("n_orders").agg(
-        F.count(F.lit(1)).alias("n_customers")
-    )
-
-
-@query(
-    "part_supplier_variety",
-    oracle="""
-SELECT p.p_brand AS brand, CAST(p.p_size AS INT) AS part_size,
-       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey
-WHERE p.p_type != 'PROMO' AND p.p_size <= 15
-  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY 1, 2
-""",
-)
-def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 shape: how many distinct suppliers serve each
-    (brand, size) part family, excluding a supplier denylist (negative
-    account balance stands in for the 'customer complaints' predicate).
-    The NOT IN runs as a broadcast LEFT-ANTI join — the denylist is a
-    filtered dim, never a collected list — and the distinct count
-    shuffles (brand, size, suppkey) partials, not raw lines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(
-        (F.col("p_type") != "PROMO") & (F.col("p_size") <= 15)
-    )
-    bad = load_table(spark, sf_dir, "supplier").where(
-        F.col("s_acctbal") < 0
-    ).select("s_suppkey")
-    return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.col("p_size").cast("int").alias("part_size"),
-        )
-        .agg(F.count_distinct("l_suppkey").alias("n_suppliers"))
-    )
-
-
-@query(
-    "small_qty_revenue",
-    oracle="""
-WITH pa AS (
-  SELECT l_partkey,
-         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qsum,
-         CAST(COUNT(*) AS BIGINT) AS qcnt
-  FROM lineitem GROUP BY 1
-)
-SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 6)
-         AS avg_yearly,
-       CAST(COUNT(*) AS BIGINT) AS n_lines
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
-JOIN pa ON pa.l_partkey = l.l_partkey
-WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * 5 * pa.qcnt < pa.qsum
-""",
-)
-def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: revenue locked in small-quantity orders of one
-    brand — the correlated per-part average, computed as ONE grouped
-    aggregate over lineitem joined back to the fact. The classic trap
-    is comparing against a floating avg; here the predicate
-    qty < 0.2·avg(qty) is cross-multiplied into exact integers
-    (5·qty·count < sum), so both engines agree on every boundary row.
-    The per-part aggregate is itself brand-prunable at scale by
-    semi-joining the filtered part dim first; at test SF the plain
-    grouped agg is cheaper than two passes."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    qty = F.round(F.col("l_quantity")).cast("long")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        F.sum(qty).alias("qsum"), F.count(F.lit(1)).alias("qcnt")
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(pa, li.l_partkey == F.col("pa_partkey"))
-        .where(qty * 5 * F.col("qcnt") < F.col("qsum"))
-        .agg(
-            r6(
-                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-                / 100.0
-                / 7.0
-            ).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@query(
-    "large_volume_customers",
-    oracle="""
-WITH big AS (
-  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty
-  FROM lineitem GROUP BY 1
-  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300
-)
-SELECT c.c_name AS customer_name, CAST(o.o_custkey AS BIGINT) AS cust_key,
-       CAST(o.o_orderkey AS BIGINT) AS order_key, o.o_orderdate AS order_date,
-       ROUND(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) / 100.0, 6)
-         AS total_price,
-       CAST(big.total_qty AS BIGINT) AS total_qty
-FROM big
-JOIN orders o ON o.o_orderkey = big.l_orderkey
-JOIN customer c ON c.c_custkey = o.o_custkey
-ORDER BY o.o_totalprice DESC, order_key
-LIMIT 20
-""",
-)
-def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: customers behind the very largest orders (total
-    quantity > 300). The HAVING subquery is a pre-aggregation on the
-    FACT's own join key, so the orders join happens against the tiny
-    qualifying set (push the reduction below the join, never join raw
-    lineitem to orders first). Top-20 runs as TakeOrderedAndProject;
-    ties break on order key."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
-        .where(F.col("total_qty") > 300)
-    )
-    return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(20)
-        .select(
-            F.col("c_name").alias("customer_name"),
-            F.col("o_custkey").alias("cust_key"),
-            F.col("o_orderkey").alias("order_key"),
-            F.col("o_orderdate").alias("order_date"),
-            r6(F.round(F.col("o_totalprice") * 100).cast("long") / 100.0).alias(
-                "total_price"
-            ),
-            "total_qty",
-        )
-    )
-
-
-@query(
-    "sole_fault_supplier",
-    oracle="""
-WITH per_order AS (
-  SELECT l_orderkey,
-         COUNT(DISTINCT l_suppkey) AS n_supps,
-         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
-           AS n_r_supps,
-         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS fault_supp
-  FROM lineitem GROUP BY 1
-)
-SELECT s.s_name AS supplier_name,
-       CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM per_order po
-JOIN supplier s ON s.s_suppkey = po.fault_supp
-WHERE po.n_supps > 1 AND po.n_r_supps = 1
-GROUP BY 1
-ORDER BY n_orders DESC, supplier_name
-LIMIT 10
-""",
-)
-def q_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: in multi-supplier orders, the supplier who was
-    the ONLY one with returned lines — Q21's EXISTS/NOT-EXISTS double
-    correlation rewritten as a single grouped aggregate per order
-    (distinct suppliers, distinct at-fault suppliers, and — because the
-    at-fault supplier is unique exactly when n_r_supps=1 — a MAX that
-    recovers their key in the same pass). One shuffle on orderkey
-    replaces two correlated self-joins of the biggest table; this
-    rewrite is THE scale move for multi-EXISTS correlation."""
-    li = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supps"),
-        F.count_distinct(r_supp).alias("n_r_supps"),
-        F.max(r_supp).alias("fault_supp"),
-    )
-    return (
-        per_order.where((F.col("n_supps") > 1) & (F.col("n_r_supps") == 1))
-        .join(F.broadcast(s), F.col("fault_supp") == s.s_suppkey)
-        .groupBy(F.col("s_name").alias("supplier_name"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.col("n_orders").desc(), "supplier_name")
-        .limit(10)
-    )
-
-
-@query(
-    "idle_rich_customers",
-    oracle="""
-WITH stats AS (
-  SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_sum,
-         COUNT(*) AS bal_cnt
-  FROM customer WHERE c_acctbal > 0
-),
-recent AS (
-  SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
-)
-SELECT n.n_name AS nation_name,
-       CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0, 6)
-         AS total_balance
-FROM customer c
-JOIN nation n ON n.n_nationkey = c.c_nationkey
-CROSS JOIN stats
-WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * stats.bal_cnt > stats.bal_sum
-  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
-GROUP BY 1
-""",
-)
-def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no recent
-    orders, profiled per nation. Three scale moves: the global average
-    is a 1-row aggregate broadcast back (never a driver collect); the
-    above-average predicate is cross-multiplied into exact integer
-    cents (bal·count > sum — no float avg on the comparison boundary);
-    and the 'no recent orders' NOT IN is a LEFT-ANTI join against the
-    date-pruned, pre-distinct custkey projection of orders."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
-    stats = c.where(F.col("c_acctbal") > 0).agg(
-        F.sum(cents).alias("bal_sum"), F.count(F.lit(1)).alias("bal_cnt")
-    )
-    recent = o.where(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    ).select("o_custkey").distinct()
-    return (
-        c.join(recent, c.c_custkey == recent.o_custkey, "left_anti")
-        .join(F.broadcast(stats))
-        .where(cents * F.col("bal_cnt") > F.col("bal_sum"))
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            r6(F.sum(cents) / 100.0).alias("total_balance"),
-        )
-    )
-
-
-@query(
-    "scd2_user_segments",
-    oracle="""
-WITH seg AS (
-  SELECT user_id, ts, event_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS segment
-  FROM events
-),
-chg AS (
-  SELECT user_id, ts, event_id, segment,
-         CASE WHEN segment IS DISTINCT FROM
-                   lag(segment) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id)
-              THEN 1 ELSE 0 END AS is_change
-  FROM seg
-),
-ver AS (
-  SELECT user_id, ts, segment,
-         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS version
-  FROM chg
-),
-iv AS (
-  SELECT user_id, version, segment,
-         MIN(ts) AS valid_from, COUNT(*) AS n_events
-  FROM ver GROUP BY 1, 2, 3
-)
-SELECT user_id, CAST(version AS BIGINT) AS version,
-       CAST(segment AS BIGINT) AS segment,
-       valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-         AS valid_to,
-       CAST(n_events AS BIGINT) AS n_events
-FROM iv
-""",
-)
-def q_scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension (type 2) build from an event stream:
-    each user's JSON `props.k % 4` plays a segment attribute; every
-    run of equal consecutive segments becomes one versioned validity
-    interval [valid_from, valid_to) — the change-data-capture →
-    dimension-table derivation every warehouse runs. Three window
-    passes ALL partitioned by user_id (change detection via lag,
-    version numbering via running sum, interval close via lead), so
-    Catalyst plans a single user-keyed exchange; the grouped interval
-    agg reuses it. The open interval's valid_to is NULL. Change
-    comparison is null-safe (IS DISTINCT FROM ↔ eqNullSafe negation)."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    seg = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        (F.get_json_object("props", "$.k").cast("long") % 4).alias("segment"),
-    )
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = seg.withColumn(
-        "is_change",
-        F.when(
-            F.col("segment").eqNullSafe(F.lag("segment").over(wo)), 0
-        ).otherwise(1),
-    )
-    ver = chg.withColumn(
-        "version",
-        F.sum("is_change").over(
-            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    iv = ver.groupBy("user_id", "version", "segment").agg(
-        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
-    )
-    wv = Window.partitionBy("user_id").orderBy("version")
-    return iv.select(
-        "user_id",
-        F.col("version").cast("long").alias("version"),
-        F.col("segment").cast("long").alias("segment"),
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        F.col("n_events").cast("long").alias("n_events"),
-    )
-
-@query(
-    "copurchase_triangles",
-    oracle="""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 30
-),
-edges AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-wedges AS (
-  SELECT e1.u AS u, e1.v AS v, e2.v AS w
-  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
-),
-tri AS (
-  SELECT w.u, w.v, w.w FROM wedges w
-  WHERE EXISTS (SELECT 1 FROM edges e3 WHERE e3.u = w.u AND e3.v = w.w)
-)
-SELECT
-  CAST((SELECT COUNT(DISTINCT k) FROM (
-          SELECT u AS k FROM edges UNION ALL SELECT v FROM edges) ks) AS BIGINT)
-    AS n_nodes,
-  CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
-  CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles
-""",
-)
-def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting on the part co-purchase graph
-    (parts bought together in one order, bulk lines only). The classic
-    graph-analytics kernel done relationally: (1) per-order pair
-    generation is a self-equi-join on orderkey — fanout bounded by
-    lines-per-order (<=7 in TPC-H), so edge generation is linear in
-    lineitem; (2) edges are ORIENTED low-id -> high-id, so each
-    triangle is built exactly once (no /6 correction, no symmetric
-    blowup); (3) wedges come from one edge-edge equi-join on the
-    middle vertex and close via a LEFT-SEMI join against the edge
-    list. At 100x the scale move is degree orientation (point edges
-    from low-degree to high-degree vertex) which bounds wedge count by
-    arboricity instead of max degree; id orientation keeps the oracle
-    exactly mirrorable. Wedge volume is sum(deg^2) — the quantity-gate
-    keeps the graph sparse the same way a min-support gate would in
-    production."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.where(F.col("l_quantity") > 30)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=True)  # reused 3x; never re-derive
-    e1, e2 = edges.alias("e1"), edges.alias("e2")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("wu"),
-        F.col("e1.v").alias("wv"),
-        F.col("e2.v").alias("ww"),
-    )
-    e3 = edges.alias("e3")
-    tri = wedges.join(
-        e3,
-        (F.col("wu") == F.col("e3.u")) & (F.col("ww") == F.col("e3.v")),
-        "left_semi",
-    )
-    nodes = (
-        edges.select(F.col("u").alias("k"))
-        .unionAll(edges.select(F.col("v").alias("k")))
-        .agg(F.count_distinct("k").alias("n_nodes"))
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-    return nodes.join(F.broadcast(n_edges)).join(F.broadcast(n_tri))
-
-
-@query(
-    "order_total_outliers",
-    oracle="""
-WITH base AS (
-  SELECT o_orderpriority,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
-),
-med AS (
-  SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med
-  FROM base GROUP BY 1
-),
-dev AS (
-  SELECT b.o_orderpriority, b.cents, m.med,
-         ABS(b.cents - m.med) AS adev
-  FROM base b JOIN med m USING (o_orderpriority)
-),
-mad AS (
-  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
-  FROM dev GROUP BY 1
-)
-SELECT d.o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(MIN(d.med) / 100.0, 6) AS median_price,
-       ROUND(MIN(m.mad) / 100.0, 6) AS mad_price,
-       CAST(COUNT(CASE WHEN d.adev > 5 * m.mad THEN 1 END) AS BIGINT)
-         AS n_outliers
-FROM dev d JOIN mad m USING (o_orderpriority)
-GROUP BY 1
-""",
-)
-def q_order_total_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust outlier detection per order priority: median + MAD
-    (median absolute deviation), flagging orders with |x - med| >
-    5*MAD. MAD is the robust dispersion estimator production anomaly
-    monitors use when variance is poisoned by the very outliers being
-    hunted. Shape: two exact-percentile group aggregates over a
-    5-value group key, each result broadcast back onto the fact —
-    never a driver collect. Prices aggregate in exact integer cents;
-    the medians are the only doubles, and interpolation (.5 boundary)
-    is exactly representable, so the 5*MAD comparison is bit-identical
-    across engines. Exact `percentile` buffers one group's values in
-    memory — fine at ANY total volume here because cardinality is 5
-    fixed groups x distinct cents; for unbounded group cardinality the
-    engine's approx_percentile path (balance_quartiles_bucketed) is
-    the 100 TB variant."""
-    o = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    base = o.select("o_orderpriority", cents.alias("cents"))
-    med = base.groupBy("o_orderpriority").agg(
-        F.expr("percentile(cents, 0.5)").alias("med")
-    )
-    dev = base.join(F.broadcast(med), "o_orderpriority").withColumn(
-        "adev", F.abs(F.col("cents") - F.col("med"))
-    )
-    mad = dev.groupBy("o_orderpriority").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            r6(F.min("med") / 100.0).alias("median_price"),
-            r6(F.min("mad") / 100.0).alias("mad_price"),
-            F.count(F.when(F.col("adev") > 5 * F.col("mad"), 1)).alias(
-                "n_outliers"
-            ),
-        )
-    )
-
-
-@query(
-    "skew_key_profile",
-    oracle="""
-WITH cnt AS (
-  SELECT user_id, COUNT(*) AS n_events
-  FROM events GROUP BY 1
-),
-tot AS (SELECT SUM(n_events) AS total FROM cnt),
-top AS (
-  SELECT user_id, n_events FROM cnt
-  ORDER BY n_events DESC, user_id LIMIT 20
-)
-SELECT t.user_id,
-       CAST(t.n_events AS BIGINT) AS n_events,
-       ROUND(CAST(t.n_events AS DOUBLE) / tot.total, 6) AS share,
-       ROUND(CAST(SUM(t.n_events) OVER (ORDER BY t.n_events DESC, t.user_id
-                                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-             / tot.total, 6) AS cum_share
-FROM top t CROSS JOIN tot
-""",
-)
-def q_skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter / skew diagnosis: the top-20 keys by event count
-    with their share and cumulative share of total traffic — the
-    profile you run BEFORE choosing a partitioning or salting strategy
-    (operators/skew.py consumes exactly this signal). Plan discipline:
-    the per-key count is one hash-agg shuffle; top-20 is
-    TakeOrderedAndProject (never a global sort); the total is a 1-row
-    aggregate broadcast back; the cumulative window runs over ONLY the
-    20 surviving rows, so the un-partitioned window frame — normally a
-    scale smell — is bounded by the literal k, not the data."""
-    from pyspark.sql.window import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    tot = cnt.agg(F.sum("n_events").alias("total"))
-    top = cnt.orderBy(F.col("n_events").desc(), "user_id").limit(20)
-    w = Window.orderBy(F.col("n_events").desc(), "user_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        top.join(F.broadcast(tot))
-        .select(
-            "user_id",
-            "n_events",
-            r6(F.col("n_events") / F.col("total")).alias("share"),
-            r6(F.sum("n_events").over(w) / F.col("total")).alias("cum_share"),
-        )
-    )
-
-@query(
-    "fuzzy_name_matches",
-    oracle="""
-WITH variants AS (
-  SELECT c_custkey, c_name,
-         CASE WHEN i = 0 THEN c_name
-              ELSE concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))
-         END AS variant
-  FROM customer, unnest(range(0, length(c_name) + 1)) AS t(i)
-),
-cand AS (
-  SELECT DISTINCT a.c_custkey AS custkey_a, a.c_name AS name_a,
-                  b.c_custkey AS custkey_b, b.c_name AS name_b
-  FROM variants a JOIN variants b
-    ON a.variant = b.variant AND a.c_custkey < b.c_custkey
-)
-SELECT custkey_a, custkey_b,
-       CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
-FROM cand
-WHERE levenshtein(name_a, name_b) <= 1
-""",
-)
-def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record linkage under edit distance <= 1 via the
-    deletion-neighborhood (FastSS / SymSpell) join — THE sub-quadratic
-    shape for edit-distance blocking: every name emits its L+1
-    one-deletion variants (plus itself), candidates are pairs sharing
-    ANY variant (an equi-join on a 17-char key — no hot keys by
-    construction, since a shared variant pins all but one character),
-    and the exact `levenshtein` verify runs only on candidates. This
-    replaces the O(N^2) all-pairs edit-distance scan with
-    O(N * L) index rows + output-bounded candidates — the same
-    generate/bucket/verify discipline as the MinHash and sign-LSH
-    dedup paths (operators/dedup.py), applied to string keys. The
-    verify is NOT redundant: two names sharing a variant via
-    different deletion positions can sit at distance 2."""
-    from bigdata_invoice_stream_analysis_spark.sources.tables import (
-        ensure_min_parallelism,
-    )
-
-    c = ensure_min_parallelism(
-        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name"), spark
-    )
-    variants = c.select(
-        "c_custkey",
-        "c_name",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(c_name)), i -> "
-                "if(i = 0, c_name, "
-                "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1))))"
-            )
-        ).alias("variant"),
-    )
-    a = variants.alias("a")
-    b = variants.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.variant") == F.col("b.variant"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("custkey_a"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_custkey").alias("custkey_b"),
-            F.col("b.c_name").alias("name_b"),
-        )
-        .distinct()
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    return cand.where(dist <= 1).select(
-        "custkey_a", "custkey_b", dist.cast("int").alias("edit_dist")
-    )
-
-
-@query(
-    "zorder_layout_profile",
-    oracle="""
-WITH pts AS (
-  SELECT o_custkey AS x,
-         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS y
-  FROM orders
-),
-zv AS (
-  SELECT x, y,
-         list_sum(list_transform(range(0, 16), i ->
-           (((x >> i) & 1)::BIGINT << (2 * i))
-           + (((y >> i) & 1)::BIGINT << (2 * i + 1)))) AS z
-  FROM pts
-)
-SELECT CAST(z >> 18 AS BIGINT) AS zbucket,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
-       CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day
-FROM zv
-GROUP BY 1
-""",
-)
-def q_zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) data-layout key over (custkey, order day) plus
-    a per-bucket locality profile — the space-filling-curve clustering
-    trick behind multi-dimensional data skipping (Delta OPTIMIZE
-    ZORDER, Hudi/Iceberg clustering): sorting by interleaved bits
-    keeps BOTH dimensions locally dense inside each file, so min/max
-    column stats prune scans on either predicate. The bit interleave
-    is a pure per-row fold over a 16-element literal sequence (one
-    codegen expression, zero shuffle); the profile agg shows each
-    z-bucket spans a narrow custkey range AND a narrow date range
-    simultaneously — the property that makes stats-based pruning
-    work. At 100 TB this key feeds repartitionByRange + sortWithinPartitions
-    before the parquet write; here the gate pins the key math."""
-    o = load_table(spark, sf_dir, "orders")
-    pts = o.select(
-        F.col("o_custkey").cast("long").alias("x"),
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
-        ).cast("long").alias("y"),
-    )
-    zv = pts.withColumn(
-        "z",
-        F.expr(
-            "aggregate(sequence(0, 15), 0L, (acc, i) -> acc"
-            " + ((shiftright(x, i) & 1) * shiftleft(1L, 2 * i))"
-            " + ((shiftright(y, i) & 1) * shiftleft(1L, 2 * i + 1)))"
-        ),
-    )
-    return (
-        zv.groupBy(F.shiftright("z", 18).cast("long").alias("zbucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min("x").alias("min_cust"),
-            F.max("x").alias("max_cust"),
-            F.min("y").alias("min_day"),
-            F.max("y").alias("max_day"),
-        )
-    )
-
-@query(
-    "streaming_sessions",
-    oracle="""
-WITH marked AS (
-  SELECT user_id, ts,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                 > INTERVAL 240 MINUTE
-              THEN 1 ELSE 0 END AS new_s
-  FROM events
-),
-grp AS (
-  SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM marked
-),
-sess AS (
-  SELECT user_id,
-         MIN(ts) AS s_start,
-         MAX(ts) + INTERVAL 240 MINUTE AS s_end,
-         COUNT(*) AS n_events
-  FROM grp GROUP BY user_id, sid
-)
-SELECT user_id,
-       strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-       strftime(s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-       CAST(n_events AS BIGINT) AS n_events
-FROM sess
-WHERE s_end <= (SELECT MAX(ts) - INTERVAL 1 MINUTE FROM events)
-""",
-)
-def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native streaming sessionization under the driver gate:
-    `session_window(ts, 4h)` per user on the file-source event stream,
-    1-minute watermark, APPEND mode — the engine merges events into
-    gap-bounded sessions in the state store and emits each session
-    exactly once, when the watermark passes its end (last event +
-    gap). The availableNow drain's final watermark is data-derived
-    (max ts − 1 min), so the emitted set is deterministic: exactly the
-    sessions with end <= final watermark — which is what the batch
-    oracle's gap-sessionization (lag/running-sum, the same shape as
-    `user_sessions`) computes, horizon filter included. Sessions still
-    open at end-of-stream are correctly withheld by append semantics;
-    the oracle mirrors that. State is O(open sessions per user), the
-    cluster-scale bound."""
-
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    stream = _drain_input_diet(stream)
-    for col, dtype in stream.dtypes:
-        if col == "ts" and dtype == "bigint":  # TIMESTAMP(NANOS) round
-            stream = stream.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        elif col == "ts" and dtype.startswith("timestamp_ntz"):
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", "1 minute")
-        .groupBy("user_id", F.session_window("ts", "240 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-                "session_start"
-            ),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-                "session_end"
-            ),
-            "n_events",
-        )
-    )
-    rows: list[tuple[int, str, str, int]] = []
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            rows.append(
-                (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-            )
-
-    ckpt = fresh_checkpoint("stream_sessions_ckpt_")
-    writer = (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-    )
-    _run_drain(spark, writer)
-    return spark.createDataFrame(
-        sorted(rows),
-        "user_id long, session_start string, session_end string, n_events long",
-    )
-
-
-# Round-2 pipeline queries (sub-document dedup, boilerplate, bigram LM,
-# SemDeDup, binned interval join, PageRank) — registered on import;
-# must come after extensions (it reuses its augmented-corpus CTEs).
+from bigdata_invoice_stream_analysis_spark.plans import extensions  # noqa: E402,F401
+from bigdata_invoice_stream_analysis_spark.plans import relational  # noqa: E402,F401
+from bigdata_invoice_stream_analysis_spark.plans import warehouse  # noqa: E402,F401
+from bigdata_invoice_stream_analysis_spark.plans import eventlog  # noqa: E402,F401
+from bigdata_invoice_stream_analysis_spark.plans import drains  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import pipelines  # noqa: E402,F401
