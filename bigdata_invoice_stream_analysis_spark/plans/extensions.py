@@ -560,80 +560,6 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Multimodal
-# ---------------------------------------------------------------------------
-
-@query(
-    "media_byte_stats",
-    oracle="""
-SELECT doc_id AS media_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS byte_sum,
-       CAST(list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS byte_min,
-       CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS INT) AS byte_max,
-       'image' AS kind
-FROM documents
-""",
-)
-def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents as binary media payloads →
-    Arrow-batched mapInPandas feature extraction (byte stats as the
-    deterministic decode stand-in; the corpus is ASCII so byte codes ==
-    char codes, which the oracle recomputes from the text)."""
-    media = MM.documents_as_media(load_table(spark, sf_dir, "documents"))
-    return MM.extract_byte_stats(media)
-
-
-@query(
-    "media_decoded_pixels",
-    oracle="""
-WITH px AS (
-  SELECT doc_id AS media_id,
-         rpad(substring(text, 1, 256), 256, ' ') AS p
-  FROM documents
-)
-SELECT media_id,
-       16 AS width, 16 AS height,
-       CAST(list_sum(list_transform(generate_series(1, 256),
-            i -> CAST(ascii(substring(p, i, 1)) AS BIGINT))) AS BIGINT) AS pixel_sum,
-       CAST(list_min(list_transform(generate_series(1, 256),
-            i -> ascii(substring(p, i, 1)))) AS INT) AS pixel_min,
-       CAST(list_max(list_transform(generate_series(1, 256),
-            i -> ascii(substring(p, i, 1)))) AS INT) AS pixel_max,
-       CAST(list_sum(list_transform(generate_series(0, 63),
-            i -> CAST(ascii(substring(p, ((i // 8) * 2) * 16 + ((i % 8) * 2) + 1, 1))
-                 AS BIGINT))) AS BIGINT) AS resized_sum
-FROM px
-""",
-)
-def q_media_decoded_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode in the graded path (not the byte-stats
-    stand-in): each document is rendered as a VALID binary PGM image —
-    ``P5 16 16 255\\n`` header + the text's first 256 chars space-padded
-    as the raster — entirely in Spark expressions, then DECODED by the
-    pure-Python P5 codec inside Arrow mapInPandas
-    (operators/multimodal.decode_pixel_stats; decode_pnm is its
-    driver-side twin). Output: exact pixel stats plus an 8×8
-    nearest-neighbor resize sum over the genuinely decoded raster.
-    The oracle recomputes everything from the text characters (ASCII
-    corpus ⇒ UTF-8 byte == char code), so a header-parse or unfilter
-    drift flips the hash. Plan: pure map-side (zero shuffle before the
-    driver's terminal agg); payloads never leave the executors."""
-    docs = load_table(spark, sf_dir, "documents")
-    payload = F.encode(
-        F.concat(
-            F.lit("P5 16 16 255\n"),
-            F.rpad(F.substring("text", 1, 256), 256, " "),
-        ),
-        "UTF-8",
-    )
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
-    )
-    return MM.decode_pixel_stats(media, target_w=8, target_h=8)
-
-
 @query(
     "term_doc_frequency",
     oracle=f"""
@@ -663,34 +589,6 @@ def q_term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("token"))
         .limit(20)
-    )
-
-
-@query(
-    "media_frame_samples",
-    oracle="""
-SELECT doc_id AS media_id,
-       CAST(((n_chars % 16) + 1 + 3) // 4 AS BIGINT) AS n_kept_frames
-FROM documents
-""",
-)
-def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sampling plumbing: documents as fake video
-    payloads (n_frames derived from n_chars), every-4th-frame sampling
-    through the row-expanding mapInPandas stub, then kept-frame counts
-    per media id. The oracle computes ceil(n_frames/4) arithmetically —
-    the Spark side must route every row through the real Arrow batch
-    iterator to match."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = MM.documents_as_media(docs).withColumn(
-        "meta",
-        F.col("meta").withField(
-            "n_frames", (F.col("meta.width") % 16 + 1).cast("int")
-        ),
-    )
-    sampled = MM.frame_sample_stub(media, every_n=4)
-    return sampled.groupBy("media_id").agg(
-        F.count("*").alias("n_kept_frames")
     )
 
 
@@ -1666,51 +1564,6 @@ def q_daily_to_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "media_exact_dedup",
-    oracle="""
-WITH media AS (
-  SELECT doc_id AS media_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 13 = 0
-),
-hashed AS (SELECT media_id, md5(text) AS content_hash FROM media)
-SELECT content_hash,
-       CAST(COUNT(*) AS BIGINT) AS n_copies,
-       CAST(MIN(media_id) AS BIGINT) AS canonical_id
-FROM hashed GROUP BY 1 HAVING COUNT(*) > 1
-""",
-)
-def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup over OPAQUE BINARY payloads (image/audio dedup by
-    content digest): md5 of the bytes, one hash-agg shuffle on the
-    digest — the minimal plan, identical in shape to text exact-dedup
-    but operating on the binary column, which never leaves the JVM
-    (no decode, no Python). Corpus: media payloads + verbatim copies
-    of every 13th doc (byte-identical dup convention, id+3e6). The
-    ASCII corpus makes DuckDB's md5(text) the exact oracle twin of
-    Spark's md5(binary)."""
-    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
-        documents_as_media,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    dup = d.filter(F.col("doc_id") % 13 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 3_000_000
-    )
-    media = documents_as_media(d.unionByName(dup))
-    return (
-        media.select("media_id", F.md5(F.col("payload")).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min("media_id").alias("canonical_id"),
-        )
-        .filter(F.col("n_copies") > 1)
-    )
-
-
-# ---------------------------------------------------------------------------
 # PII redaction + URL extraction (planted-PII corpus)
 # ---------------------------------------------------------------------------
 # The synthetic corpus contains no natural PII/URLs, so both engines
@@ -2058,62 +1911,6 @@ def q_decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("dropped").alias("n_dropped"),
             (F.count(F.lit(1)) - F.count("dropped")).alias("n_kept"),
         )
-    )
-
-
-@query(
-    "media_audio_chunks",
-    oracle="""
-WITH media AS (
-  SELECT doc_id AS media_id, length(text) AS n_bytes,
-         100 + (doc_id % 3) * 50 AS sample_rate
-  FROM documents
-),
-chunks AS (
-  SELECT media_id,
-         CAST(s.i AS INT) AS chunk_idx,
-         CAST(s.i * sample_rate * 2 AS BIGINT) AS start_byte,
-         CAST(LEAST(sample_rate * 2, n_bytes - s.i * sample_rate * 2)
-              AS BIGINT) AS chunk_bytes
-  FROM media,
-       UNNEST(generate_series(0,
-         CAST(CEIL(CAST(n_bytes AS DOUBLE) / (sample_rate * 2)) AS BIGINT) - 1))
-         AS s(i)
-)
-SELECT media_id,
-       CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       CAST(MAX(chunk_bytes) AS BIGINT) AS max_chunk,
-       CAST(MIN(chunk_bytes) AS BIGINT) AS tail_chunk
-FROM chunks GROUP BY 1
-""",
-)
-def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio chunking over opaque payloads: every 'recording' splits
-    into sample_rate×2-byte windows via the row-expanding mapInPandas
-    stub (operators/multimodal.audio_chunk_stub) — the Arrow batch
-    shape of a real torchaudio chunker, with byte-span arithmetic
-    standing in for decode. Synthetic sample rates (100/150/200 by id)
-    exercise variable chunk sizes; the gate pins chunk counts and the
-    short tail chunk per recording. Zero shuffle until the final
-    per-media aggregate."""
-    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
-        audio_chunk_stub,
-        documents_as_media,
-    )
-
-    d = load_table(spark, sf_dir, "documents")
-    media = documents_as_media(d).select(
-        "media_id",
-        "payload",
-        F.col("meta").withField(
-            "sample_rate", (100 + (F.col("media_id") % 3) * 50).cast("int")
-        ).withField("kind", F.lit("audio")).alias("meta"),
-    )
-    chunks = audio_chunk_stub(media, chunk_seconds=2)
-    return chunks.groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.max("n_bytes").alias("max_chunk"),
-        F.min("n_bytes").alias("tail_chunk"),
     )
 
 
