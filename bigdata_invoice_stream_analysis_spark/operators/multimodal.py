@@ -79,6 +79,8 @@ def decode_media(payload: bytes, fmt: str) -> Any:
         return decode_pnm(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "wav":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no media codec for {fmt!r} in this environment; "
         "use byte_stats / fake_decode for the tested plumbing"
@@ -271,6 +273,177 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """Real RIFF/WAVE decode, pure stdlib (struct): chunk-walk the RIFF
+    container, parse the ``fmt `` chunk (PCM only, format tag 1), slice
+    the ``data`` chunk into samples. Supports 8-bit unsigned and 16-bit
+    signed LE PCM, any channel count (samples interleaved). Returns
+    {kind, sample_rate, channels, bits, n_samples, samples} where
+    ``samples`` is a flat list of ints (per-channel interleaved;
+    n_samples counts frames × channels) — 8-bit values are the raw
+    unsigned 0..255 codes, 16-bit the signed amplitudes."""
+    import struct
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        i += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported, got format tag {audio_format}")
+    if bits == 8:
+        samples = list(data)
+    elif bits == 16:
+        n = len(data) // 2
+        samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    return {
+        "kind": "audio",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": len(samples),
+        "samples": samples,
+    }
+
+
+def encode_wav(
+    samples: bytes | list[int], sample_rate: int, bits: int = 8, channels: int = 1
+) -> bytes:
+    """Inverse of decode_wav (tests + fixture synthesis): canonical
+    44-byte PCM header + raw sample data."""
+    import struct
+
+    if bits == 8:
+        data = bytes(samples)
+    elif bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raise ValueError(bits)
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_header(n_data_bytes: int, sample_rate: int, bits: int = 8,
+               channels: int = 1) -> bytes:
+    """The constant 44-byte header encode_wav would emit for a payload
+    of ``n_data_bytes`` — used to synthesize valid WAV payloads inside
+    Spark expressions (concat of a literal header with column bytes)."""
+    import struct
+
+    empty = encode_wav(b"", sample_rate, bits=bits, channels=channels)
+    riff = b"RIFF" + struct.pack("<I", 36 + n_data_bytes) + empty[8:40]
+    return riff + struct.pack("<I", n_data_bytes)
+
+
+AUDIO_SAMPLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("sq_dev_sum", T.LongType(), False),
+    ]
+)
+
+
+def audio_sample_stats(media: DataFrame, chunk_seconds: int = 1) -> DataFrame:
+    """The REAL audio path (no stub): every payload is parsed as a
+    RIFF/WAVE file inside an Arrow mapInPandas iterator — chunk walk,
+    fmt parse, data slice — then chunked into ``sample_rate ×
+    chunk_seconds``-sample windows BY THE DECODED RATE (metadata is
+    ignored; a header drift changes the chunking and flips the gate)
+    and reduced to exact integer per-chunk stats: sample sum, peak
+    (max |deviation| from the 8-bit midpoint 128 / from 0 for 16-bit)
+    and the squared-deviation sum (the integer core of RMS — RMS itself
+    is sqrt(sq_dev_sum/n), left to the caller so the gated numbers stay
+    exact). Per the module convention the worker closure is
+    self-contained (RIFF parse inlined, pickled by value); decode_wav
+    is the driver-side twin the unit tests pin it against.
+
+    Plan shape: pure map-side (zero shuffle); payloads never leave the
+    executors, only fixed-width chunk stats come back."""
+
+    def batches(it: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        def decode(payload):
+            payload = bytes(payload)
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            i, fmt, data = 12, None, None
+            while i + 8 <= len(payload):
+                cid = payload[i : i + 4]
+                (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+                body = payload[i + 8 : i + 8 + clen]
+                i += 8 + clen + (clen & 1)
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+            if fmt is None or data is None:
+                raise ValueError("WAVE missing fmt/data chunk")
+            audio_format, _ch, rate, _br, _ba, bits = fmt
+            if audio_format != 1:
+                raise ValueError("only PCM supported")
+            if bits == 8:
+                return rate, list(data), 128
+            if bits == 16:
+                n = len(data) // 2
+                return rate, list(struct.unpack(f"<{n}h", data[: 2 * n])), 0
+            raise ValueError(f"unsupported bit depth {bits}")
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "chunk_idx", "sample_rate", "n_samples",
+                "sample_sum", "peak", "sq_dev_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples, mid_pt = decode(payload)
+                step = rate * chunk_seconds
+                for ci, start in enumerate(range(0, len(samples), step)):
+                    chunk = samples[start : start + step]
+                    devs = [v - mid_pt for v in chunk]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(ci)
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(chunk))
+                    out["sample_sum"].append(sum(chunk))
+                    out["peak"].append(max(abs(d) for d in devs))
+                    out["sq_dev_sum"].append(sum(d * d for d in devs))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_SAMPLE_STATS_SCHEMA)
 
 
 def fake_decode(payload: bytes) -> dict[str, int]:

@@ -224,3 +224,69 @@ def q_media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_bytes").alias("tail_chunk"),
     )
 
+
+@query(
+    "media_audio_samples",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         100 + (doc_id % 3) * 50 AS rate,
+         rpad(substring(text, 1, 256), 256, ' ') AS p
+  FROM documents
+),
+chunks AS (
+  SELECT media_id, rate,
+         CAST(s.i AS INT) AS chunk_idx,
+         CAST(s.i * rate AS INT) AS start,
+         CAST(LEAST(rate, 256 - s.i * rate) AS INT) AS len,
+         p
+  FROM media,
+       UNNEST(generate_series(0, CAST(CEIL(256.0 / rate) AS BIGINT) - 1)) AS s(i)
+)
+SELECT media_id, chunk_idx,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(len AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(generate_series(start + 1, start + len),
+            i -> CAST(ascii(substring(p, i, 1)) AS BIGINT))) AS BIGINT) AS sample_sum,
+       CAST(list_max(list_transform(generate_series(start + 1, start + len),
+            i -> abs(ascii(substring(p, i, 1)) - 128))) AS INT) AS peak,
+       CAST(list_sum(list_transform(generate_series(start + 1, start + len),
+            i -> CAST((ascii(substring(p, i, 1)) - 128)
+                      * (ascii(substring(p, i, 1)) - 128) AS BIGINT)))
+            AS BIGINT) AS sq_dev_sum
+FROM chunks
+""",
+)
+def q_media_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the graded path (media_decoded_pixels'
+    audio twin): each document is rendered as a VALID RIFF/WAVE file —
+    canonical 44-byte 8-bit-mono-PCM header (sample rate 100/150/200 Hz
+    by doc id, three constant literal headers) + the text's first 256
+    chars space-padded as the sample data — entirely in Spark
+    expressions, then DECODED by the pure-Python RIFF chunk walker
+    inside Arrow mapInPandas (operators/multimodal.audio_sample_stats;
+    decode_wav is its driver-side twin). Chunking into 1-second windows
+    uses the rate FROM THE DECODED fmt CHUNK, so a header-parse drift
+    changes every chunk boundary and flips the hash. Gated stats are
+    exact integers per chunk: sample sum, peak |deviation| from the
+    8-bit midpoint, and the squared-deviation sum (the integer core of
+    RMS). The oracle recomputes all of it from the text characters
+    (ASCII corpus ⇒ UTF-8 byte == sample code). Plan: pure map-side —
+    payloads never leave the executors."""
+    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
+        audio_sample_stats,
+        wav_header,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hdr = F.when(
+        F.col("doc_id") % 3 == 0, F.lit(wav_header(256, 100))
+    ).when(
+        F.col("doc_id") % 3 == 1, F.lit(wav_header(256, 150))
+    ).otherwise(F.lit(wav_header(256, 200)))
+    payload = F.concat(
+        hdr, F.encode(F.rpad(F.substring("text", 1, 256), 256, " "), "UTF-8")
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return audio_sample_stats(media, chunk_seconds=1)
+

@@ -36,12 +36,12 @@ def test_extract_byte_stats(media):
 
 
 def test_decode_media_stubbed_for_heavy_codecs():
-    # jpeg/wav/mp4 need PIL/librosa/pyav — still honestly stubbed;
-    # pnm/png are REAL stdlib decoders now (tests below).
+    # jpeg/mp4 need PIL/pyav — still honestly stubbed; pnm/png/wav are
+    # REAL stdlib decoders now (tests below).
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"\xff\xd8\xff", "jpeg")
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"RIFF", "wav")
+        MM.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
 
 
 def test_resize_stub_rewrites_meta(media):
@@ -231,3 +231,83 @@ def test_decode_pixel_stats_raises_on_truncated_comment(spark):
     )
     with pytest.raises(Exception):
         MM.decode_pixel_stats(media).collect()
+
+
+def test_wav_roundtrip_8_and_16_bit():
+    d8 = MM.decode_wav(MM.encode_wav(bytes(range(200)), 8000))
+    assert (d8["sample_rate"], d8["bits"], d8["channels"]) == (8000, 8, 1)
+    assert d8["samples"] == list(range(200))
+    pcm16 = [0, 1, -1, 32767, -32768, 12345, -12345]
+    d16 = MM.decode_wav(MM.encode_wav(pcm16, 44100, bits=16, channels=1))
+    assert (d16["sample_rate"], d16["bits"]) == (44100, 16)
+    assert d16["samples"] == pcm16
+    # stereo: interleaved samples come back verbatim
+    st = MM.decode_wav(MM.encode_wav([1, 2, 3, 4], 100, bits=16, channels=2))
+    assert st["channels"] == 2 and st["samples"] == [1, 2, 3, 4]
+
+
+def test_wav_header_matches_encode_wav():
+    data = bytes(range(64))
+    assert MM.wav_header(64, 150) + data == MM.encode_wav(data, 150)
+
+
+def test_wav_chunk_walker_skips_extra_chunks_and_padding():
+    # a LIST chunk with ODD length before fmt/data — the walker must
+    # honor RIFF's 2-byte alignment to find the later chunks
+    import struct
+
+    data = bytes([10, 20, 30])
+    canonical = MM.encode_wav(data, 100)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(extra) + len(canonical) - 8)
+        + b"WAVE"
+        + extra
+        + canonical[12:]
+    )
+    d = MM.decode_wav(payload)
+    assert d["samples"] == [10, 20, 30] and d["sample_rate"] == 100
+
+
+def test_wav_rejects_bad_payloads():
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFFxxxxWAVX")
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        MM.decode_wav(MM.encode_wav(b"ab", 100)[:40] + b"\xff\xff")  # truncated data len
+    float_fmt = bytearray(MM.encode_wav(b"ab", 100))
+    float_fmt[20] = 3  # IEEE float format tag
+    with pytest.raises(ValueError):
+        MM.decode_wav(bytes(float_fmt))
+
+
+def test_audio_sample_stats_matches_driver_decode(spark):
+    """The worker closure's inlined RIFF parse must agree with the
+    driver-side decode_wav twin on chunk stats, including the short
+    tail chunk."""
+    payloads = [
+        (1, MM.encode_wav(bytes((i * 7 + 3) % 256 for i in range(250)), 100)),
+        (2, MM.encode_wav(bytes((i * 13) % 256 for i in range(90)), 150)),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["chunk_idx"]): r.asDict()
+        for r in MM.audio_sample_stats(media, chunk_seconds=1).collect()
+    }
+    for mid, p in payloads:
+        d = MM.decode_wav(p)
+        rate = d["sample_rate"]
+        chunks = [
+            d["samples"][s : s + rate] for s in range(0, d["n_samples"], rate)
+        ]
+        assert len([k for k in got if k[0] == mid]) == len(chunks)
+        for ci, ch in enumerate(chunks):
+            r = got[(mid, ci)]
+            devs = [v - 128 for v in ch]
+            assert r["sample_rate"] == rate
+            assert r["n_samples"] == len(ch)
+            assert r["sample_sum"] == sum(ch)
+            assert r["peak"] == max(abs(x) for x in devs)
+            assert r["sq_dev_sum"] == sum(x * x for x in devs)
