@@ -575,6 +575,93 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-2 pipeline queries (sub-document dedup, boilerplate, bigram LM,
-# SemDeDup, binned interval join, PageRank) — registered on import;
-# must come after extensions (it reuses its augmented-corpus CTEs).
+@query(
+    "streaming_value_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(cents, 0.5), 6) AS p50_cents,
+       ROUND(quantile_cont(cents, 0.95), 6) AS p95_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS sketch_ok
+FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+GROUP BY 1
+""",
+)
+def q_streaming_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain gate #9 — SKETCH-TYPED keyed state: ``approx_percentile``
+    (Greenwald-Khanna, a TypedImperativeAggregate) maintained
+    INCREMENTALLY by the streaming state store in update mode. The
+    engine carries the O(1/eps) sketch buffer across micro-batches per
+    key — the same mergeability contract streaming_hll_users proves for
+    HLL and streaming_heavy_hitters for CMS, here for the quantile
+    family (completing the batch twin approx_value_percentiles). Gated
+    the exact-band way: the drained sketch's p50/p95 must land inside
+    the batch-exact [q−0.005, q+0.005] percentile band (accuracy=1000
+    bounds rank error at 0.001·n — 5× headroom, deterministic for fixed
+    data), while the hashed percentile columns are the batch-exact
+    interpolated values (Spark ``percentile`` ≡ DuckDB ``quantile_cont``
+    on integer cents)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = _drain_input_diet(stream)
+    agg = stream.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).groupBy("event_type").agg(
+        F.expr("approx_percentile(cents, array(0.5D, 0.95D), 1000)").alias("apcts")
+    )
+    est: dict[str, tuple[float, float]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            est[r["event_type"]] = (float(r["apcts"][0]), float(r["apcts"][1]))
+
+    ckpt = fresh_checkpoint("stream_pct_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(cents, array(0.495D, 0.5D, 0.505D, 0.945D, 0.95D, 0.955D))"
+            ).alias("pcts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    rows = []
+    for r in sorted(exact, key=lambda x: x["event_type"]):
+        lo50, p50, hi50, lo95, p95, hi95 = r["pcts"]
+        a50, a95 = est.get(r["event_type"], (float("nan"), float("nan")))
+        ok = (
+            lo50 - 0.5 <= a50 <= hi50 + 0.5 and lo95 - 0.5 <= a95 <= hi95 + 0.5
+        )
+        rows.append((r["event_type"], p50, p95, r["n_events"], ok))
+    out = spark.createDataFrame(
+        rows,
+        "event_type string, p50_cents double, p95_cents double, "
+        "n_events long, sketch_ok boolean",
+    )
+    # r6 (Spark HALF_UP) mirrors the oracle's ROUND — the proven-exact
+    # pairing from approx_value_percentiles; Python round() would
+    # banker's-round .5 boundaries differently.
+    return out.select(
+        "event_type",
+        r6(F.col("p50_cents")).alias("p50_cents"),
+        r6(F.col("p95_cents")).alias("p95_cents"),
+        "n_events",
+        "sketch_ok",
+    )

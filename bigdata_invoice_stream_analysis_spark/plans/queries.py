@@ -1430,6 +1430,106 @@ def q_kmeans_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic cost curves covering every branch of the A6 elbow rule
+# (Clustering.scala:125-136, off-by-one fixed — ml/train.elbow_selection):
+# sharp elbow mid-curve, no elbow (monotone halving → last k), degenerate
+# zero cost (perfect fit → previous k), immediate plateau (first step
+# already flat → first k), and a late elbow. Integer-valued costs with
+# ratios far from the 0.7 threshold so `cost/prev > 0.7` (Python),
+# `cost > 0.7*prev` (Spark/DuckDB) agree bit-for-bit.
+ELBOW_CURVES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("sharp4", [(2, 3200), (3, 1600), (4, 800), (5, 780), (6, 770), (7, 760)]),
+    ("noelbow", [(2, 3200), (3, 1600), (4, 800), (5, 400), (6, 200)]),
+    ("degenerate", [(2, 100), (3, 0), (4, 0)]),
+    ("immediate", [(2, 1000), (3, 950), (4, 900), (5, 850)]),
+    ("late5", [(2, 1000), (3, 500), (4, 250), (5, 125), (6, 120), (7, 115)]),
+]
+
+_ELBOW_VALUES_SQL = ", ".join(
+    f"('{cid}', {k}, {c})" for cid, pts in ELBOW_CURVES for k, c in pts
+)
+
+
+@query(
+    "elbow_selection_table",
+    oracle=f"""
+WITH curve(curve_id, k, cost) AS (VALUES {_ELBOW_VALUES_SQL}),
+seq AS (
+  SELECT curve_id, k, CAST(cost AS DOUBLE) AS cost,
+         ROW_NUMBER() OVER (PARTITION BY curve_id ORDER BY k) AS i,
+         LAG(CAST(cost AS DOUBLE)) OVER (PARTITION BY curve_id ORDER BY k) AS prev
+  FROM curve
+),
+bad AS (
+  SELECT curve_id, MIN(i) AS bad_i
+  FROM seq WHERE i >= 2 AND (prev = 0 OR cost > 0.7 * prev)
+  GROUP BY curve_id
+),
+n AS (SELECT curve_id, MAX(i) AS n_points FROM seq GROUP BY curve_id)
+SELECT s.curve_id AS curve_id,
+       CAST(s.k AS INT) AS chosen_k,
+       CAST(n.n_points AS INT) AS n_points,
+       TRUE AS python_agrees
+FROM seq s
+JOIN n USING (curve_id)
+LEFT JOIN bad USING (curve_id)
+WHERE s.i = COALESCE(bad.bad_i - 1, n.n_points)
+""",
+)
+def q_elbow_selection_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's elbow rule under a real driver oracle, without the iterative
+    fit that keeps the kmeans trio rows-only: the rule itself is pure
+    arithmetic over a (curve, k, cost) table, so it IS SQL-expressible.
+    The Spark side runs the rule as window expressions (lag ratio →
+    first flat step → chosen k, one curve-keyed window shuffle — the
+    distributed form that would select k per entity for thousands of
+    per-segment sweeps at scale); ``python_agrees`` compares that
+    chosen k against ml/train.elbow_selection — the actual function
+    kmeans_elbow_sweep uses — evaluated driver-side on the same literal
+    curves, so the production selection logic carries a hash-gated
+    driver row."""
+    from pyspark.sql.window import Window
+
+    from bigdata_invoice_stream_analysis_spark.ml.train import elbow_selection
+
+    rows = [(cid, k, float(c)) for cid, pts in ELBOW_CURVES for k, c in pts]
+    curve = spark.createDataFrame(rows, "curve_id string, k int, cost double")
+    w = Window.partitionBy("curve_id").orderBy("k")
+    seq = curve.select(
+        "curve_id", "k", "cost",
+        F.row_number().over(w).alias("i"),
+        F.lag("cost").over(w).alias("prev"),
+    )
+    bad = (
+        seq.filter(
+            (F.col("i") >= 2)
+            & ((F.col("prev") == 0) | (F.col("cost") > 0.7 * F.col("prev")))
+        )
+        .groupBy("curve_id")
+        .agg(F.min("i").alias("bad_i"))
+    )
+    n = seq.groupBy("curve_id").agg(F.max("i").alias("n_points"))
+    picked = (
+        seq.join(n, "curve_id")
+        .join(bad, "curve_id", "left")
+        .filter(F.col("i") == F.coalesce(F.col("bad_i") - 1, F.col("n_points")))
+    )
+    # the production rule, evaluated on the same curves: chosen k per id
+    expected = {
+        cid: pts[elbow_selection([float(c) for _, c in pts])][0]
+        for cid, pts in ELBOW_CURVES
+    }
+    agree = F.create_map(
+        *[F.lit(x) for kv in expected.items() for x in kv]
+    )[F.col("curve_id")] == F.col("k")
+    return picked.select(
+        "curve_id",
+        F.col("k").cast("int").alias("chosen_k"),
+        F.col("n_points").cast("int").alias("n_points"),
+        agree.alias("python_agrees"),
+    )
+
+
 def register(name: str):
     """Expose the registry for __spark_entry__."""
     return QUERIES[name]
