@@ -17,19 +17,30 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
 def to_kafka_records(
-    df: DataFrame, key_col: str = "key", legacy_tuple: bool = False
+    df: DataFrame,
+    key_col: str = "key",
+    legacy_tuple: bool = False,
+    headers: dict[str, object] | None = None,
 ) -> DataFrame:
-    """W6 — (key, value) projection for a Kafka write. Default value is
-    JSON over all non-key columns; ``legacy_tuple=True`` emits the
-    reference's Scala ``Invoice(a,b,...)`` toString byte format
-    (InvoicePipeline.scala:141,147 map ``v.toString``) for consumers
-    pinned to the old wire format."""
+    """W6 — (key, value[, headers]) projection for a Kafka write.
+    Default value is JSON over all non-key columns; ``legacy_tuple=True``
+    emits the reference's Scala ``Invoice(a,b,...)`` toString byte
+    format (InvoicePipeline.scala:141,147 map ``v.toString``) for
+    consumers pinned to the old wire format.
+
+    ``headers`` maps header names to Columns (or Python strings, taken
+    as literals) and emits the built-in Kafka sink's wire shape — an
+    ``array<struct<key string, value binary>>`` column named
+    ``headers``, written verbatim when the sink has
+    ``includeHeaders=true``. Header values are UTF-8 encoded; order is
+    the dict's insertion order (Kafka headers are ordered and
+    repeatable)."""
     payload = [c for c in df.columns if c != key_col]
     if legacy_tuple:
         value = F.concat(
@@ -39,13 +50,29 @@ def to_kafka_records(
         )
     else:
         value = F.to_json(F.struct(*payload))
-    return df.select(
-        F.col(key_col).cast("string").alias("key"), value.alias("value")
-    )
+    cols = [F.col(key_col).cast("string").alias("key"), value.alias("value")]
+    if headers:
+        cols.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("key"),
+                        (
+                            h if isinstance(h, Column) else F.lit(h)
+                        ).cast("string").cast("binary").alias("value"),
+                    )
+                    for name, h in headers.items()
+                ]
+            ).alias("headers")
+        )
+    return df.select(*cols)
 
 
 def from_kafka_records(
-    records: DataFrame, payload_schema, legacy_tuple: bool = False
+    records: DataFrame,
+    payload_schema,
+    legacy_tuple: bool = False,
+    with_headers: bool = False,
 ) -> DataFrame:
     """Inverse of ``to_kafka_records`` — what a consumer of the four
     output topics runs after the Kafka source's binary→string cast:
@@ -71,6 +98,18 @@ def from_kafka_records(
     else:
         parsed = F.from_json(value, payload_schema)
         cols = [parsed[f.name].alias(f.name) for f in payload_schema.fields]
+    if with_headers:
+        # Kafka source shape (includeHeaders=true): array<struct<key,
+        # value binary>> → map<string,string>; headers are UTF-8 text
+        # in this pipeline's convention.
+        cols.append(
+            F.map_from_arrays(
+                F.transform(F.col("headers"), lambda h: h["key"]),
+                F.transform(
+                    F.col("headers"), lambda h: h["value"].cast("string")
+                ),
+            ).alias("headers")
+        )
     return records.select(F.col("key").cast("string").alias("key"), *cols)
 
 
