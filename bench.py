@@ -12,8 +12,19 @@ collect/serialization of full results to the driver.
 The streaming pipeline drain (bench_streaming.drain) is folded into
 the same JSON under "streaming" so throughput gets the same
 round-over-round regression tracking the batch queries have; "value"
-remains batch-only total wall time (comparable across rounds).
+remains batch-only total wall time. Cross-round comparability caveats
+are explicit in the artifact itself: "dieted" lists the drain gates
+timed on sampled input (compare those only against rounds with the
+same "diet_keep_1_in"), and "value_full_volume" is the total over
+never-dieted queries only — the number to diff across rounds.
 Set SPARK_GRAFT_BENCH_STREAMING=0 to skip the streaming leg.
+
+Drift control (the box's run-to-run variance on identical code was
+measured at 160-196 s in round 3 — bigger than any real round delta):
+the slowest queries of the first pass are re-timed twice more and
+their MEDIAN-of-3 is recorded, so a single GC pause or page-cache miss
+can't swing the headline total. "repeats" in BENCH_DETAIL.json keeps
+the raw samples.
 
 Output contract (driver capture window is a few KB of stdout tail —
 measured r02: a 154-entry per-query map overflowed it and the driver
@@ -74,10 +85,7 @@ def main() -> None:
                 pass  # a warmup miss just means that query times cold
             release_caches()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in sorted(QUERIES.items()):
-        print(f"[bench] {name}", file=sys.stderr, flush=True)
+    def run_once(name: str, fn) -> float:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.agg(F.count(F.lit(1))).collect()
@@ -86,8 +94,43 @@ def main() -> None:
         # are released between queries so the multi-query session doesn't
         # accumulate executor storage across the run.
         release_caches()
-        timings[name] = round(dt, 3)
-        total += dt
+        return dt
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(QUERIES.items()):
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
+        timings[name] = round(run_once(name, fn), 3)
+
+    # Median-of-3 for the slowest queries: they dominate the total, so
+    # box noise on any one of them moves the headline more than real
+    # regressions do. Two extra samples each bound that.
+    n_repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_SLOWEST", "10"))
+    repeats: dict[str, list[float]] = {}
+    for name in sorted(timings, key=lambda n: -timings[n])[:n_repeat]:
+        print(f"[bench] re-time {name}", file=sys.stderr, flush=True)
+        samples = [timings[name]] + [
+            round(run_once(name, QUERIES[name]), 3) for _ in range(2)
+        ]
+        repeats[name] = samples
+        timings[name] = sorted(samples)[1]
+
+    total = sum(timings.values())
+
+    # Queries whose streaming input is dieted in the bench process
+    # (SPARK_GRAFT_DRAIN_KEEP_1_IN above): their times are NOT
+    # comparable to full-volume rounds, so the artifact names them and
+    # carries a total over never-dieted queries only.
+    import inspect
+
+    diet_keep = int(os.environ.get("SPARK_GRAFT_DRAIN_KEEP_1_IN", "1") or "1")
+    dieted = sorted(
+        name
+        for name, fn in QUERIES.items()
+        if diet_keep > 1 and "_drain_input_diet(" in inspect.getsource(fn)
+    )
+    total_full_volume = sum(
+        t for n, t in timings.items() if n not in dieted
+    )
 
     streaming = None
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
@@ -108,8 +151,12 @@ def main() -> None:
             {
                 "metric": "total query wall time",
                 "value": round(total, 3),
+                "value_full_volume": round(total_full_volume, 3),
                 "unit": "sec",
                 "queries": timings,
+                "repeats": repeats,
+                "dieted": dieted,
+                "diet_keep_1_in": diet_keep,
                 "streaming": streaming,
                 "sf": sf_val,
                 "n_queries": len(timings),
@@ -135,9 +182,11 @@ def main() -> None:
             {
                 "metric": "total query wall time",
                 "value": round(total, 3),
+                "value_full_volume": round(total_full_volume, 3),
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "n_dieted": len(dieted),
                 "streaming": stream_brief,
                 "sf": sf_val,
                 "detail": "BENCH_DETAIL.json",

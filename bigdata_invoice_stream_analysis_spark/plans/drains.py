@@ -225,52 +225,17 @@ def q_streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_custom_state",
-    oracle=f"""
-WITH {PURCHASE_CTE},
-good AS (
-  SELECT * FROM purchase
-  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
-)
-SELECT InvoiceNo,
-       MIN(UnitPrice) AS min_unit_price,
-       MAX(UnitPrice) AS max_unit_price,
-       CAST(SUM(Quantity) AS BIGINT) AS number_items,
-       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS lines
-FROM good GROUP BY 1
-""",
-)
-def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 under the driver gate: the CUSTOM stateful operator
-    (``applyInPandasWithState``, streaming/state.apply_invoice_state —
-    the legacy-exact twin of the reference's updateInvoiceState,
-    InvoicePipeline.scala:93-130) run as a REAL multi-micro-batch
-    drain. The purchase lines are staged into 3 parquet files keyed by
-    ``line_no % 3`` and streamed with ``maxFilesPerTrigger=1``, so an
-    invoice's lines arrive across up to 3 micro-batches and the
-    operator must CARRY ARROW-BATCHED STATE between them: running
-    min/max price, running quantity total, and the batches-touched
-    counter (the reference's ``lines``). The gated columns are exactly
-    the fold-order-independent state fields — min/max/sum and the
-    DISTINCT-bucket count — so the output is deterministic while the
-    state machinery (state rows, cross-batch merge, update-mode
-    emission, last-emission-wins snapshot) is fully exercised;
-    the arrival-order artifacts (head-of-batch hour, incremental avg)
-    are deliberately not hashed (their fidelity is unit-tested in
-    test_streaming/test_state_recovery)."""
-    import glob as globmod
-    import shutil
-
+def prepared_purchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good purchase lines in the custom-state drain's input shape:
+    validated, typed, timestamped, plus the ``line_no % 3`` bucket key
+    that spreads an invoice's lines across micro-batches. Shared by the
+    graded gate and scripts/scaling_probe.py (one builder — the probe
+    times the exact shipped input, and the two can't drift)."""
     from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
         parse_invoice_ts,
     )
-    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
-    from bigdata_invoice_stream_analysis_spark.streaming.state import (
-        apply_invoice_state,
-    )
 
-    p = purchase_rows(spark, sf_dir).filter(
+    return purchase_rows(spark, sf_dir).filter(
         ~F.col("InvoiceNo").startswith("C") & (F.col("CustomerID") != "")
     ).select(
         "InvoiceNo",
@@ -280,9 +245,25 @@ def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_invoice_ts(F.col("InvoiceDate")).alias("ts"),
         (F.col("line_no") % 3).alias("bkt"),
     )
-    # Bench diet applies at staging (the stream then reads less too);
-    # driver/parity never set the env var, so they stage full volume.
-    p = _drain_input_diet(p)
+
+
+def run_custom_state_drain(
+    spark: SparkSession, p: DataFrame
+) -> dict[str, tuple[float, float, float, int]]:
+    """Stage bucketed purchase lines into 3 single-file parquet buckets
+    and drain ``apply_invoice_state`` over them with
+    ``maxFilesPerTrigger=1`` (up to 3 genuine micro-batches carrying
+    Arrow state). Returns the final per-invoice state snapshot
+    (last-emission-wins). Shared by the graded gate and the scaling
+    probe's drain-cost tiers."""
+    import glob as globmod
+    import shutil
+
+    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        apply_invoice_state,
+    )
+
     work = scratch_dir("custom_state_in")
     stage = scratch_dir("custom_state_stage")
     # ONE write job: repartition on the bucket key puts each bucket in
@@ -321,6 +302,48 @@ def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
     )
     _run_drain(spark, writer)
+    return acc
+
+
+@query(
+    "streaming_custom_state",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+)
+SELECT InvoiceNo,
+       MIN(UnitPrice) AS min_unit_price,
+       MAX(UnitPrice) AS max_unit_price,
+       CAST(SUM(Quantity) AS BIGINT) AS number_items,
+       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS lines
+FROM good GROUP BY 1
+""",
+)
+def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 under the driver gate: the CUSTOM stateful operator
+    (``applyInPandasWithState``, streaming/state.apply_invoice_state —
+    the legacy-exact twin of the reference's updateInvoiceState,
+    InvoicePipeline.scala:93-130) run as a REAL multi-micro-batch
+    drain. The purchase lines are staged into 3 parquet files keyed by
+    ``line_no % 3`` and streamed with ``maxFilesPerTrigger=1``, so an
+    invoice's lines arrive across up to 3 micro-batches and the
+    operator must CARRY ARROW-BATCHED STATE between them: running
+    min/max price, running quantity total, and the batches-touched
+    counter (the reference's ``lines``). The gated columns are exactly
+    the fold-order-independent state fields — min/max/sum and the
+    DISTINCT-bucket count — so the output is deterministic while the
+    state machinery (state rows, cross-batch merge, update-mode
+    emission, last-emission-wins snapshot) is fully exercised;
+    the arrival-order artifacts (head-of-batch hour, incremental avg)
+    are deliberately not hashed (their fidelity is unit-tested in
+    test_streaming/test_state_recovery)."""
+    p = prepared_purchase_lines(spark, sf_dir)
+    # Bench diet applies at staging (the stream then reads less too);
+    # driver/parity never set the env var, so they stage full volume.
+    p = _drain_input_diet(p)
+    acc = run_custom_state_drain(spark, p)
     rows = [
         (k, mn, mx, int(ni), int(ln)) for k, (mn, mx, ni, ln) in sorted(acc.items())
     ]

@@ -8,31 +8,51 @@ layout — so the graded window is instead curated here as a deliberate,
 checked-in artifact and the entry point reorders the registry to put
 it first.
 
-Composition (round 3):
+Composition (round 4):
   * 14 pins that keep every SURVEY.md §2 reference operator carrying a
     driver correctness row (S1, P1-P11, A1-A6, T1, W1, M1-M4); the
     kmeans trio stays rows-only by necessity (iterative fits, no SQL
-    oracle).
-  * 36 first-ever-graded queries rotated in from the 108 that sat past
-    slot 50 in rounds 1-2: all 7 Structured-Streaming drain gates, the
-    round-1 punch-list five, the PQ ANN + SemDeDup + PageRank +
-    star-CC + PPJoin scale paths, the lakehouse layout gates, and one
-    representative per remaining family (sub-doc dedup, boilerplate,
-    PII, packing, power-iteration PC, CMS, triangles, SCD2, MaxSim,
-    BM25, group-split, decontamination, Arrow UDAF, media dedup).
+    oracle) — but elbow_selection_table now gives the A5/A6 selection
+    RULE a hash-gated row on synthetic cost curves.
+  * streaming_custom_state retained (W2's only direct multi-batch
+    Arrow-state gate).
+  * 35 first-ever-graded rotations: the three queries NEW this round
+    (media_audio_samples — real WAV decode; elbow_selection_table;
+    streaming_value_percentiles — drain gate #9, quantile-sketch
+    state), cdc_merge_upsert (implementation changed this round:
+    duplicate-key guard — per round-3 ADVICE, changed code gets
+    re-pinned), the round-3 candidate list (approx_value_percentiles,
+    quality_weighted_sample, hll_partial_merge, temporal_split_audit,
+    streaming_hll_users, compaction_bin_packing, media_exact_dedup),
+    TPC-H batch-2 shapes, and one representative per remaining
+    never-graded family.
 
 Rotate per round: queries displaced this round keep their green rows
-from CORRECTNESS_r02.json and remain locally parity-gated by
-tests/test_oracle_parity.py over ALL registered oracles.
+from CORRECTNESS_r03.json and remain locally parity-gated by
+tests/test_oracle_parity.py over ALL registered oracles; none of the
+displaced queries' implementations changed this round.
 tests/test_graded_window.py asserts the window matches this list so
 slot changes are deliberate diffs, not import-order accidents.
 
-Round-4 rotation candidates (registered late in round 3, local parity
-green, no driver row yet): approx_value_percentiles,
-quality_weighted_sample, hll_partial_merge, temporal_split_audit,
-streaming_hll_users, cdc_merge_upsert, compaction_bin_packing,
-media_exact_dedup (displaced this round), plus any r02 graded names
-worth re-pinning.
+Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 172; the
+~42 remaining never-graded fit in one more rotation (round 5
+candidates, in priority order: returned_items, promo_revenue_share,
+brand_band_revenue, local_supplier_volume, nation_trade_flows,
+product_type_profit, customer_urgent_order_counts,
+part_supplier_variety, large_volume_customers, order_total_outliers,
+forecast_revenue_change, min_cost_supplier, priority_return_orders,
+segment_overlap_customers, supplier_balance_standing,
+priority_peak_day, rolling_active_users? (graded r4), session_hourly_load,
+event_props_stats, priority_distinct_reach, quality_filter_verdicts,
+quality_filter_stats, daily_to_monthly_rollup, url_domain_counts,
+source_char_profile, doc_rarity_score, embedding_dup_components,
+media_audio_chunks, vocab_oov_rate, source_temperature_mix,
+boilerplate_chunks, doc_bigram_surprise, promo_interval_join,
+minhash_accuracy_audit, pareto_frontier_parts, customer_revenue_gini,
+sentence_stats_udtf, unpivot_metrics, centroid_silhouette,
+table_diff_audit, media_resize_profile? (graded r4),
+fk_integrity_audit, corpus_curation_funnel, length_bucketed_batches,
+crossmodal_sample_audit, event_dow_hour_heatmap).
 """
 
 from __future__ import annotations
@@ -42,6 +62,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
+
+# The round this window was curated FOR: freshness checks compare the
+# window against driver rows from rounds strictly before this one.
+GRADED_ROUND = 4
 
 GRADED_50: list[str] = [
     # --- §2 operator pins (every reference operator keeps a green row) ---
@@ -59,47 +83,46 @@ GRADED_50: list[str] = [
     "kmeans_anomalies",          # P10 M1 (rows-only: iterative fit)
     "bisecting_anomalies",       # M2 (rows-only: iterative fit)
     "kmeans_elbow_sweep",        # A5 A6 (rows-only: iterative fit)
-    # --- Structured-Streaming drain gates (real state store/watermark) ---
-    "streaming_custom_state",   # W2: applyInPandasWithState multi-batch state
-    "streaming_error_windows",
-    "streaming_user_totals",
-    "streaming_dedup_fingerprints",
-    "streaming_error_purchase_join",
-    "streaming_sessions",
-    "streaming_centroid_anomalies",
-    "streaming_heavy_hitters",
-    # --- round-1 punch-list five ---
-    "order_value_histogram",
-    "region_revenue_sql",
-    "user_value_trend",
-    "customer_balance_quartiles",
-    "orders_profile",
-    # --- scale-path twins / skew levers ---
-    "balance_quartiles_bucketed",
-    "salted_event_totals",
-    "ann_pq_topk",
-    "semdedup_drop",
-    "copurchase_pagerank",
-    "dedup_components_star",
-    "jaccard_prefix_filter",
-    # --- lakehouse layout gates ---
-    "partitioned_write_prune",
-    "schema_evolution_merge",
-    "bucketed_join_revenue",
-    # --- one representative per never-graded family ---
-    "chunk_dedup_stats",
-    "media_decoded_pixels",   # REAL PGM decode, oracle-gated pixel sums
-    "pii_redaction",
-    "sequence_packing",
-    "embedding_top_pc",
-    "heavy_hitters_cms",
-    "copurchase_triangles",
-    "scd2_user_segments",
-    "maxsim_topk",
-    "bm25_lite_search",
-    "group_aware_split",
-    "decontaminated_train_docs",
-    "udaf_segment_weighted_balance",
+    # --- retained W2 gate + new-this-round (changed code gets graded) ---
+    "streaming_custom_state",    # W2: applyInPandasWithState multi-batch state
+    "elbow_selection_table",     # NEW r4: A6 rule, SQL oracle + python_agrees
+    "media_audio_samples",       # NEW r4: real RIFF/WAVE decode, exact stats
+    "streaming_value_percentiles",  # NEW r4: drain gate #9, GK-sketch state
+    "cdc_merge_upsert",          # CHANGED r4: duplicate-key MERGE guard
+    # --- round-3 rotation candidates (registered r3, never graded) ---
+    "approx_value_percentiles",
+    "quality_weighted_sample",
+    "hll_partial_merge",
+    "temporal_split_audit",
+    "streaming_hll_users",
+    "compaction_bin_packing",
+    "media_exact_dedup",
+    "equidepth_value_bins",
+    # --- TPC-H batch-2 shapes ---
+    "sole_fault_supplier",
+    "small_qty_revenue",
+    "idle_rich_customers",
+    "shipping_priority",
+    "nation_market_share",
+    # --- never-graded family representatives ---
+    "winnow_fingerprints",
+    "fuzzy_name_matches",
+    "zorder_layout_profile",
+    "event_transition_matrix",
+    "user_value_ewma",
+    "signup_funnel",
+    "weekly_retention",
+    "status_priority_grouping_sets",
+    "rolling_active_users",
+    "customer_order_gap_stats",
+    "skew_key_profile",
+    "latest_event_per_user",
+    "per_source_reservoir",
+    "contrastive_negatives",
+    "split_contamination_bloom",
+    "bpe_merge_pairs",
+    "embedding_gram_matrix",
+    "media_resize_profile",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

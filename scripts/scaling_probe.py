@@ -129,6 +129,41 @@ def _pq_topk(vecs):
     return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
 
 
+def purchases_x(spark, sf_dir, mult=1):
+    """Custom-state drain input at tier scale — the SAME builder the
+    graded gate stages (plans/drains.prepared_purchase_lines); mult>1
+    unions invoice-id-shifted copies so the state store carries mult×
+    the keys."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        prepared_purchase_lines,
+    )
+
+    p0 = prepared_purchase_lines(spark, sf_dir)
+    if mult == 1:
+        return p0
+    parts = [
+        p0.withColumn(
+            "InvoiceNo", F.concat(F.col("InvoiceNo"), F.lit(f"_{i}"))
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _custom_state_drain(spark, p):
+    """Full drain cost: stage → 3 micro-batches of Arrow
+    applyInPandasWithState → snapshot size (the graded
+    streaming_custom_state shape, via the shared helper)."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        run_custom_state_drain,
+    )
+
+    return len(run_custom_state_drain(spark, p))
+
+
 def edges_x(spark, sf_dir, mult=1):
     """Symmetrized co-purchase edge set — the SAME builder the graded
     copurchase queries use (operators/graph.copurchase_edges), so the
@@ -191,6 +226,9 @@ def main():
             edges, iterations=5
         ).count(),
     }
+    state_probes = {
+        "custom_state_drain": lambda p: _custom_state_drain(spark, p),
+    }
 
     tiers = [("sf0.01", small, 1), ("sf0.1", big, 1), ("sf0.1 x5", big, 5)]
     # warm JIT on the small tier first (untimed)
@@ -202,6 +240,9 @@ def main():
         release_caches()
     for name, fn in edge_probes.items():
         fn(edges_x(spark, small))
+        release_caches()
+    for name, fn in state_probes.items():
+        fn(purchases_x(spark, small))
         release_caches()
 
     print(f"{'operator':<20} " + " ".join(f"{t[0]:>12}" for t in tiers) + "   growth/decade")
