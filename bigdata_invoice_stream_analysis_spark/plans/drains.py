@@ -365,6 +365,111 @@ def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_state_v2",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+)
+SELECT InvoiceNo,
+       MIN(UnitPrice) AS min_unit_price,
+       MAX(UnitPrice) AS max_unit_price,
+       CAST(SUM(Quantity) AS BIGINT) AS number_items,
+       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS lines
+FROM good GROUP BY 1
+""",
+)
+def q_streaming_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 on the MODERN state API, driver-graded: the same 3-micro-batch
+    invoice-state drain as streaming_custom_state, but through
+    ``transformWithStateInPandas`` (state v2 — typed named state slots,
+    RocksDB-backed) instead of applyInPandasWithState. The wire
+    protocol between the Python workers and the JVM state server is
+    protobuf, served in this container by the in-repo miniproto shim
+    (vendor/protobuf_shim — a from-scratch proto3 wire runtime; the
+    JVM's Java-protobuf parser is the interop oracle). Same staged
+    bucket input, same fold-order-independent gated columns, same
+    batch-SQL oracle — so v1 and v2 state machinery are held to the
+    IDENTICAL hash."""
+    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        transform_invoice_state,
+    )
+
+    import glob as globmod
+    import shutil
+
+    p = prepared_purchase_lines(spark, sf_dir)
+    p = _drain_input_diet(p)
+    work = scratch_dir("state_v2_in")
+    stage = scratch_dir("state_v2_stage")
+    p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
+        stage
+    )
+    for b in range(3):
+        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
+        shutil.copy(part, f"{work}/bucket{b}.parquet")
+    schema = p.drop("bkt").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work)
+    )
+    scored = transform_invoice_state(stream)
+    acc: dict[str, tuple[float, float, float, int]] = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["InvoiceNo"]] = (
+                r["MinUnitPrice"],
+                r["MaxUnitPrice"],
+                r["NumberItems"],
+                r["Lines"],
+            )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ckpt = fresh_checkpoint("stream_statev2_ckpt_")
+        writer = (
+            scored.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        _run_drain(spark, writer)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = [
+        (k, mn, mx, int(ni), int(ln))
+        for k, (mn, mx, ni, ln) in sorted(acc.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "InvoiceNo string, mn double, mx double, number_items long, lines int",
+    )
+    return out.select(
+        "InvoiceNo",
+        F.col("mn").alias("min_unit_price"),
+        F.col("mx").alias("max_unit_price"),
+        "number_items",
+        "lines",
+    )
+
+
+@query(
     "streaming_dedup_fingerprints",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -16,10 +16,12 @@ Composition (round 4):
     RULE a hash-gated row on synthetic cost curves.
   * streaming_custom_state retained (W2's only direct multi-batch
     Arrow-state gate).
-  * 35 first-ever-graded rotations: the three queries NEW this round
+  * 35 first-ever-graded rotations: the four queries NEW this round
     (media_audio_samples — real WAV decode; elbow_selection_table;
     streaming_value_percentiles — drain gate #9, quantile-sketch
-    state), cdc_merge_upsert (implementation changed this round:
+    state; streaming_state_v2 — transformWithStateInPandas executing
+    through the in-repo miniproto protobuf shim, state-v2's first run
+    ever), cdc_merge_upsert (implementation changed this round:
     duplicate-key guard — per round-3 ADVICE, changed code gets
     re-pinned), the round-3 candidate list (approx_value_percentiles,
     quality_weighted_sample, hll_partial_merge, temporal_split_audit,
@@ -34,7 +36,7 @@ displaced queries' implementations changed this round.
 tests/test_graded_window.py asserts the window matches this list so
 slot changes are deliberate diffs, not import-order accidents.
 
-Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 172; the
+Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 173; the
 ~42 remaining never-graded fit in one more rotation (round 5
 candidates, in priority order: returned_items, promo_revenue_share,
 brand_band_revenue, local_supplier_volume, nation_trade_flows,
@@ -42,7 +44,7 @@ product_type_profit, customer_urgent_order_counts,
 part_supplier_variety, large_volume_customers, order_total_outliers,
 forecast_revenue_change, min_cost_supplier, priority_return_orders,
 segment_overlap_customers, supplier_balance_standing,
-priority_peak_day, rolling_active_users? (graded r4), session_hourly_load,
+priority_peak_day, session_hourly_load,
 event_props_stats, priority_distinct_reach, quality_filter_verdicts,
 quality_filter_stats, daily_to_monthly_rollup, url_domain_counts,
 source_char_profile, doc_rarity_score, embedding_dup_components,
@@ -50,7 +52,7 @@ media_audio_chunks, vocab_oov_rate, source_temperature_mix,
 boilerplate_chunks, doc_bigram_surprise, promo_interval_join,
 minhash_accuracy_audit, pareto_frontier_parts, customer_revenue_gini,
 sentence_stats_udtf, unpivot_metrics, centroid_silhouette,
-table_diff_audit, media_resize_profile? (graded r4),
+table_diff_audit, media_resize_profile,
 fk_integrity_audit, corpus_curation_funnel, length_bucketed_batches,
 crossmodal_sample_audit, event_dow_hour_heatmap).
 """
@@ -122,7 +124,9 @@ GRADED_50: list[str] = [
     "split_contamination_bloom",
     "bpe_merge_pairs",
     "embedding_gram_matrix",
-    "media_resize_profile",
+    "streaming_state_v2",   # NEW r4: transformWithStateInPandas via the
+                            # in-repo miniproto protobuf shim — state-v2's
+                            # first-ever execution AND first driver row
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

@@ -237,25 +237,40 @@ def transform_invoice_state(
     state slots with engine-managed per-value TTL (``evict_after_ms``
     maps to ttlDurationMs — no hand-rolled timeout dance), composable
     List/Map state for richer operators, and first-class timers.
-    Requires the RocksDB state store provider; ProcessingTime mode is
-    required for TTL and harmless without it.
+    Requires the RocksDB state store provider. timeMode is
+    "ProcessingTime" only when TTL is requested (TTL requires it) and
+    "None" otherwise — NOT harmless to leave on: with ProcessingTime
+    the engine keeps scheduling timer-evaluation micro-batches, so an
+    availableNow drain never terminates (measured: 267 empty batches
+    before timeout).
 
-    Environment gate: the v2 state-server protocol speaks protobuf
-    between the JVM and its Python workers; on clusters without the
-    ``protobuf`` package this raises immediately (clear error beats a
-    mid-query worker crash), and apply_invoice_state remains the
-    equivalent fallback."""
+    Wire dependency: the v2 state-server protocol speaks protobuf
+    between the JVM and its Python workers. A real ``protobuf`` package
+    is used when installed; otherwise the in-repo miniproto shim
+    (vendor/protobuf_shim — a from-scratch implementation of the public
+    proto3 wire format) is installed on the driver and shipped to the
+    Python workers via addPyFile, so state-v2 executes even in
+    environments without the dependency. If neither can be set up this
+    raises immediately (clear error beats a mid-query worker crash),
+    and apply_invoice_state remains the equivalent fallback."""
     try:
-        import google.protobuf  # noqa: F401
-    except ImportError as e:
+        from bigdata_invoice_stream_analysis_spark.vendor.protobuf_shim import (
+            ensure_on_workers,
+            install,
+        )
+
+        install()
+        ensure_on_workers(purchases.sparkSession)
+    except Exception as e:  # pragma: no cover - defensive
         raise RuntimeError(
             "transformWithStateInPandas requires the 'protobuf' package "
-            "(pyspark's state-v2 wire protocol); use apply_invoice_state "
+            "(pyspark's state-v2 wire protocol) and the in-repo miniproto "
+            "shim could not be installed; use apply_invoice_state "
             "on environments without it"
         ) from e
     return purchases.groupBy("InvoiceNo").transformWithStateInPandas(
         _make_processor(evict_after_ms),
         outputStructType=INVOICE_STATE_SCHEMA,
         outputMode="update",
-        timeMode="ProcessingTime",
+        timeMode="ProcessingTime" if evict_after_ms is not None else "None",
     )

@@ -286,8 +286,15 @@ def test_state_v2_semantics(spark, stream_dir, tmp_path):
     """W2 on transformWithStateInPandas (state v2, RocksDB-backed):
     identical per-batch emission, Lines, head-of-batch Time, and
     weighted running mean as the applyInPandasWithState path. Skips
-    where the protobuf wire dependency is absent (state.py gates it)."""
-    pytest.importorskip("google.protobuf")
+    where the protobuf wire dependency is absent (state.py gates it) —
+    which no longer happens here: the miniproto shim
+    (vendor/protobuf_shim) serves the wire protocol when the real
+    package is missing, so this test EXECUTES state-v2 in this
+    container; the JVM's Java-protobuf parser on the state server side
+    is the wire-format interop oracle."""
+    from bigdata_invoice_stream_analysis_spark.vendor.protobuf_shim import install
+
+    install()
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -316,17 +323,37 @@ def test_state_v2_semantics(spark, stream_dir, tmp_path):
     assert b2["I1"].NumberItems == 6.0
 
 
-def test_state_v2_gate_message():
-    """Without protobuf, transform_invoice_state must fail fast with an
-    actionable error instead of crashing the streaming python runner."""
-    try:
-        import google.protobuf  # noqa: F401
-        pytest.skip("protobuf present; gate inactive")
-    except ImportError:
-        pass
-    from bigdata_invoice_stream_analysis_spark.streaming import state as st
-    with pytest.raises(RuntimeError, match="apply_invoice_state"):
-        st.transform_invoice_state(None)
+def test_state_v2_shim_installs_and_serves_pb2():
+    """The environment gate is gone: vendor/protobuf_shim always makes
+    google.protobuf importable (real install wins; otherwise the
+    miniproto shim), and the generated StateMessage_pb2 module loads
+    and round-trips the exact request shapes the state-v2 client
+    builds. The full JVM interop is test_state_v2_semantics."""
+    from bigdata_invoice_stream_analysis_spark.vendor.protobuf_shim import install
+
+    mode = install()
+    assert mode in ("real", "shim")
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CLOSED)
+        )
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.setHandleState.state == sm.CLOSED
+    # ttl presence latch: READING cmd.ttl must not serialize an empty
+    # ttl message; SETTING a nested field must
+    cmd = sm.StateCallCommand(stateName="s")
+    _ = cmd.ttl
+    no_ttl = cmd.SerializeToString()
+    cmd.ttl.durationMs = 1234
+    with_ttl = cmd.SerializeToString()
+    assert len(with_ttl) > len(no_ttl)
+    parsed = sm.StateCallCommand()
+    parsed.ParseFromString(with_ttl)
+    assert parsed.ttl.durationMs == 1234 and parsed.stateName == "s"
 
 
 def test_kafka_option_assembly():
