@@ -277,6 +277,16 @@ def main():
             f"{name:<20} " + " ".join(f"{t:>10.2f}s" for t in times)
             + f"   {times[1]/times[0]:>6.1f}x per 10x rows, {times[2]/times[1]:.1f}x per 5x"
         )
+    for name, fn in state_probes.items():
+        times = []
+        for _, d, m in tiers:
+            dt, n = timed(lambda: fn(purchases_x(spark, d, m)))
+            release_caches()
+            times.append(dt)
+        print(
+            f"{name:<20} " + " ".join(f"{t:>10.2f}s" for t in times)
+            + f"   {times[1]/times[0]:>6.1f}x per 10x rows, {times[2]/times[1]:.1f}x per 5x"
+        )
     spark.stop()
 
 
