@@ -185,3 +185,56 @@ def test_jvm_java_protobuf_reserializes_identically(spark, case):
     ).StateRequest
     jmsg = jcls.parseFrom(raw)
     assert bytes(jmsg.toByteArray()) == raw
+
+
+def test_jvm_fuzz_value_state_calls(spark):
+    """Property-style sweep: many ValueStateCall shapes (varied state
+    names incl. unicode, every oneof member, boundary ints) serialized
+    by miniproto → parsed by Java protobuf → byte-identical
+    re-serialization. Catches varint-boundary and UTF-8 length bugs a
+    handful of fixed cases could miss."""
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    jcls = getattr(
+        spark._jvm, "org.apache.spark.sql.execution.streaming.state.StateMessage"
+    ).StateRequest
+
+    names = ["a", "x" * 127, "x" * 128, "état-ключ-状態", "s p a c e"]
+    payloads = [b"\x00", b"\x80" * 16, bytes(range(256)), b"v" * 300]
+    msgs = []
+    for i, name in enumerate(names):
+        msgs.append(
+            sm.StateRequest(
+                stateVariableRequest=sm.StateVariableRequest(
+                    valueStateCall=sm.ValueStateCall(
+                        stateName=name, get=sm.Get()
+                    )
+                )
+            )
+        )
+        msgs.append(
+            sm.StateRequest(
+                stateVariableRequest=sm.StateVariableRequest(
+                    valueStateCall=sm.ValueStateCall(
+                        stateName=name,
+                        valueStateUpdate=sm.ValueStateUpdate(
+                            value=payloads[i % len(payloads)]
+                        ),
+                    )
+                )
+            )
+        )
+    # varint boundaries through a timer registration
+    for ts in [1, 127, 128, 16383, 16384, 2**31 - 1, 2**31, 2**53]:
+        msgs.append(
+            sm.StateRequest(
+                statefulProcessorCall=sm.StatefulProcessorCall(
+                    timerStateCall=sm.TimerStateCallCommand(
+                        register=sm.RegisterTimer(expiryTimestampMs=ts)
+                    )
+                )
+            )
+        )
+    for msg in msgs:
+        raw = msg.SerializeToString()
+        assert bytes(jcls.parseFrom(raw).toByteArray()) == raw
