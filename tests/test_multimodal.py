@@ -36,12 +36,15 @@ def test_extract_byte_stats(media):
 
 
 def test_decode_media_stubbed_for_heavy_codecs():
-    # jpeg/mp4 need PIL/pyav — still honestly stubbed; pnm/png/wav are
-    # REAL stdlib decoders now (tests below).
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\xff\xd8\xff", "jpeg")
+    # mp4 needs a real demuxer (pyav) — the one remaining honest stub;
+    # pnm/png/wav/jpeg are REAL from-scratch decoders (tests below +
+    # test_jpeg.py).
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
+    # jpeg now dispatches to the real decoder — malformed input is a
+    # codec ValueError, not NotImplementedError
+    with pytest.raises(ValueError):
+        MM.decode_media(b"\xff\xd8\xff", "jpeg")
 
 
 def test_resize_stub_rewrites_meta(media):
