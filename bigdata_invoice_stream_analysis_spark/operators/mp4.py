@@ -1,0 +1,243 @@
+"""ISO BMFF (MP4) demuxer — box walking and sample tables, pure Python,
+written against the public ISO/IEC 14496-12 specification.
+
+The honest split for video in a codec-less container: DEMUX is byte
+parsing (box tree, stts/stsz/stco sample tables → per-frame offsets,
+sizes, timestamps) and is implemented for real here; frame DECODE
+(H.264 et al.) genuinely needs a codec library and remains the stub
+behind decode_media("mp4"). A real frame-sampling pipeline is mostly
+demux: pick every-Nth (or keyframe-only) sample offsets, then ship the
+byte ranges to wherever the codec runs — exactly what
+``frame_index`` emits.
+
+Scale posture: parsing runs inside Arrow mapInPandas on executors like
+the other codecs; payloads never reach the driver, and the emitted
+index is fixed-width rows (one per kept frame)."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _u32(b: bytes, i: int) -> int:
+    return struct.unpack(">I", b[i : i + 4])[0]
+
+
+def walk_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) for each box in
+    [start, end); handles 64-bit largesize boxes."""
+    i = start
+    while i + 8 <= end:
+        size = _u32(data, i)
+        btype = data[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"bad box size {size} at {i}")
+        yield btype, body, i + size
+        i += size
+
+
+def _find(data: bytes, start: int, end: int, btype: bytes):
+    for t, b, e in walk_boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Parse the first video track's sample table. Returns
+    {timescale, duration, n_samples, sizes, offsets, times} where
+    offsets are ABSOLUTE byte positions of each sample (from stco +
+    stsc chunk mapping), and times are decode timestamps in timescale
+    units (from stts run-lengths)."""
+    data = bytes(payload)
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    trak = _find(data, moov[0], moov[1], b"trak")
+    if trak is None:
+        raise ValueError("no trak box")
+    mdia = _find(data, trak[0], trak[1], b"mdia")
+    if mdia is None:
+        raise ValueError("no mdia box")
+    mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+    if mdhd is None:
+        raise ValueError("no mdhd box")
+    ver = data[mdhd[0]]
+    if ver == 0:
+        timescale = _u32(data, mdhd[0] + 12)
+        duration = _u32(data, mdhd[0] + 16)
+    else:
+        timescale = _u32(data, mdhd[0] + 20)
+        duration = struct.unpack(">Q", data[mdhd[0] + 24 : mdhd[0] + 32])[0]
+    minf = _find(data, mdia[0], mdia[1], b"minf")
+    stbl = _find(data, minf[0], minf[1], b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("no stbl box")
+
+    # stsz: sample sizes
+    stsz = _find(data, stbl[0], stbl[1], b"stsz")
+    if stsz is None:
+        raise ValueError("no stsz box")
+    uniform = _u32(data, stsz[0] + 4)
+    n = _u32(data, stsz[0] + 8)
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        sizes = [_u32(data, stsz[0] + 12 + 4 * i) for i in range(n)]
+
+    # stts: decode times (run-length (count, delta) pairs)
+    stts = _find(data, stbl[0], stbl[1], b"stts")
+    if stts is None:
+        raise ValueError("no stts box")
+    n_runs = _u32(data, stts[0] + 4)
+    times = []
+    t = 0
+    for r in range(n_runs):
+        cnt = _u32(data, stts[0] + 8 + 8 * r)
+        delta = _u32(data, stts[0] + 12 + 8 * r)
+        for _ in range(cnt):
+            times.append(t)
+            t += delta
+
+    # stco: chunk offsets; stsc: samples-per-chunk mapping
+    stco = _find(data, stbl[0], stbl[1], b"stco")
+    stsc = _find(data, stbl[0], stbl[1], b"stsc")
+    if stco is None or stsc is None:
+        raise ValueError("no stco/stsc box")
+    n_chunks = _u32(data, stco[0] + 4)
+    chunk_offsets = [_u32(data, stco[0] + 8 + 4 * i) for i in range(n_chunks)]
+    n_stsc = _u32(data, stsc[0] + 4)
+    stsc_rows = [
+        (
+            _u32(data, stsc[0] + 8 + 12 * i),      # first_chunk (1-based)
+            _u32(data, stsc[0] + 12 + 12 * i),     # samples_per_chunk
+        )
+        for i in range(n_stsc)
+    ]
+    # expand chunk → samples_per_chunk
+    spc = []
+    for i, (first, per) in enumerate(stsc_rows):
+        last = (
+            stsc_rows[i + 1][0] - 1 if i + 1 < len(stsc_rows) else n_chunks
+        )
+        spc.extend([per] * (last - first + 1))
+    offsets = []
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        pos = coff
+        for _ in range(spc[ci] if ci < len(spc) else 0):
+            if si >= n:
+                break
+            offsets.append(pos)
+            pos += sizes[si]
+            si += 1
+    if len(offsets) != n or len(times) != n:
+        raise ValueError(
+            f"inconsistent sample tables: {len(offsets)} offsets, "
+            f"{len(times)} times, {n} sizes"
+        )
+    return {
+        "timescale": timescale,
+        "duration": duration,
+        "n_samples": n,
+        "sizes": sizes,
+        "offsets": offsets,
+        "times": times,
+    }
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_minimal_mp4(
+    frame_sizes: list[int], timescale: int = 1000, frame_delta: int = 40
+) -> bytes:
+    """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
+    mdat holding deterministic fake frame bytes back-to-back, and a
+    moov/trak/mdia/minf/stbl whose stts/stsz/stsc/stco tables index
+    them (one chunk). Frame i's payload is bytes((i + j) % 251) —
+    deterministic so tests can check the indexed ranges slice the
+    right bytes."""
+    frames = [
+        bytes((i + j) % 251 for j in range(sz))
+        for i, sz in enumerate(frame_sizes)
+    ]
+    mdat_body = b"".join(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    n = len(frames)
+    duration = n * frame_delta
+
+    stts = _box(
+        b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n, frame_delta)
+    )
+    stsz = _box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n)
+        + b"".join(struct.pack(">I", s) for s in frame_sizes),
+    )
+    stsc = _box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, n, 1))
+    # stco needs the absolute mdat payload offset: ftyp + mdat header
+    mdat_payload_off = len(ftyp) + 8
+    stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_payload_off))
+    stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    mdhd = _box(
+        b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x55\xc4\x00\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">I", 7) + b"\x00" * 80)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x00" * 76)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", mdat_body)
+    return ftyp + mdat + moov
+
+
+def frame_index(media, every_n: int = 1):
+    """REAL frame sampling over MP4 payloads: parse the ISO BMFF sample
+    tables inside Arrow mapInPandas and emit one row per kept frame
+    with its absolute byte range and decode timestamp — the index a
+    downstream codec stage consumes. Package is imported on workers
+    (deploy.ensure_package_on_workers); payloads never leave the
+    executors."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("pts", T.LongType(), False),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mp4 import parse_mp4
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "byte_offset", "n_bytes", "pts",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_mp4(bytes(p))
+                for i in range(0, info["n_samples"], every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(info["offsets"][i])
+                    out["n_bytes"].append(info["sizes"][i])
+                    out["pts"].append(info["times"][i])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)

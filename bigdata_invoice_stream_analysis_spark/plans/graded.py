@@ -37,7 +37,7 @@ displaced queries' implementations changed this round.
 tests/test_graded_window.py asserts the window matches this list so
 slot changes are deliberate diffs, not import-order accidents.
 
-Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 174; the
+Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 175; the
 ~42 remaining never-graded fit in one more rotation (round 5
 candidates, in priority order: returned_items, promo_revenue_share,
 brand_band_revenue, local_supplier_volume, nation_trade_flows,
@@ -56,7 +56,8 @@ minhash_accuracy_audit, pareto_frontier_parts, customer_revenue_gini,
 sentence_stats_udtf, unpivot_metrics, centroid_silhouette,
 table_diff_audit, media_resize_profile,
 fk_integrity_audit, corpus_curation_funnel, length_bucketed_batches,
-crossmodal_sample_audit, event_dow_hour_heatmap).
+crossmodal_sample_audit, event_dow_hour_heatmap,
+media_mp4_frame_index — REAL ISO-BMFF demux, registered late r4).
 """
 
 from __future__ import annotations
