@@ -192,8 +192,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -432,6 +436,10 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them so real-world files parse
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         tag = data[pos + 1]
         if tag == 0xD9:  # EOI
             break

@@ -4,11 +4,14 @@ with typed metadata, processed by Arrow-batched pandas iterators
 
 The reference is text/CSV only (SURVEY.md §2.12); this is a north-star
 extension (BASELINE.json). The container has no media libraries
-(Pillow/librosa/av), so the actual codec step is STUBBED: decode_media
-raises NotImplementedError for real codecs, and the tested path uses a
-deterministic byte-level feature extractor (byte_stats) so schema,
-partitioning, UDF signature, and Arrow batch shape — the Spark-side
-plumbing — are fully real and oracle-checkable.
+(Pillow/librosa/av), so every codec here is FROM SCRATCH against the
+public format specs: binary PNM, 8-bit PNG (zlib inflate + unfilter),
+RIFF/WAVE PCM, baseline JPEG (operators/jpeg.py), and ISO-BMFF/MP4
+demux (operators/mp4.py). Only compressed-video FRAME decode still
+raises in decode_media — that genuinely needs a codec library. The
+byte_stats extractor remains as the format-agnostic plumbing baseline
+(schema, partitioning, UDF signature, Arrow batch shape), and the
+graded queries gate the real decoders on exact integer oracles.
 
 Scale design
 ------------

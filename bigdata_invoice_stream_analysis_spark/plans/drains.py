@@ -9,7 +9,6 @@ and the full oracle-parity suite).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -248,14 +247,19 @@ def prepared_purchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_custom_state_drain(
-    spark: SparkSession, p: DataFrame
+    spark: SparkSession,
+    p: DataFrame,
+    transform=None,
+    prefix: str = "custom_state",
 ) -> dict[str, tuple[float, float, float, int]]:
     """Stage bucketed purchase lines into 3 single-file parquet buckets
-    and drain ``apply_invoice_state`` over them with
-    ``maxFilesPerTrigger=1`` (up to 3 genuine micro-batches carrying
-    Arrow state). Returns the final per-invoice state snapshot
-    (last-emission-wins). Shared by the graded gate and the scaling
-    probe's drain-cost tiers."""
+    and drain a keyed-state ``transform`` (default:
+    ``apply_invoice_state``; the state-v2 gate passes
+    ``transform_invoice_state``) over them with ``maxFilesPerTrigger=1``
+    (up to 3 genuine micro-batches carrying Arrow state). Returns the
+    final per-invoice state snapshot (last-emission-wins). ONE body
+    shared by the v1 gate, the v2 gate, and the scaling probe's
+    drain-cost tiers — a staging fix lands everywhere at once."""
     import glob as globmod
     import shutil
 
@@ -264,8 +268,9 @@ def run_custom_state_drain(
         apply_invoice_state,
     )
 
-    work = scratch_dir("custom_state_in")
-    stage = scratch_dir("custom_state_stage")
+    transform = transform or apply_invoice_state
+    work = scratch_dir(f"{prefix}_in")
+    stage = scratch_dir(f"{prefix}_stage")
     # ONE write job: repartition on the bucket key puts each bucket in
     # its own task → exactly one data file per bkt= dir (partitionBy
     # strips the bkt column from the data files), vs 3 sequential
@@ -282,7 +287,7 @@ def run_custom_state_drain(
         .option("maxFilesPerTrigger", "1")
         .parquet(work)
     )
-    scored = apply_invoice_state(stream)
+    scored = transform(stream)
     acc: dict[str, tuple[float, float, float, int]] = {}
 
     def sink(bdf, _bid):
@@ -294,7 +299,7 @@ def run_custom_state_drain(
                 r["Lines"],
             )
 
-    ckpt = fresh_checkpoint("stream_cstate_ckpt_")
+    ckpt = fresh_checkpoint(f"stream_{prefix}_ckpt_")
     writer = (
         scored.writeStream.outputMode("update")
         .foreachBatch(sink)
@@ -392,42 +397,12 @@ def q_streaming_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket input, same fold-order-independent gated columns, same
     batch-SQL oracle — so v1 and v2 state machinery are held to the
     IDENTICAL hash."""
-    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
     from bigdata_invoice_stream_analysis_spark.streaming.state import (
         transform_invoice_state,
     )
 
-    import glob as globmod
-    import shutil
-
     p = prepared_purchase_lines(spark, sf_dir)
     p = _drain_input_diet(p)
-    work = scratch_dir("state_v2_in")
-    stage = scratch_dir("state_v2_stage")
-    p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
-        stage
-    )
-    for b in range(3):
-        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
-        shutil.copy(part, f"{work}/bucket{b}.parquet")
-    schema = p.drop("bkt").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(work)
-    )
-    scored = transform_invoice_state(stream)
-    acc: dict[str, tuple[float, float, float, int]] = {}
-
-    def sink(bdf, _bid):
-        for r in bdf.collect():
-            acc[r["InvoiceNo"]] = (
-                r["MinUnitPrice"],
-                r["MaxUnitPrice"],
-                r["NumberItems"],
-                r["Lines"],
-            )
-
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
@@ -437,14 +412,9 @@ def q_streaming_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RocksDBStateStoreProvider",
     )
     try:
-        ckpt = fresh_checkpoint("stream_statev2_ckpt_")
-        writer = (
-            scored.writeStream.outputMode("update")
-            .foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
+        acc = run_custom_state_drain(
+            spark, p, transform=transform_invoice_state, prefix="state_v2"
         )
-        _run_drain(spark, writer)
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -9,7 +9,6 @@ and the full oracle-parity suite).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -168,3 +168,17 @@ def test_constant_blocks_exact_at_quality_75():
     assert np.array_equal(
         np.frombuffer(out["pixels"], dtype=np.uint8).reshape(16, 16), img
     )
+
+
+def test_fill_bytes_and_truncated_scan():
+    """Round-4 review fix: T.81 B.1.1.2 fill bytes (extra 0xFF before a
+    marker) must parse; truncated entropy data must raise ValueError,
+    not IndexError."""
+    good = J.encode_jpeg(bytes(range(64)), 8, 8, quality=75)
+    # inject fill bytes before the SOS marker
+    idx = good.find(b"\xff\xda")
+    filled = good[:idx] + b"\xff\xff\xff" + good[idx:]
+    out = J.decode_jpeg(filled)
+    assert out["width"] == 8
+    with pytest.raises(ValueError):
+        J.decode_jpeg(good[:-6])  # chop entropy tail + EOI

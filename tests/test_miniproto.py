@@ -238,3 +238,59 @@ def test_jvm_fuzz_value_state_calls(spark):
     for msg in msgs:
         raw = msg.SerializeToString()
         assert bytes(jcls.parseFrom(raw).toByteArray()) == raw
+
+
+def test_repeated_append_idiom_serializes():
+    """Round-4 review fix: the standard protobuf idiom for repeated
+    fields is append/extend on the attribute (assignment raises in the
+    real library) — a list populated that way must reach the wire, and
+    a sub-message whose only content is an appended repeated field
+    must serialize through its parent."""
+    T = _cls([("r", 4, mp.TYPE_INT32, True)])
+    m = T()
+    m.r.append(3)
+    m.r.extend([270, 86942])
+    back = T()
+    back.ParseFromString(m.SerializeToString())
+    assert list(back.r) == [3, 270, 86942]
+    # nested: parent -> child with only an appended repeated field
+    child_desc = _msg_desc([("v", 1, mp.TYPE_BYTES, True)])
+    parent_desc = _msg_desc([("c", 2, mp.TYPE_MESSAGE, False)])
+    parent_desc.fields_by_name["c"].message_desc = child_desc
+    P = mp.MessageFactory().class_for(parent_desc)
+    p = P()
+    p.c.v.append(b"xy")
+    pb = P()
+    pb.ParseFromString(p.SerializeToString())
+    assert list(pb.c.v) == [b"xy"]
+    # and an untouched empty repeated field still serializes to nothing
+    assert T().SerializeToString() == b""
+
+
+def test_shim_google_namespace_extends_not_shadows(tmp_path):
+    """Round-4 review fix: installing the shim must not hide sibling
+    google.* packages that live elsewhere on sys.path (google.auth
+    etc. in environments that have them but lack protobuf)."""
+    import importlib
+    import sys
+
+    sib_root = tmp_path / "siblings"
+    gdir = sib_root / "google" / "fakecloudpkg"
+    gdir.mkdir(parents=True)
+    (sib_root / "google" / "__init__.py").write_text(
+        "from pkgutil import extend_path\n"
+        "__path__ = extend_path(__path__, __name__)\n"
+    )
+    (gdir / "__init__.py").write_text("MARKER = 'sibling-ok'\n")
+    sys.path.insert(0, str(sib_root))
+    try:
+        for mod in [m for m in list(sys.modules) if m.split(".")[0] == "google"]:
+            del sys.modules[mod]
+        install()  # shim dir goes to sys.path[0]
+        import google.protobuf  # noqa: F401  (shim serves this)
+        fake = importlib.import_module("google.fakecloudpkg")
+        assert fake.MARKER == "sibling-ok"
+    finally:
+        sys.path.remove(str(sib_root))
+        for mod in [m for m in list(sys.modules) if "fakecloudpkg" in m]:
+            del sys.modules[mod]
