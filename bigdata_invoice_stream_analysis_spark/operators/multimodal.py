@@ -7,8 +7,10 @@ extension (BASELINE.json). The container has no media libraries
 (Pillow/librosa/av), so every codec here is FROM SCRATCH against the
 public format specs: binary PNM, 8-bit PNG (zlib inflate + unfilter),
 RIFF/WAVE PCM, baseline JPEG (operators/jpeg.py), and ISO-BMFF/MP4
-demux (operators/mp4.py). Only compressed-video FRAME decode still
-raises in decode_media — that genuinely needs a codec library. The
+demux + MJPEG frame decode (operators/mp4.py — every sample of a
+Motion-JPEG track is a standalone JPEG, so demux + the JPEG codec
+close video END-TO-END). Only inter-frame codecs (H.264 et al.) still
+raise in decode_media — those genuinely need a codec library. The
 byte_stats extractor remains as the format-agnostic plumbing baseline
 (schema, partitioning, UDF signature, Arrow batch shape), and the
 graded queries gate the real decoders on exact integer oracles.
@@ -77,11 +79,13 @@ def decode_media(payload: bytes, fmt: str) -> Any:
     per ITU T.81, grayscale + YCbCr with subsampling). The graded
     queries gate the PNM and WAV paths on exact integer sums
     (media_decoded_pixels, media_audio_samples); PNG and JPEG carry
-    spec-level unit matrices. Video splits honestly: ISO-BMFF DEMUX is
-    real (operators/mp4.py — box tree + stts/stsz/stsc/stco sample
-    tables, gated by media_mp4_frame_index), while frame DECODE still
-    raises here — an H.264 decoder genuinely needs a codec library,
-    dispatched behind this same signature in production."""
+    spec-level unit matrices. Video: ISO-BMFF DEMUX is real
+    (operators/mp4.py — box tree + stts/stsz/stsc/stco sample tables,
+    gated by media_mp4_frame_index), and MJPEG tracks decode
+    END-TO-END (demux → per-sample baseline JPEG, gated by
+    media_video_frames). Inter-frame codecs (H.264 et al.) raise from
+    decode_mjpeg_frames — a real codec library is dispatched behind
+    this same signature in production."""
     if fmt in ("pgm", "ppm", "pnm"):
         return decode_pnm(payload)
     if fmt == "png":
@@ -92,6 +96,13 @@ def decode_media(payload: bytes, fmt: str) -> Any:
         from bigdata_invoice_stream_analysis_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if fmt in ("mp4", "mjpeg"):
+        from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+            decode_mjpeg_frames,
+        )
+
+        frames = decode_mjpeg_frames(payload)
+        return {"kind": "video", "n_frames": len(frames), "frames": frames}
     raise NotImplementedError(
         f"no media codec for {fmt!r} in this environment; "
         "use byte_stats / fake_decode for the tested plumbing"

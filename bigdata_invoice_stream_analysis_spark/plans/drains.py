@@ -251,6 +251,7 @@ def run_custom_state_drain(
     p: DataFrame,
     transform=None,
     prefix: str = "custom_state",
+    stop_after_files: bool = False,
 ) -> dict[str, tuple[float, float, float, int]]:
     """Stage bucketed purchase lines into 3 single-file parquet buckets
     and drain a keyed-state ``transform`` (default:
@@ -258,10 +259,26 @@ def run_custom_state_drain(
     ``transform_invoice_state``) over them with ``maxFilesPerTrigger=1``
     (up to 3 genuine micro-batches carrying Arrow state). Returns the
     final per-invoice state snapshot (last-emission-wins). ONE body
-    shared by the v1 gate, the v2 gate, and the scaling probe's
-    drain-cost tiers — a staging fix lands everywhere at once."""
+    shared by the v1 gate, the v2 gate, the TTL gate, and the scaling
+    probe's drain-cost tiers — a staging fix lands everywhere at once.
+
+    Staged files get strictly increasing mtimes so the FileStreamSource
+    picks buckets 0→1→2 deterministically (the v1/v2 gates' hashed
+    columns are fold-order-independent so they never cared; the TTL
+    gate's surviving-window oracle does).
+
+    ``stop_after_files``: timeMode="ProcessingTime" (required for TTL
+    state) keeps scheduling timer-evaluation micro-batches, so an
+    availableNow drain NEVER terminates (measured: 167+ empty batches
+    in 90 s). With this flag the drain instead runs an unbounded
+    trigger and is stopped from the driver once every staged file has
+    been consumed (batch id ≥ n_files−1 AND ≥ n_files batches emitted
+    rows — timer batches emit nothing, data batches over the staged
+    volume always emit)."""
     import glob as globmod
+    import os as osmod
     import shutil
+    import threading
 
     from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
     from bigdata_invoice_stream_analysis_spark.streaming.state import (
@@ -278,9 +295,12 @@ def run_custom_state_drain(
     p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
         stage
     )
-    for b in range(3):
+    n_files = 3
+    for b in range(n_files):
         part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
-        shutil.copy(part, f"{work}/bucket{b}.parquet")
+        dst = f"{work}/bucket{b}.parquet"
+        shutil.copy(part, dst)
+        osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
     schema = p.drop("bkt").schema
     stream = (
         spark.readStream.schema(schema)
@@ -289,24 +309,52 @@ def run_custom_state_drain(
     )
     scored = transform(stream)
     acc: dict[str, tuple[float, float, float, int]] = {}
+    drained = threading.Event()
+    data_batches = [0]
 
-    def sink(bdf, _bid):
-        for r in bdf.collect():
+    def sink(bdf, bid):
+        rows = bdf.collect()
+        if rows:
+            data_batches[0] += 1
+        for r in rows:
             acc[r["InvoiceNo"]] = (
                 r["MinUnitPrice"],
                 r["MaxUnitPrice"],
                 r["NumberItems"],
                 r["Lines"],
             )
+        if bid >= n_files - 1 and data_batches[0] >= n_files:
+            drained.set()
 
     ckpt = fresh_checkpoint(f"stream_{prefix}_ckpt_")
     writer = (
         scored.writeStream.outputMode("update")
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
     )
-    _run_drain(spark, writer)
+    if stop_after_files:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        n = min(32, spark.sparkContext.defaultParallelism)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            q = writer.start()
+            try:
+                for _ in range(600):
+                    if drained.wait(0.5):
+                        break
+                    if q.exception() is not None:
+                        raise q.exception()
+                else:
+                    raise TimeoutError(
+                        "TTL drain did not consume all staged files in 300s"
+                    )
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    else:
+        _run_drain(spark, writer.trigger(availableNow=True))
     return acc
 
 
@@ -414,6 +462,96 @@ def q_streaming_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         acc = run_custom_state_drain(
             spark, p, transform=transform_invoice_state, prefix="state_v2"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = [
+        (k, mn, mx, int(ni), int(ln))
+        for k, (mn, mx, ni, ln) in sorted(acc.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "InvoiceNo string, mn double, mx double, number_items long, lines int",
+    )
+    return out.select(
+        "InvoiceNo",
+        F.col("mn").alias("min_unit_price"),
+        F.col("mx").alias("max_unit_price"),
+        "number_items",
+        "lines",
+    )
+
+
+@query(
+    "streaming_state_ttl",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+),
+last_bkt AS (
+  SELECT InvoiceNo, MAX(line_no % 3) AS lb FROM good GROUP BY 1
+)
+SELECT g.InvoiceNo,
+       MIN(g.UnitPrice) AS min_unit_price,
+       MAX(g.UnitPrice) AS max_unit_price,
+       CAST(SUM(g.Quantity) AS BIGINT) AS number_items,
+       CAST(1 AS INT) AS lines
+FROM good g
+JOIN last_bkt b ON g.InvoiceNo = b.InvoiceNo AND (g.line_no % 3) = b.lb
+GROUP BY g.InvoiceNo
+""",
+)
+def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-v2 TTL under the driver gate: the same 3-micro-batch
+    invoice drain as streaming_state_v2, but with engine-managed
+    value-state TTL (``evict_after_ms=1`` → ttlDurationMs, RocksDB TTL
+    column family, timeMode="ProcessingTime" — the branch
+    streaming/state.py:271-275 that r04 left unit-tested only). The
+    1 ms TTL makes eviction DETERMINISTIC despite being wall-clock
+    based: consecutive micro-batches are always ≫1 ms apart, so every
+    key's state has expired by the next batch that touches it —
+    keys planted in early buckets are evicted and each re-arrival
+    re-seeds from the dummy state. The last-emission-wins snapshot is
+    therefore the aggregate over ONLY each key's final micro-batch
+    (the surviving window), with ``lines`` reseeded to 1 — computable
+    in closed form because the staged bucket files carry strictly
+    increasing mtimes (pickup order 0→1→2). A TTL that fails to evict
+    folds earlier buckets into min/max/sum AND bumps ``lines`` — both
+    flip the hash; ``lines`` alone also distinguishes this gate from a
+    non-TTL run. ProcessingTime timeMode keeps scheduling empty
+    timer-evaluation batches, so availableNow never terminates
+    (measured 167+ empty batches in 90 s) — the drain instead stops
+    from the driver once all 3 staged files are consumed
+    (``stop_after_files``; the regression gate for the r04
+    availableNow finding)."""
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        transform_invoice_state,
+    )
+
+    p = prepared_purchase_lines(spark, sf_dir)
+    p = _drain_input_diet(p)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        acc = run_custom_state_drain(
+            spark,
+            p,
+            transform=lambda s: transform_invoice_state(s, evict_after_ms=1),
+            prefix="state_ttl",
+            stop_after_files=True,
         )
     finally:
         if prev is None:

@@ -8,56 +8,48 @@ layout — so the graded window is instead curated here as a deliberate,
 checked-in artifact and the entry point reorders the registry to put
 it first.
 
-Composition (round 4):
-  * 14 pins that keep every SURVEY.md §2 reference operator carrying a
-    driver correctness row (S1, P1-P11, A1-A6, T1, W1, M1-M4); the
-    kmeans trio stays rows-only by necessity (iterative fits, no SQL
-    oracle) — but elbow_selection_table now gives the A5/A6 selection
-    RULE a hash-gated row on synthetic cost curves.
-  * streaming_custom_state retained (W2's only direct multi-batch
-    Arrow-state gate).
-  * 35 first-ever-graded rotations: the five queries NEW this round
-    (media_audio_samples — real WAV decode; elbow_selection_table;
-    streaming_value_percentiles — drain gate #9, quantile-sketch
-    state; streaming_state_v2 — transformWithStateInPandas executing
-    through the in-repo miniproto protobuf shim, state-v2's first run
-    ever; media_jpeg_roundtrip — real baseline JPEG decode under an
-    exact closed-form oracle), cdc_merge_upsert (changed this round:
-    duplicate-key guard — per round-3 ADVICE, changed code gets
-    re-pinned), the round-3 candidate list (approx_value_percentiles,
-    quality_weighted_sample, hll_partial_merge, temporal_split_audit,
-    streaming_hll_users, compaction_bin_packing, media_exact_dedup),
-    TPC-H batch-2 shapes, and one representative per remaining
-    never-graded family.
+Composition (round 5 — the FINAL full rotation):
+  * 12 §2 pins (S1, P1-P11, A1-A4, A6, T1, W1, M1, M3, M4 keep driver
+    rows; A5/A6's selection rule stays covered by r04's green
+    elbow_selection_table row). The two weakest rows-only pins of
+    rounds 1-4 — bisecting_anomalies (M2) and kmeans_elbow_sweep
+    (A5) — rotate OUT this round: both carry four consecutive
+    rows-only driver rows already (iterative fits, no SQL oracle —
+    a fifth identical rows-only row grades nothing new) and their
+    slots buy two never-graded hash-gated queries instead.
+  * The v1/v2 state pair (streaming_custom_state, streaming_state_v2)
+    — the shared drain runner changed this round (deterministic
+    staged-file mtimes + stop_after_files), and changed code gets
+    re-pinned.
+  * 2 NEW queries this round (new code is always graded):
+    streaming_state_ttl (state-v2 engine-managed TTL — the
+    r04-ungraded branch of transform_invoice_state) and
+    media_video_frames (MJPEG-in-MP4 END-TO-END video decode — demux
+    + per-sample baseline JPEG, closing the last media stub).
+  * 34 first-ever-graded rotations: media_mp4_frame_index first (real
+    ISO-BMFF demux, registered late r4), then the round-4 candidate
+    list in priority order.
+
+Ever-graded after this round: 129 (r01-r04) + 36 first-ever = 165 of
+the 177 registered (163 of the 175 that existed at r04). The 12 that
+remain parity-only — pareto_frontier_parts, customer_revenue_gini,
+sentence_stats_udtf, unpivot_metrics, centroid_silhouette,
+table_diff_audit, media_resize_profile, fk_integrity_audit,
+corpus_curation_funnel, length_bucketed_batches,
+crossmodal_sample_audit, event_dow_hour_heatmap — are the lowest
+rungs of the priority ladder: each is the second-or-later
+representative of a family whose machinery already carries a driver
+row (e.g. media_resize_profile rides the same PNM decode path as the
+green media_decoded_pixels; fk_integrity_audit/table_diff_audit are
+join-shape variants of green relational gates), and all 12 stay green
+in tests/test_oracle_parity.py under the driver's exact check
+(rows + schema + order-insensitive hash vs DuckDB) every run.
 
 Rotate per round: queries displaced this round keep their green rows
-from CORRECTNESS_r03.json and remain locally parity-gated by
-tests/test_oracle_parity.py over ALL registered oracles; none of the
-displaced queries' implementations changed this round.
+from CORRECTNESS_r01-r04 and remain locally parity-gated by
+tests/test_oracle_parity.py over ALL registered oracles.
 tests/test_graded_window.py asserts the window matches this list so
 slot changes are deliberate diffs, not import-order accidents.
-
-Ever-graded after this round: 95 (r01-r03) + 35 = 130 of 175; the
-~42 remaining never-graded fit in one more rotation (round 5
-candidates, in priority order: returned_items, promo_revenue_share,
-brand_band_revenue, local_supplier_volume, nation_trade_flows,
-product_type_profit, customer_urgent_order_counts,
-part_supplier_variety, large_volume_customers, order_total_outliers,
-forecast_revenue_change, min_cost_supplier, priority_return_orders,
-segment_overlap_customers, supplier_balance_standing,
-priority_peak_day, session_hourly_load,
-event_props_stats, priority_distinct_reach, quality_filter_verdicts,
-quality_filter_stats, daily_to_monthly_rollup, url_domain_counts,
-per_source_reservoir,
-source_char_profile, doc_rarity_score, embedding_dup_components,
-media_audio_chunks, vocab_oov_rate, source_temperature_mix,
-boilerplate_chunks, doc_bigram_surprise, promo_interval_join,
-minhash_accuracy_audit, pareto_frontier_parts, customer_revenue_gini,
-sentence_stats_udtf, unpivot_metrics, centroid_silhouette,
-table_diff_audit, media_resize_profile,
-fk_integrity_audit, corpus_curation_funnel, length_bucketed_batches,
-crossmodal_sample_audit, event_dow_hour_heatmap,
-media_mp4_frame_index — REAL ISO-BMFF demux, registered late r4).
 """
 
 from __future__ import annotations
@@ -70,10 +62,10 @@ from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
 
 # The round this window was curated FOR: freshness checks compare the
 # window against driver rows from rounds strictly before this one.
-GRADED_ROUND = 4
+GRADED_ROUND = 5
 
 GRADED_50: list[str] = [
-    # --- §2 operator pins (every reference operator keeps a green row) ---
+    # --- §2 operator pins (reference operators keep green rows) ---
     "invoice_features",          # S1 P6 P7 P8 P9 A1 (flagship)
     "invalid_lines",             # P1
     "route_counts",              # P2 P3
@@ -86,51 +78,49 @@ GRADED_50: list[str] = [
     "sliding_window_errors",     # A3 W1
     "centroid_anomalies",        # P11 M3 M4
     "kmeans_anomalies",          # P10 M1 (rows-only: iterative fit)
-    "bisecting_anomalies",       # M2 (rows-only: iterative fit)
-    "kmeans_elbow_sweep",        # A5 A6 (rows-only: iterative fit)
-    # --- retained W2 gate + new-this-round (changed code gets graded) ---
-    "streaming_custom_state",    # W2: applyInPandasWithState multi-batch state
-    "elbow_selection_table",     # NEW r4: A6 rule, SQL oracle + python_agrees
-    "media_audio_samples",       # NEW r4: real RIFF/WAVE decode, exact stats
-    "streaming_value_percentiles",  # NEW r4: drain gate #9, GK-sketch state
-    "cdc_merge_upsert",          # CHANGED r4: duplicate-key MERGE guard
-    # --- round-3 rotation candidates (registered r3, never graded) ---
-    "approx_value_percentiles",
-    "quality_weighted_sample",
-    "hll_partial_merge",
-    "temporal_split_audit",
-    "streaming_hll_users",
-    "compaction_bin_packing",
-    "media_exact_dedup",
-    "equidepth_value_bins",
-    # --- TPC-H batch-2 shapes ---
-    "sole_fault_supplier",
-    "small_qty_revenue",
-    "idle_rich_customers",
-    "shipping_priority",
-    "nation_market_share",
-    # --- never-graded family representatives ---
-    "winnow_fingerprints",
-    "fuzzy_name_matches",
-    "zorder_layout_profile",
-    "event_transition_matrix",
-    "user_value_ewma",
-    "signup_funnel",
-    "weekly_retention",
-    "status_priority_grouping_sets",
-    "rolling_active_users",
-    "customer_order_gap_stats",
-    "skew_key_profile",
-    "latest_event_per_user",
-    "media_jpeg_roundtrip",  # NEW r4: real baseline JPEG decode, exact
-                             # closed-form oracle (q75 DC step = 8)
-    "contrastive_negatives",
-    "split_contamination_bloom",
-    "bpe_merge_pairs",
-    "embedding_gram_matrix",
-    "streaming_state_v2",   # NEW r4: transformWithStateInPandas via the
-                            # in-repo miniproto protobuf shim — state-v2's
-                            # first-ever execution AND first driver row
+    # --- W2 state family: v1/v2 pair re-pinned (shared drain runner
+    #     changed this round) + the NEW TTL gate ---
+    "streaming_custom_state",    # W2: applyInPandasWithState
+    "streaming_state_v2",        # W2: transformWithStateInPandas
+    "streaming_state_ttl",       # NEW r5: engine-managed value-state
+                                 # TTL (ProcessingTime timeMode)
+    "media_video_frames",        # NEW r5: MJPEG-in-MP4 end-to-end
+                                 # video decode (demux + T.81 JPEG)
+    # --- final rotation: 34 first-ever-graded, priority order ---
+    "media_mp4_frame_index",     # real ISO-BMFF demux (late r4)
+    "returned_items",            # TPC-H Q10 shape
+    "promo_revenue_share",       # TPC-H Q14 shape
+    "brand_band_revenue",        # TPC-H Q19 shape
+    "local_supplier_volume",     # TPC-H Q5 shape
+    "nation_trade_flows",        # TPC-H Q7 shape
+    "product_type_profit",       # TPC-H Q9 shape
+    "customer_urgent_order_counts",  # TPC-H Q4 shape
+    "part_supplier_variety",     # TPC-H Q16 shape
+    "large_volume_customers",    # TPC-H Q18 shape
+    "order_total_outliers",
+    "forecast_revenue_change",   # TPC-H Q6 shape
+    "min_cost_supplier",         # TPC-H Q2 shape
+    "priority_return_orders",
+    "segment_overlap_customers",
+    "supplier_balance_standing",
+    "priority_peak_day",
+    "session_hourly_load",
+    "event_props_stats",
+    "quality_filter_verdicts",
+    "quality_filter_stats",
+    "daily_to_monthly_rollup",
+    "url_domain_counts",
+    "per_source_reservoir",
+    "source_char_profile",
+    "doc_rarity_score",
+    "embedding_dup_components",
+    "media_audio_chunks",
+    "vocab_oov_rate",
+    "source_temperature_mix",
+    "boilerplate_chunks",
+    "doc_bigram_surprise",
+    "promo_interval_join",
+    "minhash_accuracy_audit",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

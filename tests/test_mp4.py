@@ -89,3 +89,50 @@ def test_frame_index_every_n(spark):
         ]
     )
     assert got == expect
+
+
+def test_decode_mjpeg_frames_exact_pixels():
+    """MJPEG-in-MP4 end-to-end on the driver: container samples are
+    real baseline JPEGs of constant 8×8 blocks (exact round-trip at
+    quality 75 — the media_jpeg_roundtrip identity), so demux + slice
+    + decode must reproduce every gray exactly."""
+    from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+
+    grays = [0, 17, 128, 200, 255]
+    payload = M.encode_minimal_mp4(
+        frames=[encode_jpeg(bytes([g] * 64), 8, 8, quality=75) for g in grays],
+        frame_delta=40,
+    )
+    frames = M.decode_mjpeg_frames(payload)
+    assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3, 4]
+    assert [f["pts"] for f in frames] == [0, 40, 80, 120, 160]
+    for g, f in zip(grays, frames):
+        assert (f["width"], f["height"], f["channels"]) == (8, 8, 1)
+        assert bytes(f["pixels"]) == bytes([g] * 64)
+    # every-2nd sampling keeps frames 0, 2, 4
+    kept = M.decode_mjpeg_frames(payload, every_n=2)
+    assert [f["frame_idx"] for f in kept] == [0, 2, 4]
+
+
+def test_decode_mjpeg_frames_rejects_non_jpeg_samples():
+    """Honest split retained: an mp4 whose samples are NOT JPEGs means
+    a real inter-frame codec — decode must raise, not fabricate."""
+    payload = M.encode_minimal_mp4([10, 20, 30])
+    with pytest.raises(NotImplementedError, match="codec"):
+        M.decode_mjpeg_frames(payload)
+
+
+def test_decode_media_mp4_dispatch():
+    """decode_media('mp4') is no longer a stub: it returns the decoded
+    MJPEG frame list for fixture-covered containers."""
+    from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    payload = M.encode_minimal_mp4(
+        frames=[encode_jpeg(bytes([60] * 64), 8, 8, quality=75)]
+    )
+    out = decode_media(payload, "mp4")
+    assert out["kind"] == "video" and out["n_frames"] == 1
+    assert bytes(out["frames"][0]["pixels"]) == bytes([60] * 64)
