@@ -9,15 +9,18 @@ Each query is executed to completion with a cheap terminal action
 (count via agg) so the measured time is plan + execution, not
 collect/serialization of full results to the driver.
 
-The streaming pipeline drain (bench_streaming.drain) is folded into
-the same JSON under "streaming" so throughput gets the same
-round-over-round regression tracking the batch queries have; "value"
-remains batch-only total wall time. Cross-round comparability caveats
+Streaming throughput rides the same JSON with two LABELED
+measurements: "streaming" (headline) re-runs bench_streaming.py in a
+fresh subprocess JVM — the cross-round-comparable number — while
+"streaming_in_bench" keeps the legacy same-JVM drain (r04 judge
+finding: after 175 batch queries the fatigued JVM reads ~30% low, so
+the in-bench number alone fabricates regressions). "value" remains
+batch-only total wall time. Cross-round comparability caveats
 are explicit in the artifact itself: "dieted" lists the drain gates
 timed on sampled input (compare those only against rounds with the
 same "diet_keep_1_in"), and "value_full_volume" is the total over
 never-dieted queries only — the number to diff across rounds.
-Set SPARK_GRAFT_BENCH_STREAMING=0 to skip the streaming leg.
+Set SPARK_GRAFT_BENCH_STREAMING=0 to skip both streaming legs.
 
 Drift control (the box's run-to-run variance on identical code was
 measured at 160-196 s in round 3 — bigger than any real round delta):
@@ -96,6 +99,24 @@ def main() -> None:
         release_caches()
         return dt
 
+    # Prior round's per-query map, read BEFORE this run overwrites the
+    # file: the >2×-delta re-timing rule below compares against it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_detail: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+        # Only comparable at the SAME scale factor: a smoke run at
+        # sf0.01 against a committed sf0.1 detail would flag most of
+        # the registry as "drifted".
+        if str(prior.get("sf")) == (sf if not sf.replace(".", "").isdigit()
+                                    else str(float(sf))):
+            prior_detail = prior.get("queries", {})
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         print(f"[bench] {name}", file=sys.stderr, flush=True)
@@ -103,10 +124,23 @@ def main() -> None:
 
     # Median-of-3 for the slowest queries: they dominate the total, so
     # box noise on any one of them moves the headline more than real
-    # regressions do. Two extra samples each bound that.
+    # regressions do. Two extra samples each bound that. ALSO re-time
+    # any query whose first-pass delta vs the PRIOR round's committed
+    # BENCH_DETAIL.json exceeds 2× in either direction (r04 judge
+    # finding: two sub-second 2.2× "regressions" were unverified noise
+    # because only the slowest 10 got repeats) — with prior_detail read
+    # BEFORE this run overwrites the file.
     n_repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_SLOWEST", "10"))
+    retime = set(sorted(timings, key=lambda n: -timings[n])[:n_repeat])
+    drifted = set()
+    for name, t in timings.items():
+        if name in prior_detail:
+            ratio = max(t, 0.001) / max(prior_detail[name], 0.001)
+            if ratio > 2.0 or ratio < 0.5:
+                drifted.add(name)
+    retime |= drifted
     repeats: dict[str, list[float]] = {}
-    for name in sorted(timings, key=lambda n: -timings[n])[:n_repeat]:
+    for name in sorted(retime, key=lambda n: -timings[n]):
         print(f"[bench] re-time {name}", file=sys.stderr, flush=True)
         samples = [timings[name]] + [
             round(run_once(name, QUERIES[name]), 3) for _ in range(2)
@@ -132,20 +166,50 @@ def main() -> None:
         t for n, t in timings.items() if n not in dieted
     )
 
+    # Streaming throughput, TWO measurements labeled apart (r04 judge
+    # finding: the in-bench number reads ~30% low from JVM fatigue
+    # after 175 queries, so recording it alone fabricates cross-round
+    # regressions):
+    #   * "streaming" (headline) — bench_streaming.py in a FRESH
+    #     subprocess JVM, comparable round-over-round and to standalone
+    #     runs;
+    #   * "streaming_in_bench" — the legacy same-JVM drain, kept for
+    #     continuity with r01-r04 artifacts.
     streaming = None
+    streaming_in_bench = None
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         try:
             from bench_streaming import drain
 
-            streaming = drain(spark, sf_dir)
+            streaming_in_bench = drain(spark, sf_dir)
         except Exception as e:  # keep the batch numbers even if the drain dies
+            streaming_in_bench = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_streaming.py",
+                )],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            res = json.loads(line)
+            streaming = {
+                "lines": res["lines"],
+                "wall_sec": res["wall_sec"],
+                "lines_per_sec": res["value"],
+                "mode": "standalone_fresh_jvm",
+            }
+        except Exception as e:
             streaming = {"error": f"{type(e).__name__}: {e}"}
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query map → repo artifact (diffable round-over-round).
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -155,9 +219,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "repeats": repeats,
+                "retimed_for_drift": sorted(drifted),
                 "dieted": dieted,
                 "diet_keep_1_in": diet_keep,
                 "streaming": streaming,
+                "streaming_in_bench": streaming_in_bench,
                 "sf": sf_val,
                 "n_queries": len(timings),
             },
@@ -174,7 +240,7 @@ def main() -> None:
     if isinstance(streaming, dict):
         stream_brief = {
             k: streaming[k]
-            for k in ("lines", "wall_sec", "lines_per_sec", "error")
+            for k in ("lines", "wall_sec", "lines_per_sec", "mode", "error")
             if k in streaming
         }
     print(

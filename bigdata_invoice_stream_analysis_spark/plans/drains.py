@@ -246,6 +246,39 @@ def prepared_purchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_bucketed_stream(
+    spark: SparkSession, p: DataFrame, prefix: str, n_files: int = 3
+) -> DataFrame:
+    """Stage ``p`` (carrying an int ``bkt`` column in [0, n_files)) as
+    one parquet file per bucket and open them as a maxFilesPerTrigger=1
+    file stream. ONE write job: repartition on the bucket key puts each
+    bucket in its own task → exactly one data file per bkt= dir
+    (partitionBy strips the bkt column from the data files). Staged
+    files get strictly increasing mtimes so the FileStreamSource picks
+    buckets 0→…→n−1 deterministically."""
+    import glob as globmod
+    import os as osmod
+    import shutil
+
+    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
+
+    work = scratch_dir(f"{prefix}_in")
+    stage = scratch_dir(f"{prefix}_stage")
+    p.repartition(n_files, "bkt").write.mode("overwrite").partitionBy(
+        "bkt"
+    ).parquet(stage)
+    for b in range(n_files):
+        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
+        dst = f"{work}/bucket{b}.parquet"
+        shutil.copy(part, dst)
+        osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    return (
+        spark.readStream.schema(p.drop("bkt").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(work)
+    )
+
+
 def run_custom_state_drain(
     spark: SparkSession,
     p: DataFrame,
@@ -275,38 +308,15 @@ def run_custom_state_drain(
     been consumed (batch id ≥ n_files−1 AND ≥ n_files batches emitted
     rows — timer batches emit nothing, data batches over the staged
     volume always emit)."""
-    import glob as globmod
-    import os as osmod
-    import shutil
     import threading
 
-    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
     from bigdata_invoice_stream_analysis_spark.streaming.state import (
         apply_invoice_state,
     )
 
     transform = transform or apply_invoice_state
-    work = scratch_dir(f"{prefix}_in")
-    stage = scratch_dir(f"{prefix}_stage")
-    # ONE write job: repartition on the bucket key puts each bucket in
-    # its own task → exactly one data file per bkt= dir (partitionBy
-    # strips the bkt column from the data files), vs 3 sequential
-    # filtered writes that each re-ran the purchase synthesis.
-    p.repartition(3, "bkt").write.mode("overwrite").partitionBy("bkt").parquet(
-        stage
-    )
     n_files = 3
-    for b in range(n_files):
-        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
-        dst = f"{work}/bucket{b}.parquet"
-        shutil.copy(part, dst)
-        osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
-    schema = p.drop("bkt").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(work)
-    )
+    stream = _stage_bucketed_stream(spark, p, prefix, n_files)
     scored = transform(stream)
     acc: dict[str, tuple[float, float, float, int]] = {}
     drained = threading.Event()
@@ -574,6 +584,234 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").alias("max_unit_price"),
         "number_items",
         "lines",
+    )
+
+
+def run_timer_state_drain(
+    spark: SparkSession, p: DataFrame, prefix: str = "state_timers"
+) -> dict[str, tuple[int, int, int]]:
+    """Drain transform_invoice_timers over the 3 staged buckets and
+    return the last-emission-wins snapshot {InvoiceNo: (n_rows,
+    qty_sum, n_fires)}. Every output row comes from handleExpiredTimer
+    (input processing emits nothing), and because an already-expired
+    timer fires within its own registration batch — after input rows —
+    every data batch is non-empty at the sink, so the stop rule is the
+    same as the TTL drain's: all staged files consumed."""
+    import threading
+
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        transform_invoice_timers,
+    )
+
+    n_files = 3
+    stream = _stage_bucketed_stream(spark, p, prefix, n_files)
+    scored = transform_invoice_timers(stream)
+    acc: dict[str, tuple[int, int, int]] = {}
+    drained = threading.Event()
+    data_batches = [0]
+
+    def sink(bdf, bid):
+        rows = bdf.collect()
+        if rows:
+            data_batches[0] += 1
+        for r in rows:
+            acc[r["InvoiceNo"]] = (
+                int(r["n_rows"]), int(r["qty_sum"]), int(r["n_fires"]),
+            )
+        if bid >= n_files - 1 and data_batches[0] >= n_files:
+            drained.set()
+
+    ckpt = fresh_checkpoint(f"stream_{prefix}_ckpt_")
+    writer = (
+        scored.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = min(32, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = writer.start()
+        try:
+            for _ in range(600):
+                if drained.wait(0.5):
+                    break
+                if q.exception() is not None:
+                    raise q.exception()
+            else:
+                raise TimeoutError(
+                    "timer drain did not consume all staged files in 300s"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return acc
+
+
+@query(
+    "streaming_state_timers",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+)
+SELECT InvoiceNo,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(Quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(COUNT(DISTINCT line_no % 3) AS INT) AS n_fires
+FROM good GROUP BY 1
+""",
+)
+def q_streaming_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-v2 TIMERS under the driver gate — the last unexercised
+    surface of the modern state API (registerTimer + handleExpiredTimer
+    + engine timer auto-delete). Every emitted row comes from the TIMER
+    callback, not input processing: each data micro-batch updates keyed
+    running totals and arms a timer at currentProcessingTimeInMs − 1,
+    which the engine fires within the SAME batch after all input rows
+    (measured semantics; fired timers never re-fire). Deterministic
+    gates: ``n_fires`` = the number of distinct staged buckets that
+    contain the key (one registration → one fire per data batch), and
+    the last fire's snapshot carries the COMPLETE totals (n_rows,
+    integer qty_sum) — a timer firing before its batch's input, a
+    re-fire, or a lost registration each flip the hash. ProcessingTime
+    timeMode again requires the driver-side stop (run_timer_state_drain
+    shares the TTL gate's machinery)."""
+    p = prepared_purchase_lines(spark, sf_dir)
+    p = _drain_input_diet(p)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        acc = run_timer_state_drain(spark, p)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = [
+        (k, nr, qs, nf) for k, (nr, qs, nf) in sorted(acc.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "InvoiceNo string, n_rows long, qty_sum long, n_fires int",
+    )
+
+
+@query(
+    "streaming_state_list_map",
+    oracle=f"""
+WITH {PURCHASE_CTE},
+good AS (
+  SELECT * FROM purchase
+  WHERE InvoiceNo NOT LIKE 'C%' AND CustomerID <> ''
+),
+per_bkt AS (
+  SELECT InvoiceNo, line_no % 3 AS b,
+         SUM(CAST(Quantity AS BIGINT)) AS q
+  FROM good GROUP BY 1, 2
+),
+ranked AS (
+  SELECT InvoiceNo, q,
+         ROW_NUMBER() OVER (PARTITION BY InvoiceNo ORDER BY b) AS rk
+  FROM per_bkt
+),
+lists AS (
+  SELECT InvoiceNo, CAST(COUNT(*) AS INT) AS n_batches,
+         CAST(SUM(rk * q) AS BIGINT) AS weighted_qty
+  FROM ranked GROUP BY 1
+),
+bands AS (
+  SELECT InvoiceNo, abs(CAST(Quantity AS BIGINT)) % 4 AS band,
+         COUNT(*) AS cnt
+  FROM good GROUP BY 1, 2
+),
+maps AS (
+  SELECT InvoiceNo, CAST(COUNT(*) AS INT) AS n_bands,
+         CAST(SUM(band * cnt) AS BIGINT) AS band_checksum
+  FROM bands GROUP BY 1
+)
+SELECT l.InvoiceNo, l.n_batches, l.weighted_qty, m.n_bands, m.band_checksum
+FROM lists l JOIN maps m USING (InvoiceNo)
+""",
+)
+def q_streaming_state_list_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-v2 LIST + MAP state under the driver gate — with this,
+    every typed-state kind of the modern API carries a graded row
+    (value: streaming_state_v2; value+TTL: streaming_state_ttl;
+    timers: streaming_state_timers; list+map: here). Per invoice the
+    processor appends each micro-batch's integer quantity subtotal to
+    a ListState and folds per-quantity-band row counts into a MapState
+    (containsKey/getValue/updateValue). Gated columns: the list length
+    and the 1-indexed position-weighted sum Σ i·qty_i — which is
+    order-SENSITIVE, so the engine dropping, reordering, or re-reading
+    a list entry flips the hash (list order = staged bucket order,
+    deterministic via the runner's increasing mtimes) — plus the map
+    size and the order-independent Σ band·count. Bands use
+    abs(qty) % 4 so Python and SQL agree on negative quantities.
+    timeMode="None" (no TTL/timers), so the plain availableNow drain
+    applies."""
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        transform_invoice_list_map,
+    )
+
+    p = prepared_purchase_lines(spark, sf_dir)
+    p = _drain_input_diet(p)
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _stage_bucketed_stream(spark, p, "state_list_map", 3)
+        scored = transform_invoice_list_map(stream)
+        acc: dict[str, tuple[int, int, int, int]] = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                acc[r["InvoiceNo"]] = (
+                    int(r["n_batches"]),
+                    int(r["weighted_qty"]),
+                    int(r["n_bands"]),
+                    int(r["band_checksum"]),
+                )
+
+        ckpt = fresh_checkpoint("stream_state_list_map_ckpt_")
+        writer = (
+            scored.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+        )
+        _run_drain(spark, writer)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    rows = [
+        (k, nb, wq, nband, bc)
+        for k, (nb, wq, nband, bc) in sorted(acc.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "InvoiceNo string, n_batches int, weighted_qty long, "
+        "n_bands int, band_checksum long",
     )
 
 

@@ -9,33 +9,42 @@ checked-in artifact and the entry point reorders the registry to put
 it first.
 
 Composition (round 5 — the FINAL full rotation):
-  * 12 §2 pins (S1, P1-P11, A1-A4, A6, T1, W1, M1, M3, M4 keep driver
+  * 11 §2 pins (S1, P1-P9, P11, A1-A4, A6, T1, W1, M3, M4 keep driver
     rows; A5/A6's selection rule stays covered by r04's green
-    elbow_selection_table row). The two weakest rows-only pins of
-    rounds 1-4 — bisecting_anomalies (M2) and kmeans_elbow_sweep
-    (A5) — rotate OUT this round: both carry four consecutive
-    rows-only driver rows already (iterative fits, no SQL oracle —
-    a fifth identical rows-only row grades nothing new) and their
-    slots buy two never-graded hash-gated queries instead.
+    elbow_selection_table row). The three rows-only ML pins of rounds
+    1-4 — kmeans_anomalies (P10/M1), bisecting_anomalies (M2),
+    kmeans_elbow_sweep (A5) — all rotate OUT this round: each carries
+    FOUR consecutive identical rows-only driver rows already
+    (iterative fits, no SQL oracle — a fifth grades nothing new,
+    since a rows-only check can never become a hash), their scoring
+    logic IS hash-gated through the pinned centroid_anomalies and
+    r04's elbow_selection_table, and their three slots buy three
+    hash-gated queries that have never had ANY external row.
   * The v1/v2 state pair (streaming_custom_state, streaming_state_v2)
     — the shared drain runner changed this round (deterministic
     staged-file mtimes + stop_after_files), and changed code gets
     re-pinned.
-  * 2 NEW queries this round (new code is always graded):
+  * 3 NEW queries this round (new code is always graded):
     streaming_state_ttl (state-v2 engine-managed TTL — the
-    r04-ungraded branch of transform_invoice_state) and
-    media_video_frames (MJPEG-in-MP4 END-TO-END video decode — demux
-    + per-sample baseline JPEG, closing the last media stub).
+    r04-ungraded branch of transform_invoice_state),
+    streaming_state_timers (registerTimer/handleExpiredTimer — the
+    last unexercised v2 surface; every output row emitted by the
+    timer callback), and media_video_frames (MJPEG-in-MP4 END-TO-END
+    video decode — demux + per-sample baseline JPEG, closing the last
+    media stub).
   * 34 first-ever-graded rotations: media_mp4_frame_index first (real
     ISO-BMFF demux, registered late r4), then the round-4 candidate
     list in priority order.
 
-Ever-graded after this round: 129 (r01-r04) + 36 first-ever = 165 of
-the 177 registered (163 of the 175 that existed at r04). The 12 that
-remain parity-only — pareto_frontier_parts, customer_revenue_gini,
-sentence_stats_udtf, unpivot_metrics, centroid_silhouette,
-table_diff_audit, media_resize_profile, fk_integrity_audit,
-corpus_curation_funnel, length_bucketed_batches,
+Ever-graded after this round: 129 (r01-r04) + 37 first-ever = 166 of
+the 179 registered (163 of the 175 that existed at r04; the 50-slot
+window was full, so streaming_state_list_map — list+map typed state,
+registered late r5 — is the round-6 rotation LEAD, exactly the
+media_mp4_frame_index pattern from r4). The 12
+r04-era queries that remain parity-only — pareto_frontier_parts,
+customer_revenue_gini, sentence_stats_udtf, unpivot_metrics,
+centroid_silhouette, table_diff_audit, media_resize_profile,
+fk_integrity_audit, corpus_curation_funnel, length_bucketed_batches,
 crossmodal_sample_audit, event_dow_hour_heatmap — are the lowest
 rungs of the priority ladder: each is the second-or-later
 representative of a family whose machinery already carries a driver
@@ -77,13 +86,14 @@ GRADED_50: list[str] = [
     "approx_distinct_users",     # A3 (HLL + exact)
     "sliding_window_errors",     # A3 W1
     "centroid_anomalies",        # P11 M3 M4
-    "kmeans_anomalies",          # P10 M1 (rows-only: iterative fit)
     # --- W2 state family: v1/v2 pair re-pinned (shared drain runner
-    #     changed this round) + the NEW TTL gate ---
+    #     changed this round) + the NEW TTL and TIMER gates ---
     "streaming_custom_state",    # W2: applyInPandasWithState
     "streaming_state_v2",        # W2: transformWithStateInPandas
     "streaming_state_ttl",       # NEW r5: engine-managed value-state
                                  # TTL (ProcessingTime timeMode)
+    "streaming_state_timers",    # NEW r5: registerTimer +
+                                 # handleExpiredTimer lifecycle
     "media_video_frames",        # NEW r5: MJPEG-in-MP4 end-to-end
                                  # video decode (demux + T.81 JPEG)
     # --- final rotation: 34 first-ever-graded, priority order ---

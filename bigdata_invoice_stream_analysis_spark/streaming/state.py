@@ -228,6 +228,205 @@ def _make_processor(evict_after_ms: int | None):
     return InvoiceStateProcessor()
 
 
+def _make_timer_processor():
+    """State-v2 TIMER processor (registerTimer + handleExpiredTimer) as
+    a self-contained dynamic class (same cloudpickle-by-value rule as
+    _make_processor). Semantics, all measured (scripts r5 experiment):
+    a timer registered at currentProcessingTimeInMs − 1 is already
+    expired, and the engine evaluates expired timers WITHIN the same
+    micro-batch AFTER input rows — so each data batch that touches a
+    key fires exactly one timer callback for it; fired timers are
+    auto-deleted (never re-fire). That makes the timer surface fully
+    deterministic: per key, fires == number of data micro-batches, and
+    the LAST fire emits the completed running totals."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class InvoiceTimerProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "totals", "n_rows long, qty_sum long, fires int"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n_rows, qty_sum, fires = self._state.get() or (0, 0, 0)
+            saw = False
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                saw = True
+                n_rows += len(pdf)
+                qty_sum += int(sum(int(q) for q in pdf["Quantity"]))
+            if not saw:
+                return
+            self._state.update((n_rows, qty_sum, fires))
+            # Already-expired: fires later THIS batch, after all input.
+            self._handle.registerTimer(
+                timer_values.getCurrentProcessingTimeInMs() - 1
+            )
+            return
+            yield  # pragma: no cover - generator form, emits nothing
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            n_rows, qty_sum, fires = self._state.get() or (0, 0, 0)
+            fires += 1
+            self._state.update((n_rows, qty_sum, fires))
+            yield pd.DataFrame(
+                {
+                    "InvoiceNo": [key[0]],
+                    "n_rows": [n_rows],
+                    "qty_sum": [qty_sum],
+                    "n_fires": [fires],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return InvoiceTimerProcessor()
+
+
+def transform_invoice_timers(purchases: DataFrame) -> DataFrame:
+    """W2 on state-v2 TIMERS: keyed running totals where every output
+    row is emitted by handleExpiredTimer, not by input processing —
+    the register/fire/auto-delete lifecycle is the operator. Input
+    batches only update state and arm an already-expired processing-
+    time timer; the engine's same-batch timer evaluation then emits
+    the snapshot. Requires timeMode="ProcessingTime" (so the drain
+    must be stopped from the driver — see run_timer_state_drain) and
+    the RocksDB provider. Wire served by the miniproto shim exactly as
+    transform_invoice_state."""
+    try:
+        from bigdata_invoice_stream_analysis_spark.vendor.protobuf_shim import (
+            ensure_on_workers,
+            install,
+        )
+
+        install()
+        ensure_on_workers(purchases.sparkSession)
+    except Exception as e:  # pragma: no cover - defensive
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "and the in-repo miniproto shim could not be installed"
+        ) from e
+    return purchases.groupBy("InvoiceNo").transformWithStateInPandas(
+        _make_timer_processor(),
+        outputStructType=(
+            "InvoiceNo string, n_rows long, qty_sum long, n_fires int"
+        ),
+        outputMode="update",
+        timeMode="ProcessingTime",
+    )
+
+
+def _make_list_map_processor():
+    """State-v2 LIST + MAP state processor (self-contained dynamic
+    class, cloudpickle-by-value — same rule as _make_processor). Per
+    invoice key it keeps BOTH remaining typed-state kinds the v2 API
+    offers beyond value state:
+
+      * ListState "batch_qty": one entry per data micro-batch — that
+        batch's integer quantity subtotal, appended in arrival order
+        (the staged buckets' mtime order), so a position-weighted
+        checksum over the list proves the ENGINE preserved list order
+        across batches;
+      * MapState "band_rows": row counts keyed by the line's integer
+        quantity band (abs(qty) % 4) — containsKey/getValue/
+        updateValue per band, order-independent checksum.
+
+    Emitted per data batch (update mode; last emission wins): the list
+    length, the 1-indexed position-weighted sum Σ i·qty_i, the map
+    size, and Σ band·count."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class InvoiceListMapProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._list = handle.getListState("batch_qty", "qty long")
+            self._map = handle.getMapState(
+                "band_rows", "band int", "cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            batch_qty = 0
+            band_counts: dict[int, int] = {}
+            saw = False
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                saw = True
+                for q in pdf["Quantity"]:
+                    qi = int(q)
+                    batch_qty += qi
+                    band = abs(qi) % 4  # abs: Python % floors,
+                    band_counts[band] = band_counts.get(band, 0) + 1
+                    # SQL % truncates — they agree only on non-negatives
+            if not saw:
+                return
+            self._list.appendValue((batch_qty,))
+            for band, cnt in band_counts.items():
+                prev = (
+                    self._map.getValue((band,))
+                    if self._map.containsKey((band,))
+                    else None
+                )
+                self._map.updateValue(
+                    (band,), ((prev[0] if prev else 0) + cnt,)
+                )
+            qtys = [t[0] for t in self._list.get()]
+            bands = [(k[0], v[0]) for k, v in self._map.iterator()]
+            yield pd.DataFrame(
+                {
+                    "InvoiceNo": [key[0]],
+                    "n_batches": [len(qtys)],
+                    "weighted_qty": [
+                        sum((i + 1) * q for i, q in enumerate(qtys))
+                    ],
+                    "n_bands": [len(bands)],
+                    "band_checksum": [sum(b * c for b, c in bands)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return InvoiceListMapProcessor()
+
+
+def transform_invoice_list_map(purchases: DataFrame) -> DataFrame:
+    """W2 on state-v2 LIST and MAP state — the two composable typed
+    state kinds beyond value state (getListState / getMapState), which
+    the v1 applyInPandasWithState API cannot express without manual
+    encoding into one struct. timeMode stays "None" (no TTL, no
+    timers), so the plain availableNow drain terminates. Wire served
+    by the miniproto shim exactly as transform_invoice_state."""
+    try:
+        from bigdata_invoice_stream_analysis_spark.vendor.protobuf_shim import (
+            ensure_on_workers,
+            install,
+        )
+
+        install()
+        ensure_on_workers(purchases.sparkSession)
+    except Exception as e:  # pragma: no cover - defensive
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "and the in-repo miniproto shim could not be installed"
+        ) from e
+    return purchases.groupBy("InvoiceNo").transformWithStateInPandas(
+        _make_list_map_processor(),
+        outputStructType=(
+            "InvoiceNo string, n_batches int, weighted_qty long, "
+            "n_bands int, band_checksum long"
+        ),
+        outputMode="update",
+        timeMode="None",
+    )
+
+
 def transform_invoice_state(
     purchases: DataFrame, evict_after_ms: int | None = None
 ) -> DataFrame:

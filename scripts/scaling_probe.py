@@ -6,6 +6,8 @@ scale ~linearly in rows; anything super-linear beyond the log factors
 flags a scale hazard long before a cluster run would.
 
 Usage: python scripts/scaling_probe.py [sf_dir_small sf_dir_big]
+SPARK_GRAFT_PROBE_ONLY=<substring> runs only the probes whose name
+contains it (e.g. =state re-times just the two drain tiers).
 """
 
 from __future__ import annotations
@@ -164,6 +166,44 @@ def _custom_state_drain(spark, p):
     return len(run_custom_state_drain(spark, p))
 
 
+def _state_v2_drain(spark, p):
+    """The same 3-micro-batch drain through transformWithStateInPandas
+    (RocksDB provider, miniproto wire) — the graded streaming_state_v2
+    shape. Separately tiered (keys, not SF): the v2 state server costs
+    two protobuf socket round-trips per key per batch (get + update —
+    already the minimum the semantics allow, so there is no in-processor
+    batching left to take), which makes full-volume sf0.1 a 10-minute
+    probe; the question VERDICT r04 asked is how that per-key cost
+    SCALES with keys touched, so the tiers scale keys 50× instead."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        run_custom_state_drain,
+    )
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        transform_invoice_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return len(
+            run_custom_state_drain(
+                spark, p, transform=transform_invoice_state,
+                prefix="probe_state_v2",
+            )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
 def edges_x(spark, sf_dir, mult=1):
     """Symmetrized co-purchase edge set — the SAME builder the graded
     copurchase queries use (operators/graph.copurchase_edges), so the
@@ -230,6 +270,13 @@ def main():
         "custom_state_drain": lambda p: _custom_state_drain(spark, p),
     }
 
+    only = os.environ.get("SPARK_GRAFT_PROBE_ONLY", "")
+    if only:
+        probes = {k: v for k, v in probes.items() if only in k}
+        vec_probes = {k: v for k, v in vec_probes.items() if only in k}
+        edge_probes = {k: v for k, v in edge_probes.items() if only in k}
+        state_probes = {k: v for k, v in state_probes.items() if only in k}
+
     tiers = [("sf0.01", small, 1), ("sf0.1", big, 1), ("sf0.1 x5", big, 5)]
     # warm JIT on the small tier first (untimed)
     for name, fn in probes.items():
@@ -287,6 +334,31 @@ def main():
             f"{name:<20} " + " ".join(f"{t:>10.2f}s" for t in times)
             + f"   {times[1]/times[0]:>6.1f}x per 10x rows, {times[2]/times[1]:.1f}x per 5x"
         )
+
+    # state-v2 wire-cost tiers (VERDICT r04 #7): keys scale 50× across
+    # sf0.001 → sf0.01 → sf0.01×5 instead of riding the SF tiers —
+    # the per-key protobuf round-trips make full sf0.1 a 10-minute
+    # probe, and the question is cost-vs-keys-touched, not rows.
+    if only and only not in "state_v2_drain":
+        spark.stop()
+        return
+    tiny = small.replace("sf0.01", "sf0.001")
+    v2_tiers = [("sf0.001", tiny, 1), ("sf0.01", small, 1), ("sf0.01 x5", small, 5)]
+    _state_v2_drain(spark, purchases_x(spark, tiny))  # warm (untimed)
+    release_caches()
+    times = []
+    keys = []
+    for _, d, m in v2_tiers:
+        dt, n = timed(lambda: _state_v2_drain(spark, purchases_x(spark, d, m)))
+        release_caches()
+        times.append(dt)
+        keys.append(n)
+    print(
+        f"{'state_v2_drain':<20} "
+        + " ".join(f"{t:>10.2f}s" for t in times)
+        + f"   {times[1]/times[0]:>6.1f}x per {keys[1]/max(keys[0],1):.0f}x keys, "
+        + f"{times[2]/times[1]:.1f}x per {keys[2]/max(keys[1],1):.0f}x keys"
+    )
     spark.stop()
 
 

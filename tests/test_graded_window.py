@@ -17,12 +17,13 @@ import __spark_entry__ as entry
 from bigdata_invoice_stream_analysis_spark.plans.graded import GRADED_50
 from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
 
-# The iterative ML fits have no SQL-expressible oracle; everything
-# else in the graded window must carry one (the driver records a weaker
-# rows-only check for oracle-less entries). Round 5 keeps only
-# kmeans_anomalies pinned; bisecting_anomalies / kmeans_elbow_sweep
-# rotated out with four rows-only driver rows each (r01-r04).
-ROWS_ONLY = {"kmeans_anomalies"}
+# Every round-5 window entry must carry an oracle: the three iterative
+# ML fits (kmeans_anomalies / bisecting_anomalies / kmeans_elbow_sweep
+# — no SQL-expressible oracle, so the driver could only record a
+# rows-only check) all rotated out with four identical rows-only
+# driver rows each (r01-r04); their slots went to hash-gated
+# never-graded queries.
+ROWS_ONLY: set[str] = set()
 
 
 def test_window_is_the_checked_in_list():

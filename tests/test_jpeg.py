@@ -148,9 +148,10 @@ def test_decode_media_dispatches_jpeg():
     payload = J.encode_jpeg(img.tobytes(), 8, 8)
     out = MM.decode_media(payload, "jpeg")
     assert out["width"] == 8 and out["channels"] == 1
-    # mp4 remains the honest stub
+    # mp4 dispatches for real since r5 (MJPEG end-to-end); inter-frame
+    # codecs remain the honest stub behind unknown format names
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
+        MM.decode_media(b"\x00\x00\x00\x01gibberish", "h264")
 
 
 def test_constant_blocks_exact_at_quality_75():

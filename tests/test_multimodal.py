@@ -36,15 +36,26 @@ def test_extract_byte_stats(media):
 
 
 def test_decode_media_stubbed_for_heavy_codecs():
-    # mp4 needs a real demuxer (pyav) — the one remaining honest stub;
     # pnm/png/wav/jpeg are REAL from-scratch decoders (tests below +
-    # test_jpeg.py).
+    # test_jpeg.py) and mp4 dispatches to the MJPEG-in-MP4 path since
+    # r5 — the only remaining honest stubs are formats with no codec
+    # at all, and inter-frame video codecs inside a valid container.
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
-    # jpeg now dispatches to the real decoder — malformed input is a
-    # codec ValueError, not NotImplementedError
+        MM.decode_media(b"\x00\x01", "heic")
+    # a VALID container whose samples are not JPEG = a real inter-frame
+    # codec — that still honestly raises
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+    )
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(encode_minimal_mp4(frame_sizes=[64, 64]), "mp4")
+    # malformed input to a real codec is a codec ValueError, not
+    # NotImplementedError
     with pytest.raises(ValueError):
         MM.decode_media(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(ValueError):
+        MM.decode_media(b"\x00\x00\x00\x18ftyp", "mp4")
 
 
 def test_resize_stub_rewrites_meta(media):

@@ -104,3 +104,92 @@ def test_no_ttl_drain_still_terminates_under_available_now(spark):
     assert acc["I1"] == (10.0, 30.0, 6.0, 3)
     assert acc["I2"] == (5.0, 5.0, 1.0, 1)
     assert acc["I3"] == (7.0, 7.0, 4.0, 1)
+
+
+def test_timer_drain_fires_once_per_data_batch(spark):
+    """State-v2 timers: every output row comes from handleExpiredTimer.
+    An already-expired timer fires within its registration batch after
+    input rows and is auto-deleted, so per key n_fires == number of
+    buckets containing it and the last fire snapshots complete totals."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        run_timer_state_drain,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        acc = run_timer_state_drain(
+            spark, _bucketed_fixture(spark), prefix="test_state_timers"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert dict(sorted(acc.items())) == {
+        "I1": (3, 6, 3),  # one fire per bucket; totals complete at last fire
+        "I2": (1, 1, 1),
+        "I3": (1, 4, 1),
+    }
+
+
+def test_list_map_state_semantics(spark):
+    """State-v2 ListState/MapState on the 3-bucket fixture: the list
+    gets one entry per data batch IN ORDER (position-weighted sum is
+    order-sensitive), the map folds per-band counts across batches."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        _stage_bucketed_stream,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import _run_drain
+    from bigdata_invoice_stream_analysis_spark.scratch import fresh_checkpoint
+    from bigdata_invoice_stream_analysis_spark.streaming.state import (
+        transform_invoice_list_map,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    acc = {}
+
+    def sink(bdf, _bid):
+        for r in bdf.collect():
+            acc[r["InvoiceNo"]] = (
+                r["n_batches"], r["weighted_qty"],
+                r["n_bands"], r["band_checksum"],
+            )
+
+    try:
+        stream = _stage_bucketed_stream(
+            spark, _bucketed_fixture(spark), "test_list_map", 3
+        )
+        writer = (
+            transform_invoice_list_map(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", fresh_checkpoint("test_lm_ckpt_"))
+            .trigger(availableNow=True)
+        )
+        _run_drain(spark, writer)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert dict(sorted(acc.items())) == {
+        # I1 qty per bucket [2, 3, 1] -> weighted 1*2 + 2*3 + 3*1 = 11;
+        # bands {2,3,1} once each -> checksum 6
+        "I1": (3, 11, 3, 6),
+        "I2": (1, 1, 1, 1),     # qty 1 -> band 1
+        "I3": (1, 4, 1, 0),     # qty 4 -> band 0
+    }
