@@ -104,7 +104,19 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    import inspect
+
+    diet_keep = int(os.environ.get("SPARK_GRAFT_DRAIN_KEEP_1_IN", "1") or "1")
+    # Queries whose streaming input CAN be dieted (they call the diet
+    # hook): their times are only comparable between runs with the same
+    # diet_keep_1_in setting.
+    diet_capable = {
+        name
+        for name, fn in QUERIES.items()
+        if "_drain_input_diet(" in inspect.getsource(fn)
+    }
     prior_detail: dict[str, float] = {}
+    prior_diet_keep = None
     try:
         with open(detail_path) as fh:
             prior = json.load(fh)
@@ -114,6 +126,7 @@ def main() -> None:
         if str(prior.get("sf")) == (sf if not sf.replace(".", "").isdigit()
                                     else str(float(sf))):
             prior_detail = prior.get("queries", {})
+            prior_diet_keep = prior.get("diet_keep_1_in")
     except (OSError, ValueError):
         pass
 
@@ -134,10 +147,16 @@ def main() -> None:
     retime = set(sorted(timings, key=lambda n: -timings[n])[:n_repeat])
     drifted = set()
     for name, t in timings.items():
-        if name in prior_detail:
-            ratio = max(t, 0.001) / max(prior_detail[name], 0.001)
-            if ratio > 2.0 or ratio < 0.5:
-                drifted.add(name)
+        if name not in prior_detail:
+            continue
+        # Diet-capable drains compare only against a prior run with the
+        # SAME diet: a keep=1 run vs a committed keep=8 detail would
+        # flag every drain gate as "drifted" and re-drain each twice.
+        if name in diet_capable and prior_diet_keep != diet_keep:
+            continue
+        ratio = max(t, 0.001) / max(prior_detail[name], 0.001)
+        if ratio > 2.0 or ratio < 0.5:
+            drifted.add(name)
     retime |= drifted
     repeats: dict[str, list[float]] = {}
     for name in sorted(retime, key=lambda n: -timings[n]):
@@ -150,18 +169,11 @@ def main() -> None:
 
     total = sum(timings.values())
 
-    # Queries whose streaming input is dieted in the bench process
+    # Queries whose streaming input was dieted in THIS bench process
     # (SPARK_GRAFT_DRAIN_KEEP_1_IN above): their times are NOT
     # comparable to full-volume rounds, so the artifact names them and
     # carries a total over never-dieted queries only.
-    import inspect
-
-    diet_keep = int(os.environ.get("SPARK_GRAFT_DRAIN_KEEP_1_IN", "1") or "1")
-    dieted = sorted(
-        name
-        for name, fn in QUERIES.items()
-        if diet_keep > 1 and "_drain_input_diet(" in inspect.getsource(fn)
-    )
+    dieted = sorted(diet_capable) if diet_keep > 1 else []
     total_full_volume = sum(
         t for n, t in timings.items() if n not in dieted
     )

@@ -2,13 +2,15 @@
 written against the public ISO/IEC 14496-12 specification.
 
 The honest split for video in a codec-less container: DEMUX is byte
-parsing (box tree, stts/stsz/stco sample tables → per-frame offsets,
-sizes, timestamps) and is implemented for real here; frame DECODE
-(H.264 et al.) genuinely needs a codec library and remains the stub
-behind decode_media("mp4"). A real frame-sampling pipeline is mostly
-demux: pick every-Nth (or keyframe-only) sample offsets, then ship the
-byte ranges to wherever the codec runs — exactly what
-``frame_index`` emits.
+parsing — box tree, stts/stsz/stco sample tables for progressive
+files, and moof/traf/tfhd/tfdt/trun fragment runs for fragmented
+(fMP4 / CMAF, i.e. DASH/HLS segment) files — and is implemented for
+real here, plus END-TO-END decode for MJPEG tracks (every sample is a
+standalone baseline JPEG, handled by operators/jpeg). Inter-frame
+codecs (H.264 et al.) genuinely need a codec library and still raise.
+A real frame-sampling pipeline is mostly demux: pick every-Nth (or
+keyframe-only) sample offsets, then ship the byte ranges to wherever
+the codec runs — exactly what ``frame_index`` emits.
 
 Scale posture: parsing runs inside Arrow mapInPandas on executors like
 the other codecs; payloads never reach the driver, and the emitted
@@ -144,6 +146,12 @@ def parse_mp4(payload: bytes) -> dict:
             f"inconsistent sample tables: {len(offsets)} offsets, "
             f"{len(times)} times, {n} sizes"
         )
+    if n == 0:
+        # FRAGMENTED MP4 (fMP4 / CMAF — what DASH and HLS segments
+        # actually ship): the moov sample tables are empty and samples
+        # are described per-fragment by moof/traf/tfhd/tfdt/trun.
+        sizes, offsets, times = _parse_fragments(data, moov)
+        n = len(sizes)
     return {
         "timescale": timescale,
         "duration": duration,
@@ -152,6 +160,98 @@ def parse_mp4(payload: bytes) -> dict:
         "offsets": offsets,
         "times": times,
     }
+
+
+def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
+    """Expand every top-level ``moof`` fragment's track run into flat
+    (sizes, offsets, times) — ISO 14496-12 §8.8. Handles the shapes
+    real segmenters emit: trex defaults (moov/mvex), tfhd with
+    base-data-offset (flag 0x1) or default-base-is-moof (0x20000) and
+    per-fragment default duration/size (0x8/0x10), tfdt decode-time
+    anchors (v0/v1), and trun with data-offset (0x1),
+    first-sample-flags (0x4) and per-sample duration/size/flags/cts
+    (0x100/0x200/0x400/0x800). Per spec, with neither base flag set the
+    first trun's base is the moof start."""
+    default_dur = default_sz = 0
+    mvex = _find(data, moov[0], moov[1], b"mvex")
+    if mvex is not None:
+        trex = _find(data, mvex[0], mvex[1], b"trex")
+        if trex is not None:
+            default_dur = _u32(data, trex[0] + 12)
+            default_sz = _u32(data, trex[0] + 16)
+    sizes: list[int] = []
+    offsets: list[int] = []
+    times: list[int] = []
+    t = 0
+    for btype, b, e in walk_boxes(data, 0, len(data)):
+        if btype != b"moof":
+            continue
+        moof_start = b - 8
+        traf = _find(data, b, e, b"traf")
+        if traf is None:
+            raise ValueError("moof without traf")
+        tfhd = _find(data, traf[0], traf[1], b"tfhd")
+        if tfhd is None:
+            raise ValueError("traf without tfhd")
+        flags = _u32(data, tfhd[0]) & 0xFFFFFF
+        i = tfhd[0] + 8  # skip version/flags + track_ID
+        base = moof_start
+        if flags & 0x1:  # base-data-offset (u64 absolute)
+            base = struct.unpack(">Q", data[i : i + 8])[0]
+            i += 8
+        if flags & 0x2:  # sample-description-index
+            i += 4
+        frag_dur = default_dur
+        if flags & 0x8:
+            frag_dur = _u32(data, i)
+            i += 4
+        frag_sz = default_sz
+        if flags & 0x10:
+            frag_sz = _u32(data, i)
+            i += 4
+        tfdt = _find(data, traf[0], traf[1], b"tfdt")
+        if tfdt is not None:
+            t = (
+                struct.unpack(">Q", data[tfdt[0] + 4 : tfdt[0] + 12])[0]
+                if data[tfdt[0]]
+                else _u32(data, tfdt[0] + 4)
+            )
+        for bt2, b2, _e2 in walk_boxes(data, traf[0], traf[1]):
+            if bt2 != b"trun":
+                continue
+            tflags = _u32(data, b2) & 0xFFFFFF
+            cnt = _u32(data, b2 + 4)
+            j = b2 + 8
+            pos = base
+            if tflags & 0x1:  # data-offset (signed, relative to base)
+                pos = base + struct.unpack(">i", data[j : j + 4])[0]
+                j += 4
+            if tflags & 0x4:  # first-sample-flags
+                j += 4
+            for _s in range(cnt):
+                dur = frag_dur
+                if tflags & 0x100:
+                    dur = _u32(data, j)
+                    j += 4
+                sz = frag_sz
+                if tflags & 0x200:
+                    sz = _u32(data, j)
+                    j += 4
+                if tflags & 0x400:  # per-sample flags
+                    j += 4
+                if tflags & 0x800:  # composition-time offset
+                    j += 4
+                if sz <= 0:
+                    raise ValueError(
+                        "fragment sample with no size: trun lacks "
+                        "sample-size and no tfhd/trex default applies"
+                    )
+                offsets.append(pos)
+                sizes.append(sz)
+                times.append(t)
+                pos += sz
+                t += dur
+    return sizes, offsets, times
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -213,6 +313,89 @@ def encode_minimal_mp4(
     return ftyp + mdat + moov
 
 
+def encode_minimal_fmp4(
+    frame_sizes: list[int] | None = None,
+    timescale: int = 1000,
+    frame_delta: int = 40,
+    frames: list[bytes] | None = None,
+    frames_per_fragment: int = 2,
+    explicit_base_offset: bool = False,
+) -> bytes:
+    """Minimal but VALID FRAGMENTED ISO BMFF file (the DASH/HLS/CMAF
+    segment shape): ftyp, a moov whose sample tables are EMPTY (plus
+    mvex/trex carrying the default sample duration), then one
+    moof+mdat pair per ``frames_per_fragment`` samples — tfhd
+    (default-base-is-moof, or an explicit absolute base-data-offset
+    when ``explicit_base_offset``), tfdt (v1 decode-time anchor), and
+    a trun with data-offset + per-sample sizes. Same deterministic
+    fill convention as encode_minimal_mp4."""
+    if frames is None:
+        if frame_sizes is None:
+            raise ValueError("need frame_sizes or frames")
+        frames = [
+            bytes((i + j) % 251 for j in range(sz))
+            for i, sz in enumerate(frame_sizes)
+        ]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomcmfc")
+    # moov: same trak skeleton as encode_minimal_mp4 but all four
+    # sample tables empty, plus mvex/trex fragment defaults.
+    stts = _box(b"stts", struct.pack(">II", 0, 0))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, 0))
+    stsc = _box(b"stsc", struct.pack(">II", 0, 0))
+    stco = _box(b"stco", struct.pack(">II", 0, 0))
+    stsd = _box(b"stsd", struct.pack(">II", 0, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    mdhd = _box(
+        b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, 0) + b"\x55\xc4\x00\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _box(b"tkhd", struct.pack(">I", 7) + b"\x00" * 80)
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, 0) + b"\x00" * 76)
+    # trex: track_ID=1, default_sample_description_index=1,
+    # default_sample_duration=frame_delta, default size/flags = 0
+    trex = _box(b"trex", struct.pack(">IIIIII", 0, 1, 1, frame_delta, 0, 0))
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+    out = bytearray(ftyp + moov)
+    t = 0
+    seq = 1
+    for g in range(0, len(frames), frames_per_fragment):
+        chunk = frames[g : g + frames_per_fragment]
+        n = len(chunk)
+        mfhd = _box(b"mfhd", struct.pack(">II", 0, seq))
+        seq += 1
+        if explicit_base_offset:
+            # flag 0x1: absolute u64 base — the moof starts at the
+            # current end of file.
+            tfhd = _box(
+                b"tfhd",
+                struct.pack(">II", 0x000001, 1) + struct.pack(">Q", len(out)),
+            )
+        else:
+            tfhd = _box(b"tfhd", struct.pack(">II", 0x020000, 1))
+        tfdt = _box(b"tfdt", struct.pack(">IQ", 0x01000000, t))
+        # trun flags 0x201: data-offset + per-sample size. The offset
+        # (moof start → first sample byte) is moof size + mdat header,
+        # computable arithmetically before assembling the boxes.
+        trun_size = 8 + 8 + 4 + 4 * n
+        moof_size = 8 + len(mfhd) + (8 + len(tfhd) + len(tfdt) + trun_size)
+        trun = _box(
+            b"trun",
+            struct.pack(">II", 0x000201, n)
+            + struct.pack(">i", moof_size + 8)
+            + b"".join(struct.pack(">I", len(f)) for f in chunk),
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = _box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out += moof + _box(b"mdat", b"".join(chunk))
+        t += n * frame_delta
+    return bytes(out)
+
+
 def decode_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[dict]:
     """END-TO-END video decode for MJPEG-in-MP4: demux the ISO BMFF
     sample tables (parse_mp4), slice each kept sample's byte range out
@@ -231,6 +414,15 @@ def decode_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[dict]:
     out = []
     for i in range(0, info["n_samples"], every_n):
         off, sz = info["offsets"][i], info["sizes"][i]
+        # Corrupt sample tables (zero-size sample, offset range past
+        # EOF) are malformed INPUT — a codec ValueError — not a missing
+        # codec: slicing past EOF would silently yield b"" and misread
+        # truncation as "needs an inter-frame codec library".
+        if sz <= 0 or off < 0 or off + sz > len(data):
+            raise ValueError(
+                f"corrupt mp4 sample table: sample {i} at [{off}, "
+                f"{off + sz}) outside the {len(data)}-byte payload"
+            )
         sample = data[off : off + sz]
         if sample[:2] != b"\xff\xd8":
             raise NotImplementedError(

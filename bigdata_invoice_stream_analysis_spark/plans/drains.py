@@ -9,6 +9,7 @@ and the full oracle-parity suite).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -279,6 +280,61 @@ def _stage_bucketed_stream(
     )
 
 
+@contextmanager
+def rocksdb_provider(spark: SparkSession):
+    """Run the enclosed block with the RocksDB state-store provider
+    (what the state-v2 API requires), restoring the prior providerClass
+    — or unsetting it — afterwards. ONE body shared by the four
+    state-v2 gates, the scaling probe, and the TTL tests, so a restore
+    fix lands everywhere at once."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def _drive_until_drained(spark: SparkSession, writer, drained, what: str):
+    """Start ``writer`` on an UNBOUNDED trigger and stop it from the
+    driver once the sink signals ``drained``. ProcessingTime timeMode
+    (required for TTL state and timers) keeps scheduling empty
+    timer-evaluation micro-batches, so an availableNow drain NEVER
+    terminates (measured: 167+ empty batches in 90 s) — driver-side
+    stop is the only clean drain. Propagates streaming-query
+    exceptions; times out after 300 s. Shuffle partitions are
+    right-sized around the run exactly as _run_drain does (one state
+    store per shuffle partition per micro-batch)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    n = min(32, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = writer.start()
+        try:
+            for _ in range(600):
+                if drained.wait(0.5):
+                    break
+                if q.exception() is not None:
+                    raise q.exception()
+            else:
+                raise TimeoutError(
+                    f"{what} drain did not consume all staged files in 300s"
+                )
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_custom_state_drain(
     spark: SparkSession,
     p: DataFrame,
@@ -343,26 +399,7 @@ def run_custom_state_drain(
         .option("checkpointLocation", ckpt)
     )
     if stop_after_files:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        n = min(32, spark.sparkContext.defaultParallelism)
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
-        try:
-            q = writer.start()
-            try:
-                for _ in range(600):
-                    if drained.wait(0.5):
-                        break
-                    if q.exception() is not None:
-                        raise q.exception()
-                else:
-                    raise TimeoutError(
-                        "TTL drain did not consume all staged files in 300s"
-                    )
-            finally:
-                q.stop()
-                q.awaitTermination(60)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _drive_until_drained(spark, writer, drained, "TTL")
     else:
         _run_drain(spark, writer.trigger(availableNow=True))
     return acc
@@ -461,25 +498,10 @@ def q_streaming_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = prepared_purchase_lines(spark, sf_dir)
     p = _drain_input_diet(p)
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         acc = run_custom_state_drain(
             spark, p, transform=transform_invoice_state, prefix="state_v2"
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     rows = [
         (k, mn, mx, int(ni), int(ln))
         for k, (mn, mx, ni, ln) in sorted(acc.items())
@@ -547,15 +569,7 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = prepared_purchase_lines(spark, sf_dir)
     p = _drain_input_diet(p)
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         acc = run_custom_state_drain(
             spark,
             p,
@@ -563,13 +577,6 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             prefix="state_ttl",
             stop_after_files=True,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     rows = [
         (k, mn, mx, int(ni), int(ln))
         for k, (mn, mx, ni, ln) in sorted(acc.items())
@@ -627,26 +634,7 @@ def run_timer_state_drain(
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    n = min(32, spark.sparkContext.defaultParallelism)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        q = writer.start()
-        try:
-            for _ in range(600):
-                if drained.wait(0.5):
-                    break
-                if q.exception() is not None:
-                    raise q.exception()
-            else:
-                raise TimeoutError(
-                    "timer drain did not consume all staged files in 300s"
-                )
-        finally:
-            q.stop()
-            q.awaitTermination(60)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _drive_until_drained(spark, writer, drained, "timer")
     return acc
 
 
@@ -682,23 +670,8 @@ def q_streaming_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the TTL gate's machinery)."""
     p = prepared_purchase_lines(spark, sf_dir)
     p = _drain_input_diet(p)
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         acc = run_timer_state_drain(spark, p)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     rows = [
         (k, nr, qs, nf) for k, (nr, qs, nf) in sorted(acc.items())
     ]
@@ -767,15 +740,7 @@ def q_streaming_state_list_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = prepared_purchase_lines(spark, sf_dir)
     p = _drain_input_diet(p)
-    prev = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         stream = _stage_bucketed_stream(spark, p, "state_list_map", 3)
         scored = transform_invoice_list_map(stream)
         acc: dict[str, tuple[int, int, int, int]] = {}
@@ -797,13 +762,6 @@ def q_streaming_state_list_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
         )
         _run_drain(spark, writer)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     rows = [
         (k, nb, wq, nband, bc)
         for k, (nb, wq, nband, bc) in sorted(acc.items())

@@ -37,9 +37,11 @@ Composition (round 5 — the FINAL full rotation):
     list in priority order.
 
 Ever-graded after this round: 129 (r01-r04) + 37 first-ever = 166 of
-the 179 registered (163 of the 175 that existed at r04; the 50-slot
-window was full, so streaming_state_list_map — list+map typed state,
-registered late r5 — is the round-6 rotation LEAD, exactly the
+the 180 registered (163 of the 175 that existed at r04; the 50-slot
+window was full, so the two queries registered late r5 —
+streaming_state_list_map (list+map typed state) and
+media_fmp4_video_frames (fragmented-MP4 MJPEG decode, the DASH/HLS
+segment layout) — are the round-6 rotation LEADS, exactly the
 media_mp4_frame_index pattern from r4). The 12
 r04-era queries that remain parity-only — pareto_frontier_parts,
 customer_revenue_gini, sentence_stats_udtf, unpivot_metrics,

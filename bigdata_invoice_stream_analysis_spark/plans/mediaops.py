@@ -506,3 +506,74 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 12).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return decode_video_frames(media.select("media_id", "payload"), every_n=2)
+
+
+@query(
+    "media_fmp4_video_frames",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 10 AS INT) AS k FROM documents
+),
+frames AS (
+  SELECT media_id, k, CAST(s.i AS INT) AS frame_idx
+  FROM media, UNNEST(generate_series(0, k)) AS s(i)
+  WHERE s.i % 2 = 0
+)
+SELECT media_id, frame_idx,
+       CAST(40 * frame_idx AS BIGINT) AS pts,
+       8 AS width, 8 AS height,
+       CAST(64 * ((k * 23 + frame_idx * 31) % 256) AS BIGINT) AS pixel_sum,
+       CAST((k * 23 + frame_idx * 31) % 256 AS INT) AS pixel_min,
+       CAST((k * 23 + frame_idx * 31) % 256 AS INT) AS pixel_max
+FROM frames
+""",
+)
+def q_media_fmp4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED-MP4 video decode end-to-end — the container layout
+    DASH/HLS segments actually ship (empty moov sample tables; samples
+    described per-fragment by moof/traf/tfhd/tfdt/trun, ISO 14496-12
+    §8.8). Every doc maps to a valid fragmented MJPEG file from a
+    bounded 10-payload broadcast codebook keyed by doc_id % 10 —
+    variant k carries k+1 constant-gray JPEG frames of gray
+    (k·23 + i·31) % 256, two samples per moof+mdat fragment
+    (operators/mp4.encode_minimal_fmp4). Executors expand the fragment
+    runs (trex defaults, default-base-is-moof addressing, tfdt time
+    anchors, trun data-offset + per-sample sizes), slice every-2nd
+    frame, and decode each slice with the T.81 codec — all inside one
+    Arrow mapInPandas (the same decode_video_frames operator as the
+    progressive gate: parse_mp4 dispatches on the empty-stsz
+    fragmented shape). The closed-form pixel oracle makes any drift in
+    the moof math undecodable or wrong-gray — either flips the hash.
+    Plan: 10-row broadcast join + map-side demux+decode, zero data
+    shuffle."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        decode_video_frames,
+        encode_minimal_fmp4,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [
+            (k, bytearray(encode_minimal_fmp4(
+                frames=[
+                    encode_jpeg(
+                        bytes([(k * 23 + i * 31) % 256] * 64), 8, 8, quality=75
+                    )
+                    for i in range(k + 1)
+                ],
+                timescale=1000, frame_delta=40, frames_per_fragment=2,
+            )))
+            for k in range(10)
+        ],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 10).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return decode_video_frames(media.select("media_id", "payload"), every_n=2)

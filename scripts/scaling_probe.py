@@ -176,32 +176,20 @@ def _state_v2_drain(spark, p):
     probe; the question VERDICT r04 asked is how that per-key cost
     SCALES with keys touched, so the tiers scale keys 50× instead."""
     from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        rocksdb_provider,
         run_custom_state_drain,
     )
     from bigdata_invoice_stream_analysis_spark.streaming.state import (
         transform_invoice_state,
     )
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         return len(
             run_custom_state_drain(
                 spark, p, transform=transform_invoice_state,
                 prefix="probe_state_v2",
             )
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
 
 
 def edges_x(spark, sf_dir, mult=1):
@@ -343,6 +331,14 @@ def main():
         spark.stop()
         return
     tiny = small.replace("sf0.01", "sf0.001")
+    if tiny == small or not os.path.isdir(tiny):
+        # Custom argv dirs (no "sf0.01" substring) or a box without the
+        # sf0.001 testdata: skip rather than silently re-running the
+        # small tier under a mislabeled "sf0.001" heading.
+        print("state_v2_drain        skipped (no sf0.001 dir next to "
+              f"{small})")
+        spark.stop()
+        return
     v2_tiers = [("sf0.001", tiny, 1), ("sf0.01", small, 1), ("sf0.01 x5", small, 5)]
     _state_v2_drain(spark, purchases_x(spark, tiny))  # warm (untimed)
     release_caches()

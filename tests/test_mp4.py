@@ -38,6 +38,60 @@ def test_roundtrip_sample_tables():
         )
 
 
+def test_fmp4_fragment_tables_match_progressive():
+    """Fragmented layout (empty moov tables, moof/traf/trun runs) must
+    demux to the SAME flat sample table as the progressive file: sizes
+    from trun, durations from the trex default, decode times anchored
+    by each fragment's tfdt, offsets via default-base-is-moof +
+    data-offset."""
+    sizes = [10, 3, 25, 1, 17]
+    frag = M.encode_minimal_fmp4(
+        sizes, timescale=600, frame_delta=25, frames_per_fragment=2
+    )
+    info = M.parse_mp4(frag)
+    assert info["n_samples"] == 5
+    assert info["sizes"] == sizes
+    assert info["timescale"] == 600
+    assert info["times"] == [0, 25, 50, 75, 100]
+    for i, (off, sz) in enumerate(zip(info["offsets"], info["sizes"])):
+        assert frag[off : off + sz] == bytes(
+            (i + j) % 251 for j in range(sz)
+        )
+
+
+def test_fmp4_explicit_base_data_offset():
+    """tfhd flag 0x1 (absolute u64 base-data-offset) instead of
+    default-base-is-moof — the other addressing mode segmenters use."""
+    sizes = [5, 6, 7]
+    frag = M.encode_minimal_fmp4(
+        sizes, frames_per_fragment=1, explicit_base_offset=True
+    )
+    info = M.parse_mp4(frag)
+    assert info["sizes"] == sizes
+    assert info["times"] == [0, 40, 80]
+    for i, (off, sz) in enumerate(zip(info["offsets"], info["sizes"])):
+        assert frag[off : off + sz] == bytes(
+            (i + j) % 251 for j in range(sz)
+        )
+
+
+def test_fmp4_mjpeg_end_to_end():
+    """MJPEG samples inside a FRAGMENTED container decode end-to-end —
+    a wrong fragment offset anywhere makes the JPEG slice undecodable,
+    so exact pixels prove the moof math."""
+    from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(bytes([g] * 64), 8, 8, quality=75) for g in (40, 50, 60)
+    ]
+    payload = M.encode_minimal_fmp4(frames=frames, frames_per_fragment=2)
+    out = M.decode_mjpeg_frames(payload)
+    assert [bytes(f["pixels"]) for f in out] == [
+        bytes([g] * 64) for g in (40, 50, 60)
+    ]
+    assert [f["pts"] for f in out] == [0, 40, 80]
+
+
 def test_box_walker_handles_largesize_and_to_end():
     body = b"\x01\x02\x03"
     large = (
@@ -120,6 +174,25 @@ def test_decode_mjpeg_frames_rejects_non_jpeg_samples():
     payload = M.encode_minimal_mp4([10, 20, 30])
     with pytest.raises(NotImplementedError, match="codec"):
         M.decode_mjpeg_frames(payload)
+
+
+def test_decode_mjpeg_frames_corrupt_tables_are_value_errors():
+    """Malformed INPUT is a codec ValueError, not the missing-codec
+    NotImplementedError: a truncated mdat (sample range past EOF) or a
+    zero-size sample must not be misread as 'needs an inter-frame
+    codec' — data[off:off+sz] past EOF silently yields b'' otherwise."""
+    good = M.encode_minimal_mp4([10, 20])
+    # inflate sample 0's declared size in the stsz table so its byte
+    # range runs past EOF (the truncated-mdat shape)
+    pat = struct.pack(">II", 10, 20)
+    assert pat in good
+    bad = good.replace(pat, struct.pack(">II", 1 << 20, 20))
+    with pytest.raises(ValueError, match="corrupt"):
+        M.decode_mjpeg_frames(bad)
+    # zero-size sample
+    zero = M.encode_minimal_mp4([0, 10])
+    with pytest.raises(ValueError, match="corrupt"):
+        M.decode_mjpeg_frames(zero)
 
 
 def test_decode_media_mp4_dispatch():

@@ -54,11 +54,11 @@ def test_legacy_state_on_rocksdb(spark, tmp_path):
     src = str(tmp_path / "chunks")
     replay_to_dir(str(raw), src, chunk=2)
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        rocksdb_provider,
     )
-    try:
+
+    with rocksdb_provider(spark):
         lines = file_lines_source(spark, src, max_files_per_trigger=1)
         updates = state.apply_invoice_state(P.good_purchases(lines))
         rows: dict[str, object] = {}
@@ -72,8 +72,6 @@ def test_legacy_state_on_rocksdb(spark, tmp_path):
             checkpoint=str(tmp_path / "ckpt"), trigger_available_now=True,
         )
         q.awaitTermination(120)
-    finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     assert set(rows) == {"I1", "I2"}
     assert rows["I1"].AvgUnitPrice == pytest.approx((2 * 10 + 1 * 30) / 3)

@@ -62,6 +62,49 @@ def test_state_survives_restart(spark, tmp_path):
     assert r2["I1"].Time == pytest.approx(11.0)  # head of the new batch
 
 
+def test_state_v2_survives_restart(spark, tmp_path):
+    """transformWithStateInPandas twin of test_state_survives_restart:
+    run 1 seeds I1's value state in the RocksDB store; run 2 starts a
+    NEW streaming query against the same checkpoint and must fold the
+    new file into the RECOVERED state — min/max/items/Lines all span
+    both runs, proving the RocksDB snapshot restore works end-to-end
+    through the miniproto wire (state server re-created per query)."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        rocksdb_provider,
+    )
+
+    src, ckpt = tmp_path / "in", tmp_path / "ckpt_v2"
+
+    def run_v2():
+        lines = file_lines_source(spark, str(src), max_files_per_trigger=1)
+        updates = state.transform_invoice_state(P.good_purchases(lines))
+        rows = []
+
+        def collect(bdf, bid):
+            rows.extend(bdf.collect())
+
+        q = sinks.foreach_batch_collector(
+            updates, collect, output_mode="update", checkpoint=str(ckpt),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return {r.InvoiceNo: r for r in rows}
+
+    with rocksdb_provider(spark):
+        _write_chunk(src, 0, [line("I1", 2, "1/4/2011 9:15", "10.0")])
+        r1 = run_v2()
+        assert r1["I1"].Lines == 1
+        assert r1["I1"].MinUnitPrice == pytest.approx(10.0)
+
+        _write_chunk(src, 1, [line("I1", 2, "1/4/2011 11:00", "30.0")])
+        r2 = run_v2()
+    assert set(r2) == {"I1"}
+    assert r2["I1"].Lines == 2  # batch count carried over the restart
+    assert r2["I1"].MinUnitPrice == pytest.approx(10.0)  # recovered
+    assert r2["I1"].MaxUnitPrice == pytest.approx(30.0)
+    assert r2["I1"].NumberItems == pytest.approx(4.0)
+
+
 def test_quiet_key_eviction(spark, tmp_path):
     """With evict_after_ms, a key that stays quiet past the timeout is
     dropped (reference None-return semantics): its next purchase starts

@@ -12,6 +12,7 @@ import time
 from pyspark.sql import functions as F
 
 from bigdata_invoice_stream_analysis_spark.plans.drains import (
+    rocksdb_provider,
     run_custom_state_drain,
 )
 from bigdata_invoice_stream_analysis_spark.streaming.state import (
@@ -43,14 +44,8 @@ def test_ttl_drain_evicts_between_batches_and_terminates(spark):
     streaming_state_ttl oracle pins. The drain finishing at all IS the
     availableNow regression gate: stop_after_files must detect the 3
     consumed files and stop the otherwise-unbounded query."""
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     t0 = time.time()
-    try:
+    with rocksdb_provider(spark):
         acc = run_custom_state_drain(
             spark,
             _bucketed_fixture(spark),
@@ -58,13 +53,6 @@ def test_ttl_drain_evicts_between_batches_and_terminates(spark):
             prefix="test_state_ttl",
             stop_after_files=True,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     assert time.time() - t0 < 120  # stopped, not timer-batching forever
     assert dict(sorted(acc.items())) == {
         # last bucket only, lines reseeded — NOT the cross-batch fold
@@ -80,30 +68,42 @@ def test_no_ttl_drain_still_terminates_under_available_now(spark):
     must keep timeMode="None" so the plain availableNow drain (the
     streaming_state_v2 path) terminates promptly — flipping it to
     ProcessingTime unconditionally would hang every v2 gate."""
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         acc = run_custom_state_drain(
             spark,
             _bucketed_fixture(spark),
             transform=transform_invoice_state,
             prefix="test_state_nottl",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     # cross-batch fold: state survived all three micro-batches
     assert acc["I1"] == (10.0, 30.0, 6.0, 3)
     assert acc["I2"] == (5.0, 5.0, 1.0, 1)
     assert acc["I3"] == (7.0, 7.0, 4.0, 1)
+
+
+def test_rocksdb_provider_restores_prior_setting(spark):
+    """The shared contextmanager must restore a pre-existing provider
+    and unset a previously-unset one — the four gates and the probe all
+    lean on this."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(key, None)
+    try:
+        with rocksdb_provider(spark):
+            assert spark.conf.get(key) == rocks
+        assert spark.conf.get(key, None) == before
+        spark.conf.set(key, "com.example.CustomProvider")
+        with rocksdb_provider(spark):
+            assert spark.conf.get(key) == rocks
+        assert spark.conf.get(key) == "com.example.CustomProvider"
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
 
 
 def test_timer_drain_fires_once_per_data_batch(spark):
@@ -115,23 +115,10 @@ def test_timer_drain_fires_once_per_data_batch(spark):
         run_timer_state_drain,
     )
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         acc = run_timer_state_drain(
             spark, _bucketed_fixture(spark), prefix="test_state_timers"
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     assert dict(sorted(acc.items())) == {
         "I1": (3, 6, 3),  # one fire per bucket; totals complete at last fire
         "I2": (1, 1, 1),
@@ -152,12 +139,6 @@ def test_list_map_state_semantics(spark):
         transform_invoice_list_map,
     )
 
-    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     acc = {}
 
     def sink(bdf, _bid):
@@ -167,7 +148,7 @@ def test_list_map_state_semantics(spark):
                 r["n_bands"], r["band_checksum"],
             )
 
-    try:
+    with rocksdb_provider(spark):
         stream = _stage_bucketed_stream(
             spark, _bucketed_fixture(spark), "test_list_map", 3
         )
@@ -179,13 +160,6 @@ def test_list_map_state_semantics(spark):
             .trigger(availableNow=True)
         )
         _run_drain(spark, writer)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev
-            )
     assert dict(sorted(acc.items())) == {
         # I1 qty per bucket [2, 3, 1] -> weighted 1*2 + 2*3 + 3*1 = 11;
         # bands {2,3,1} once each -> checksum 6

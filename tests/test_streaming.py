@@ -292,22 +292,19 @@ def test_state_v2_semantics(spark, stream_dir, tmp_path):
     package is missing, so this test EXECUTES state-v2 in this
     container; the JVM's Java-protobuf parser on the state server side
     is the wire-format interop oracle."""
+    from bigdata_invoice_stream_analysis_spark.plans.drains import (
+        rocksdb_provider,
+    )
     from bigdata_invoice_stream_analysis_spark.vendor.protobuf_shim import install
 
     install()
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_provider(spark):
         lines = file_lines_source(spark, stream_dir, max_files_per_trigger=1)
         updates = state.transform_invoice_state(P.good_purchases(lines))
         batches = run_collect(
             spark, updates, output_mode="update",
             checkpoint=str(tmp_path / "ckpt_state_v2"),
         )
-    finally:
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert len(batches) >= 2
     by_batch = {bid: {r.InvoiceNo: r for r in rows} for bid, rows in batches}
     b1, b2 = by_batch[0], by_batch[1]
