@@ -199,6 +199,12 @@ def main() -> None:
         try:
             import subprocess
 
+            # Stop the parent session FIRST: nothing below needs Spark,
+            # and a live 100 GB-heap JVM depresses the "fresh" subprocess
+            # by ~25% (measured: 31k lines/s with the parent alive vs
+            # 41.7k manual on the same box minutes apart).
+            spark.stop()
+
             proc = subprocess.run(
                 [sys.executable, os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),

@@ -51,21 +51,44 @@ def _find(data: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _video_trak(data: bytes, moov) -> tuple[int, int]:
+    """Pick the VIDEO trak: real files carry several traks (audio +
+    video + hint), and the sample tables below must come from the one
+    whose mdia/hdlr handler is ``vide`` (ISO 14496-12 §8.4.3 — the
+    handler_type field sits 8 bytes into the hdlr body, after
+    version/flags + pre_defined). Falls back to the first trak when no
+    handler says video (the bare fixture shape)."""
+    first = None
+    for t, b, e in walk_boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        if first is None:
+            first = (b, e)
+        mdia = _find(data, b, e, b"mdia")
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr") if mdia else None
+        if hdlr is not None and data[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+            return b, e
+    if first is None:
+        raise ValueError("no trak box")
+    return first
+
+
 def parse_mp4(payload: bytes) -> dict:
-    """Parse the first video track's sample table. Returns
-    {timescale, duration, n_samples, sizes, offsets, times} where
-    offsets are ABSOLUTE byte positions of each sample (from stco +
-    stsc chunk mapping), and times are decode timestamps in timescale
-    units (from stts run-lengths)."""
+    """Parse the video track's sample table. Returns
+    {timescale, duration, n_samples, sizes, offsets, times, keyframes}
+    where offsets are ABSOLUTE byte positions of each sample (from
+    stco + stsc chunk mapping), times are decode timestamps in
+    timescale units (from stts run-lengths), and keyframes is the
+    sorted 0-based list of sync samples from stss (all samples when no
+    stss box — per spec, absence means every sample is a sync
+    sample)."""
     data = bytes(payload)
     if len(data) < 16 or data[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF payload (no ftyp)")
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("no moov box")
-    trak = _find(data, moov[0], moov[1], b"trak")
-    if trak is None:
-        raise ValueError("no trak box")
+    trak = _video_trak(data, moov)
     mdia = _find(data, trak[0], trak[1], b"mdia")
     if mdia is None:
         raise ValueError("no mdia box")
@@ -146,11 +169,22 @@ def parse_mp4(payload: bytes) -> dict:
             f"inconsistent sample tables: {len(offsets)} offsets, "
             f"{len(times)} times, {n} sizes"
         )
+    # stss: sync (key) frames — 1-based sample numbers; per spec an
+    # absent stss means EVERY sample is a sync sample.
+    stss = _find(data, stbl[0], stbl[1], b"stss")
+    if stss is not None:
+        n_sync = _u32(data, stss[0] + 4)
+        keyframes = sorted(
+            _u32(data, stss[0] + 8 + 4 * i) - 1 for i in range(n_sync)
+        )
+    else:
+        keyframes = list(range(n))
+
     if n == 0:
         # FRAGMENTED MP4 (fMP4 / CMAF — what DASH and HLS segments
         # actually ship): the moov sample tables are empty and samples
         # are described per-fragment by moof/traf/tfhd/tfdt/trun.
-        sizes, offsets, times = _parse_fragments(data, moov)
+        sizes, offsets, times, keyframes = _parse_fragments(data, moov)
         n = len(sizes)
     return {
         "timescale": timescale,
@@ -159,10 +193,11 @@ def parse_mp4(payload: bytes) -> dict:
         "sizes": sizes,
         "offsets": offsets,
         "times": times,
+        "keyframes": keyframes,
     }
 
 
-def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
+def _parse_fragments(data: bytes, moov) -> tuple[list, list, list, list]:
     """Expand every top-level ``moof`` fragment's track run into flat
     (sizes, offsets, times) — ISO 14496-12 §8.8. Handles the shapes
     real segmenters emit: trex defaults (moov/mvex), tfhd with
@@ -171,7 +206,10 @@ def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
     anchors (v0/v1), and trun with data-offset (0x1),
     first-sample-flags (0x4) and per-sample duration/size/flags/cts
     (0x100/0x200/0x400/0x800). Per spec, with neither base flag set the
-    first trun's base is the moof start."""
+    first trun's base is the moof start. Sync samples come from the
+    sample_is_non_sync_sample bit (0x10000) of per-sample trun flags —
+    or the first-sample-flags override — defaulting to sync when no
+    flags are carried (the all-intra fixture shape)."""
     default_dur = default_sz = 0
     mvex = _find(data, moov[0], moov[1], b"mvex")
     if mvex is not None:
@@ -182,6 +220,7 @@ def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
     sizes: list[int] = []
     offsets: list[int] = []
     times: list[int] = []
+    keyframes: list[int] = []
     t = 0
     for btype, b, e in walk_boxes(data, 0, len(data)):
         if btype != b"moof":
@@ -226,7 +265,9 @@ def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
             if tflags & 0x1:  # data-offset (signed, relative to base)
                 pos = base + struct.unpack(">i", data[j : j + 4])[0]
                 j += 4
+            first_flags = None
             if tflags & 0x4:  # first-sample-flags
+                first_flags = _u32(data, j)
                 j += 4
             for _s in range(cnt):
                 dur = frag_dur
@@ -237,10 +278,17 @@ def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
                 if tflags & 0x200:
                     sz = _u32(data, j)
                     j += 4
+                sflags = None
                 if tflags & 0x400:  # per-sample flags
+                    sflags = _u32(data, j)
                     j += 4
+                if _s == 0 and first_flags is not None:
+                    sflags = first_flags
                 if tflags & 0x800:  # composition-time offset
                     j += 4
+                # sample_is_non_sync_sample bit; no flags → sync
+                if sflags is None or not (sflags & 0x10000):
+                    keyframes.append(len(sizes))
                 if sz <= 0:
                     raise ValueError(
                         "fragment sample with no size: trun lacks "
@@ -251,7 +299,7 @@ def _parse_fragments(data: bytes, moov) -> tuple[list, list, list]:
                 times.append(t)
                 pos += sz
                 t += dur
-    return sizes, offsets, times
+    return sizes, offsets, times, keyframes
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -263,6 +311,8 @@ def encode_minimal_mp4(
     timescale: int = 1000,
     frame_delta: int = 40,
     frames: list[bytes] | None = None,
+    keyframes: list[int] | None = None,
+    audio_trak_first: bool = False,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
     mdat holding the frame payloads back-to-back, and a
@@ -270,7 +320,11 @@ def encode_minimal_mp4(
     them (one chunk). Pass ``frames`` to embed real sample bytes (the
     MJPEG fixtures carry baseline JPEGs); with ``frame_sizes`` alone,
     frame i's payload is the deterministic fill bytes((i + j) % 251)
-    so tests can check the indexed ranges slice the right bytes."""
+    so tests can check the indexed ranges slice the right bytes.
+    ``keyframes`` (0-based sample indices) writes an stss sync-sample
+    table; ``audio_trak_first`` prepends a decoy ``soun`` trak with an
+    empty stbl, the multi-trak shape real files have — the parser must
+    pick the ``vide`` trak by hdlr, not by position."""
     if frames is None:
         if frame_sizes is None:
             raise ValueError("need frame_sizes or frames")
@@ -298,7 +352,14 @@ def encode_minimal_mp4(
     mdat_payload_off = len(ftyp) + 8
     stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_payload_off))
     stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    stbl_body = stsd + stts + stsc + stsz + stco
+    if keyframes is not None:
+        stbl_body += _box(
+            b"stss",
+            struct.pack(">II", 0, len(keyframes))
+            + b"".join(struct.pack(">I", k + 1) for k in sorted(keyframes)),
+        )
+    stbl = _box(b"stbl", stbl_body)
     minf = _box(b"minf", stbl)
     hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
     mdhd = _box(
@@ -308,7 +369,24 @@ def encode_minimal_mp4(
     tkhd = _box(b"tkhd", struct.pack(">I", 7) + b"\x00" * 80)
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x00" * 76)
-    moov = _box(b"moov", mvhd + trak)
+    traks = trak
+    if audio_trak_first:
+        # decoy soun trak with empty tables BEFORE the video trak —
+        # position-based trak selection would pick it and see 0 samples
+        a_stbl = _box(
+            b"stbl",
+            _box(b"stsd", struct.pack(">II", 0, 0))
+            + _box(b"stts", struct.pack(">II", 0, 0))
+            + _box(b"stsc", struct.pack(">II", 0, 0))
+            + _box(b"stsz", struct.pack(">III", 0, 0, 0))
+            + _box(b"stco", struct.pack(">II", 0, 0)),
+        )
+        a_hdlr = _box(
+            b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13
+        )
+        a_mdia = _box(b"mdia", mdhd + a_hdlr + _box(b"minf", a_stbl))
+        traks = _box(b"trak", tkhd + a_mdia) + trak
+    moov = _box(b"moov", mvhd + traks)
     mdat = _box(b"mdat", mdat_body)
     return ftyp + mdat + moov
 
@@ -396,7 +474,9 @@ def encode_minimal_fmp4(
     return bytes(out)
 
 
-def decode_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[dict]:
+def decode_mjpeg_frames(
+    payload: bytes, every_n: int = 1, keyframes_only: bool = False
+) -> list[dict]:
     """END-TO-END video decode for MJPEG-in-MP4: demux the ISO BMFF
     sample tables (parse_mp4), slice each kept sample's byte range out
     of the payload, and run the from-scratch baseline JPEG decoder
@@ -412,7 +492,8 @@ def decode_mjpeg_frames(payload: bytes, every_n: int = 1) -> list[dict]:
     data = bytes(payload)
     info = parse_mp4(data)
     out = []
-    for i in range(0, info["n_samples"], every_n):
+    cand = info["keyframes"] if keyframes_only else range(info["n_samples"])
+    for i in cand[::every_n]:
         off, sz = info["offsets"][i], info["sizes"][i]
         # Corrupt sample tables (zero-size sample, offset range past
         # EOF) are malformed INPUT — a codec ValueError — not a missing
@@ -492,11 +573,15 @@ def decode_video_frames(media, every_n: int = 1):
     return media.mapInPandas(batches, schema=out_schema)
 
 
-def frame_index(media, every_n: int = 1):
+def frame_index(media, every_n: int = 1, keyframes_only: bool = False):
     """REAL frame sampling over MP4 payloads: parse the ISO BMFF sample
     tables inside Arrow mapInPandas and emit one row per kept frame
     with its absolute byte range and decode timestamp — the index a
-    downstream codec stage consumes. Package is imported on workers
+    downstream codec stage consumes. ``keyframes_only`` restricts the
+    candidate set to the stss sync samples (trun sample flags for
+    fragmented files) BEFORE the every-Nth stride — the sampling mode a
+    production pipeline actually runs, since only sync samples decode
+    without inter-frame context. Package is imported on workers
     (deploy.ensure_package_on_workers); payloads never leave the
     executors."""
     from pyspark.sql import types as T
@@ -520,7 +605,12 @@ def frame_index(media, every_n: int = 1):
             )}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 info = parse_mp4(bytes(p))
-                for i in range(0, info["n_samples"], every_n):
+                cand = (
+                    info["keyframes"]
+                    if keyframes_only
+                    else range(info["n_samples"])
+                )
+                for i in cand[::every_n]:
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["byte_offset"].append(info["offsets"][i])

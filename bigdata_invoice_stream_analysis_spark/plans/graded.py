@@ -37,11 +37,12 @@ Composition (round 5 — the FINAL full rotation):
     list in priority order.
 
 Ever-graded after this round: 129 (r01-r04) + 37 first-ever = 166 of
-the 180 registered (163 of the 175 that existed at r04; the 50-slot
-window was full, so the two queries registered late r5 —
-streaming_state_list_map (list+map typed state) and
+the 181 registered (163 of the 175 that existed at r04; the 50-slot
+window was full, so the three queries registered late r5 —
+streaming_state_list_map (list+map typed state),
 media_fmp4_video_frames (fragmented-MP4 MJPEG decode, the DASH/HLS
-segment layout) — are the round-6 rotation LEADS, exactly the
+segment layout) and media_keyframe_index (stss sync-sample
+keyframe-only sampling) — are the round-6 rotation LEADS, exactly the
 media_mp4_frame_index pattern from r4). The 12
 r04-era queries that remain parity-only — pareto_frontier_parts,
 customer_revenue_gini, sentence_stats_udtf, unpivot_metrics,

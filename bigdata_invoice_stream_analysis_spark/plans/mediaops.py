@@ -509,6 +509,71 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_keyframe_index",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 14 AS INT) AS k FROM documents
+),
+frames AS (
+  SELECT media_id, k, CAST(s.i AS INT) AS frame_idx
+  FROM media, UNNEST(generate_series(0, k)) AS s(i)
+  WHERE s.i % 6 = 0
+)
+SELECT media_id, frame_idx,
+       CAST(32 + COALESCE(list_sum(list_transform(
+              generate_series(0, frame_idx - 1),
+              j -> CAST((k * 11 + j) % 40 + 1 AS BIGINT))), 0) AS BIGINT)
+         AS byte_offset,
+       CAST((k * 11 + frame_idx) % 40 + 1 AS BIGINT) AS n_bytes,
+       CAST(40 * frame_idx AS BIGINT) AS pts
+FROM frames
+""",
+)
+def q_media_keyframe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYFRAME-aware frame sampling — the mode a production video
+    pipeline actually runs, because only sync samples decode without
+    inter-frame context: the stss sync-sample table (ISO 14496-12
+    §8.6.2) restricts the candidate set BEFORE the every-Nth stride.
+    Every doc maps to a 14-payload broadcast codebook MP4 (variant k:
+    k+1 frames of sizes (k·11+i) % 40 + 1, stss marking every 3rd
+    sample), and frame_index(every_n=2, keyframes_only=True) keeps
+    exactly the i % 6 == 0 samples — the oracle recomputes both the
+    stss∘stride composition and the byte offsets (32-byte header
+    prefix + running size sums) from first principles, so a drift in
+    stss parsing (1-based→0-based), candidate ordering, or stride
+    placement flips the hash. Plan: 14-row broadcast join + map-side
+    parse, zero data shuffle."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+        frame_index,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [
+            (k, bytearray(encode_minimal_mp4(
+                [(k * 11 + i) % 40 + 1 for i in range(k + 1)],
+                timescale=1000, frame_delta=40,
+                keyframes=[i for i in range(k + 1) if i % 3 == 0],
+            )))
+            for k in range(14)
+        ],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 14).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return frame_index(
+        media.select("media_id", "payload"), every_n=2, keyframes_only=True
+    )
+
+
+@query(
     "media_fmp4_video_frames",
     oracle="""
 WITH media AS (

@@ -92,6 +92,54 @@ def test_fmp4_mjpeg_end_to_end():
     assert [f["pts"] for f in out] == [0, 40, 80]
 
 
+def test_video_trak_selected_by_handler_not_position():
+    """Real files carry several traks (audio + video); the parser must
+    pick the one whose hdlr says 'vide', not the first — the decoy
+    audio trak here has EMPTY sample tables, so position-based
+    selection would demux 0 samples."""
+    sizes = [4, 7, 9]
+    payload = M.encode_minimal_mp4(sizes, audio_trak_first=True)
+    info = M.parse_mp4(payload)
+    assert info["sizes"] == sizes
+    for i, (off, sz) in enumerate(zip(info["offsets"], info["sizes"])):
+        assert payload[off : off + sz] == bytes(
+            (i + j) % 251 for j in range(sz)
+        )
+
+
+def test_stss_keyframes_progressive():
+    """stss sync-sample table: 1-based sample numbers → 0-based sorted
+    keyframes; absent stss means every sample is a sync sample."""
+    sizes = [4, 4, 4, 4, 4, 4]
+    with_stss = M.encode_minimal_mp4(sizes, keyframes=[0, 3, 5])
+    assert M.parse_mp4(with_stss)["keyframes"] == [0, 3, 5]
+    without = M.encode_minimal_mp4(sizes)
+    assert M.parse_mp4(without)["keyframes"] == [0, 1, 2, 3, 4, 5]
+
+
+def test_decode_mjpeg_keyframes_only():
+    """keyframes_only sampling: the candidate set is stss, THEN the
+    every-Nth stride applies — production pipelines sample sync frames
+    because only those decode without inter-frame context."""
+    from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+
+    grays = [30, 40, 50, 60, 70]
+    frames = [encode_jpeg(bytes([g] * 64), 8, 8, quality=75) for g in grays]
+    payload = M.encode_minimal_mp4(frames=frames, keyframes=[0, 2, 4])
+    out = M.decode_mjpeg_frames(payload, keyframes_only=True)
+    assert [f["frame_idx"] for f in out] == [0, 2, 4]
+    assert [bytes(f["pixels"])[0] for f in out] == [30, 50, 70]
+    out2 = M.decode_mjpeg_frames(payload, every_n=2, keyframes_only=True)
+    assert [f["frame_idx"] for f in out2] == [0, 4]
+
+
+def test_fmp4_keyframes_default_all_sync():
+    """Fragmented fixtures carry no per-sample flags, so every sample
+    is sync (the all-intra MJPEG shape)."""
+    frag = M.encode_minimal_fmp4([4, 4, 4, 4, 4], frames_per_fragment=2)
+    assert M.parse_mp4(frag)["keyframes"] == [0, 1, 2, 3, 4]
+
+
 def test_box_walker_handles_largesize_and_to_end():
     body = b"\x01\x02\x03"
     large = (
