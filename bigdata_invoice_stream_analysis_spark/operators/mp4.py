@@ -170,13 +170,19 @@ def parse_mp4(payload: bytes) -> dict:
             f"{len(times)} times, {n} sizes"
         )
     # stss: sync (key) frames — 1-based sample numbers; per spec an
-    # absent stss means EVERY sample is a sync sample.
+    # absent stss means EVERY sample is a sync sample. Entries are
+    # range-checked: entry 0 would become Python index -1 and silently
+    # decode the LAST sample; past-n would IndexError later instead of
+    # the corrupt-table ValueError this module's contract promises.
     stss = _find(data, stbl[0], stbl[1], b"stss")
     if stss is not None:
         n_sync = _u32(data, stss[0] + 4)
-        keyframes = sorted(
-            _u32(data, stss[0] + 8 + 4 * i) - 1 for i in range(n_sync)
-        )
+        raw_sync = [_u32(data, stss[0] + 8 + 4 * i) for i in range(n_sync)]
+        if any(s < 1 or s > n for s in raw_sync):
+            raise ValueError(
+                f"corrupt stss: sync sample numbers must be in [1, {n}]"
+            )
+        keyframes = sorted(s - 1 for s in raw_sync)
     else:
         keyframes = list(range(n))
 
@@ -184,7 +190,17 @@ def parse_mp4(payload: bytes) -> dict:
         # FRAGMENTED MP4 (fMP4 / CMAF — what DASH and HLS segments
         # actually ship): the moov sample tables are empty and samples
         # are described per-fragment by moof/traf/tfhd/tfdt/trun.
-        sizes, offsets, times, keyframes = _parse_fragments(data, moov)
+        # The video trak's tkhd track_ID filters the trafs (multi-track
+        # segments interleave audio runs in the same moofs).
+        tkhd = _find(data, trak[0], trak[1], b"tkhd")
+        track_id = 0
+        if tkhd is not None:
+            track_id = _u32(
+                data, tkhd[0] + (20 if data[tkhd[0]] else 12)
+            )
+        sizes, offsets, times, keyframes = _parse_fragments(
+            data, moov, track_id
+        )
         n = len(sizes)
     return {
         "timescale": timescale,
@@ -197,26 +213,37 @@ def parse_mp4(payload: bytes) -> dict:
     }
 
 
-def _parse_fragments(data: bytes, moov) -> tuple[list, list, list, list]:
-    """Expand every top-level ``moof`` fragment's track run into flat
-    (sizes, offsets, times) — ISO 14496-12 §8.8. Handles the shapes
-    real segmenters emit: trex defaults (moov/mvex), tfhd with
-    base-data-offset (flag 0x1) or default-base-is-moof (0x20000) and
-    per-fragment default duration/size (0x8/0x10), tfdt decode-time
-    anchors (v0/v1), and trun with data-offset (0x1),
-    first-sample-flags (0x4) and per-sample duration/size/flags/cts
-    (0x100/0x200/0x400/0x800). Per spec, with neither base flag set the
-    first trun's base is the moof start. Sync samples come from the
-    sample_is_non_sync_sample bit (0x10000) of per-sample trun flags —
-    or the first-sample-flags override — defaulting to sync when no
-    flags are carried (the all-intra fixture shape)."""
+def _parse_fragments(
+    data: bytes, moov, track_id: int = 0
+) -> tuple[list, list, list, list]:
+    """Expand the video track's ``moof`` fragment runs into flat
+    (sizes, offsets, times, keyframes) — ISO 14496-12 §8.8. Handles
+    the shapes real segmenters emit: trex defaults (moov/mvex,
+    duration/size/flags), tfhd with base-data-offset (flag 0x1) or
+    default-base-is-moof (0x20000) and per-fragment default
+    duration/size/flags (0x8/0x10/0x20), tfdt decode-time anchors
+    (v0/v1), and trun with data-offset (0x1), first-sample-flags (0x4)
+    and per-sample duration/size/flags/cts (0x100/0x200/0x400/0x800).
+    Per spec, with neither base flag set the first trun's base is the
+    moof start. Within each moof, only trafs whose tfhd track_ID
+    matches the video track are expanded (multi-track segments carry
+    audio trafs too); ``track_id`` 0 means unknown → first traf.
+
+    Sync samples: sample_is_non_sync_sample bit (0x10000) of the
+    effective sample flags, with the spec's precedence — explicit
+    per-sample trun flags, else first-sample-flags (sample 0 only;
+    per §8.8.8 it is only valid when per-sample flags are absent),
+    else the tfhd default, else the trex default, else sync (the
+    all-intra fixture shape carries no flags at all)."""
     default_dur = default_sz = 0
+    trex_flags = None
     mvex = _find(data, moov[0], moov[1], b"mvex")
     if mvex is not None:
         trex = _find(data, mvex[0], mvex[1], b"trex")
         if trex is not None:
             default_dur = _u32(data, trex[0] + 12)
             default_sz = _u32(data, trex[0] + 16)
+            trex_flags = _u32(data, trex[0] + 20)
     sizes: list[int] = []
     offsets: list[int] = []
     times: list[int] = []
@@ -226,79 +253,90 @@ def _parse_fragments(data: bytes, moov) -> tuple[list, list, list, list]:
         if btype != b"moof":
             continue
         moof_start = b - 8
-        traf = _find(data, b, e, b"traf")
-        if traf is None:
+        trafs = [
+            (tb, te)
+            for tt, tb, te in walk_boxes(data, b, e)
+            if tt == b"traf"
+        ]
+        if not trafs:
             raise ValueError("moof without traf")
-        tfhd = _find(data, traf[0], traf[1], b"tfhd")
-        if tfhd is None:
-            raise ValueError("traf without tfhd")
-        flags = _u32(data, tfhd[0]) & 0xFFFFFF
-        i = tfhd[0] + 8  # skip version/flags + track_ID
-        base = moof_start
-        if flags & 0x1:  # base-data-offset (u64 absolute)
-            base = struct.unpack(">Q", data[i : i + 8])[0]
-            i += 8
-        if flags & 0x2:  # sample-description-index
-            i += 4
-        frag_dur = default_dur
-        if flags & 0x8:
-            frag_dur = _u32(data, i)
-            i += 4
-        frag_sz = default_sz
-        if flags & 0x10:
-            frag_sz = _u32(data, i)
-            i += 4
-        tfdt = _find(data, traf[0], traf[1], b"tfdt")
-        if tfdt is not None:
-            t = (
-                struct.unpack(">Q", data[tfdt[0] + 4 : tfdt[0] + 12])[0]
-                if data[tfdt[0]]
-                else _u32(data, tfdt[0] + 4)
-            )
-        for bt2, b2, _e2 in walk_boxes(data, traf[0], traf[1]):
-            if bt2 != b"trun":
-                continue
-            tflags = _u32(data, b2) & 0xFFFFFF
-            cnt = _u32(data, b2 + 4)
-            j = b2 + 8
-            pos = base
-            if tflags & 0x1:  # data-offset (signed, relative to base)
-                pos = base + struct.unpack(">i", data[j : j + 4])[0]
-                j += 4
-            first_flags = None
-            if tflags & 0x4:  # first-sample-flags
-                first_flags = _u32(data, j)
-                j += 4
-            for _s in range(cnt):
-                dur = frag_dur
-                if tflags & 0x100:
-                    dur = _u32(data, j)
+        for traf in trafs:
+            tfhd = _find(data, traf[0], traf[1], b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf without tfhd")
+            if track_id and _u32(data, tfhd[0] + 4) != track_id:
+                continue  # another track's fragment run (audio etc.)
+            flags = _u32(data, tfhd[0]) & 0xFFFFFF
+            i = tfhd[0] + 8  # skip version/flags + track_ID
+            base = moof_start
+            if flags & 0x1:  # base-data-offset (u64 absolute)
+                base = struct.unpack(">Q", data[i : i + 8])[0]
+                i += 8
+            if flags & 0x2:  # sample-description-index
+                i += 4
+            frag_dur = default_dur
+            if flags & 0x8:
+                frag_dur = _u32(data, i)
+                i += 4
+            frag_sz = default_sz
+            if flags & 0x10:
+                frag_sz = _u32(data, i)
+                i += 4
+            frag_flags = trex_flags
+            if flags & 0x20:  # default-sample-flags
+                frag_flags = _u32(data, i)
+                i += 4
+            tfdt = _find(data, traf[0], traf[1], b"tfdt")
+            if tfdt is not None:
+                t = (
+                    struct.unpack(">Q", data[tfdt[0] + 4 : tfdt[0] + 12])[0]
+                    if data[tfdt[0]]
+                    else _u32(data, tfdt[0] + 4)
+                )
+            for bt2, b2, _e2 in walk_boxes(data, traf[0], traf[1]):
+                if bt2 != b"trun":
+                    continue
+                tflags = _u32(data, b2) & 0xFFFFFF
+                cnt = _u32(data, b2 + 4)
+                j = b2 + 8
+                pos = base
+                if tflags & 0x1:  # data-offset (signed, rel. to base)
+                    pos = base + struct.unpack(">i", data[j : j + 4])[0]
                     j += 4
-                sz = frag_sz
-                if tflags & 0x200:
-                    sz = _u32(data, j)
+                first_flags = None
+                if tflags & 0x4:  # first-sample-flags
+                    first_flags = _u32(data, j)
                     j += 4
-                sflags = None
-                if tflags & 0x400:  # per-sample flags
-                    sflags = _u32(data, j)
-                    j += 4
-                if _s == 0 and first_flags is not None:
-                    sflags = first_flags
-                if tflags & 0x800:  # composition-time offset
-                    j += 4
-                # sample_is_non_sync_sample bit; no flags → sync
-                if sflags is None or not (sflags & 0x10000):
-                    keyframes.append(len(sizes))
-                if sz <= 0:
-                    raise ValueError(
-                        "fragment sample with no size: trun lacks "
-                        "sample-size and no tfhd/trex default applies"
-                    )
-                offsets.append(pos)
-                sizes.append(sz)
-                times.append(t)
-                pos += sz
-                t += dur
+                for _s in range(cnt):
+                    dur = frag_dur
+                    if tflags & 0x100:
+                        dur = _u32(data, j)
+                        j += 4
+                    sz = frag_sz
+                    if tflags & 0x200:
+                        sz = _u32(data, j)
+                        j += 4
+                    sflags = frag_flags
+                    if tflags & 0x400:  # explicit per-sample flags WIN
+                        sflags = _u32(data, j)
+                        j += 4
+                    elif _s == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if tflags & 0x800:  # composition-time offset
+                        j += 4
+                    # sample_is_non_sync_sample bit; no flags → sync
+                    if sflags is None or not (sflags & 0x10000):
+                        keyframes.append(len(sizes))
+                    if sz <= 0:
+                        raise ValueError(
+                            "fragment sample with no size: trun lacks "
+                            "sample-size and no tfhd/trex default applies"
+                        )
+                    offsets.append(pos)
+                    sizes.append(sz)
+                    times.append(t)
+                    pos += sz
+                    t += dur
     return sizes, offsets, times, keyframes
 
 
@@ -366,7 +404,11 @@ def encode_minimal_mp4(
         b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x55\xc4\x00\x00"
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _box(b"tkhd", struct.pack(">I", 7) + b"\x00" * 80)
+    # tkhd v0: verflags + creation + modification + track_ID(=1) + ...
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">IIII", 7, 0, 0, 1) + b"\x00" * 68,
+    )
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x00" * 76)
     traks = trak
@@ -385,7 +427,10 @@ def encode_minimal_mp4(
             b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13
         )
         a_mdia = _box(b"mdia", mdhd + a_hdlr + _box(b"minf", a_stbl))
-        traks = _box(b"trak", tkhd + a_mdia) + trak
+        a_tkhd = _box(
+            b"tkhd", struct.pack(">IIII", 7, 0, 0, 2) + b"\x00" * 68
+        )
+        traks = _box(b"trak", a_tkhd + a_mdia) + trak
     moov = _box(b"moov", mvhd + traks)
     mdat = _box(b"mdat", mdat_body)
     return ftyp + mdat + moov
@@ -429,7 +474,7 @@ def encode_minimal_fmp4(
         b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, 0) + b"\x55\xc4\x00\x00"
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
-    tkhd = _box(b"tkhd", struct.pack(">I", 7) + b"\x00" * 80)
+    tkhd = _box(b"tkhd", struct.pack(">IIII", 7, 0, 0, 1) + b"\x00" * 68)
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, 0) + b"\x00" * 76)
     # trex: track_ID=1, default_sample_description_index=1,

@@ -135,9 +135,123 @@ def test_decode_mjpeg_keyframes_only():
 
 def test_fmp4_keyframes_default_all_sync():
     """Fragmented fixtures carry no per-sample flags, so every sample
-    is sync (the all-intra MJPEG shape)."""
+    is sync (the all-intra MJPEG shape; the encoder's trex default
+    flags are 0, whose non-sync bit is clear)."""
     frag = M.encode_minimal_fmp4([4, 4, 4, 4, 4], frames_per_fragment=2)
     assert M.parse_mp4(frag)["keyframes"] == [0, 1, 2, 3, 4]
+
+
+def _fmp4_head(payload):
+    """ftyp + moov prefix of an encoder-built fragmented file — a base
+    for hand-assembled moof shapes the encoder doesn't emit."""
+    for t, b, e in M.walk_boxes(payload, 0, len(payload)):
+        if t == b"moof":
+            return payload[: b - 8]
+    raise AssertionError("no moof")
+
+
+def test_fmp4_cmaf_sync_flag_shape():
+    """The canonical CMAF/H.264 segment flag layout: tfhd carries
+    default-sample-flags marked NON-sync (bit 0x10000) and the trun
+    carries first-sample-flags marking only sample 0 sync — exactly
+    how segmenters encode one keyframe per fragment. keyframes must be
+    [0], not all samples (the r5 review repro)."""
+    head = _fmp4_head(M.encode_minimal_fmp4([4], frames_per_fragment=1))
+    mfhd = M._box(b"mfhd", struct.pack(">II", 0, 1))
+    # tfhd flags: default-base-is-moof | default-sample-flags
+    tfhd = M._box(
+        b"tfhd", struct.pack(">III", 0x020020, 1, 0x10000)
+    )
+    # trun flags: data-offset | first-sample-flags | sample-size
+    sizes = [4, 5, 6]
+    trun_size = 8 + 8 + 4 + 4 + 4 * len(sizes)
+    moof_size = 8 + len(mfhd) + (8 + len(tfhd) + trun_size)
+    trun = M._box(
+        b"trun",
+        struct.pack(">IIiI", 0x000205, len(sizes), moof_size + 8, 0)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    traf = M._box(b"traf", tfhd + trun)
+    moof = M._box(b"moof", mfhd + traf)
+    assert len(moof) == moof_size
+    body = bytes(range(15))
+    payload = head + moof + M._box(b"mdat", body)
+    info = M.parse_mp4(payload)
+    assert info["sizes"] == sizes
+    assert info["keyframes"] == [0]
+    # explicit per-sample flags WIN over first-sample-flags (spec says
+    # the combination is invalid; per-sample is the authoritative one):
+    # first_flags says sample 0 is SYNC, per-sample says only sample 1
+    # is — inverted precedence would yield [0, 1] instead of [1]
+    trun2_size = 8 + 8 + 4 + 4 + 8 * len(sizes)
+    moof2_size = 8 + len(mfhd) + (8 + len(tfhd) + trun2_size)
+    trun2 = M._box(
+        b"trun",
+        struct.pack(">IIiI", 0x000605, len(sizes), moof2_size + 8, 0)
+        + b"".join(
+            struct.pack(">II", s, 0x10000 if i != 1 else 0)
+            for i, s in enumerate(sizes)
+        ),
+    )
+    traf2 = M._box(b"traf", tfhd + trun2)
+    moof2 = M._box(b"moof", mfhd + traf2)
+    assert len(moof2) == moof2_size
+    payload2 = head + moof2 + M._box(b"mdat", body)
+    info2 = M.parse_mp4(payload2)
+    assert info2["keyframes"] == [1]
+
+
+def test_fmp4_multitrack_filters_by_track_id():
+    """A moof whose FIRST traf is the audio track (track_ID 2) must not
+    leak audio runs into the video sample table — trafs are filtered by
+    the video trak's tkhd track_ID (the r5 review repro: position-based
+    traf selection demuxed the audio run)."""
+    head = _fmp4_head(M.encode_minimal_fmp4([4], frames_per_fragment=1))
+    mfhd = M._box(b"mfhd", struct.pack(">II", 0, 1))
+    tfhd_a = M._box(b"tfhd", struct.pack(">II", 0x020000, 2))
+    tfhd_v = M._box(b"tfhd", struct.pack(">II", 0x020000, 1))
+    a_sizes, v_sizes = [3], [4, 5]
+    trun_a_size = 8 + 8 + 4 + 4 * len(a_sizes)
+    trun_v_size = 8 + 8 + 4 + 4 * len(v_sizes)
+    traf_a_size = 8 + len(tfhd_a) + trun_a_size
+    traf_v_size = 8 + len(tfhd_v) + trun_v_size
+    moof_size = 8 + len(mfhd) + traf_a_size + traf_v_size
+    trun_a = M._box(
+        b"trun",
+        struct.pack(">IIi", 0x000201, 1, moof_size + 8)
+        + struct.pack(">I", 3),
+    )
+    trun_v = M._box(
+        b"trun",
+        struct.pack(">IIi", 0x000201, 2, moof_size + 8 + 3)
+        + struct.pack(">II", 4, 5),
+    )
+    moof = M._box(
+        b"moof", mfhd + M._box(b"traf", tfhd_a + trun_a)
+        + M._box(b"traf", tfhd_v + trun_v)
+    )
+    assert len(moof) == moof_size
+    audio = b"AAA"
+    video = bytes(range(9))
+    payload = head + moof + M._box(b"mdat", audio + video)
+    info = M.parse_mp4(payload)
+    assert info["sizes"] == v_sizes  # audio run excluded
+    assert payload[info["offsets"][0] : info["offsets"][0] + 4] == video[:4]
+    assert payload[info["offsets"][1] : info["offsets"][1] + 5] == video[4:]
+
+
+def test_stss_entries_range_checked():
+    """stss is 1-based: entry 0 (would become Python index -1 and
+    silently decode the LAST sample) and entries past n_samples must
+    both raise the module's corrupt-table ValueError."""
+    good = M.encode_minimal_mp4([4, 4, 4], keyframes=[0, 2])
+    i = good.find(b"stss")
+    for bad_entry in (0, 9):
+        bad = bytearray(good)
+        # first sync entry sits 8 bytes into the stss body
+        bad[i + 12 : i + 16] = struct.pack(">I", bad_entry)
+        with pytest.raises(ValueError, match="stss"):
+            M.parse_mp4(bytes(bad))
 
 
 def test_box_walker_handles_largesize_and_to_end():
