@@ -28,6 +28,17 @@ def _u32(b: bytes, i: int) -> int:
 def walk_boxes(data: bytes, start: int, end: int):
     """Yield (box_type, body_start, body_end) for each box in
     [start, end); handles 64-bit largesize boxes."""
+    for btype, _box_start, body, box_end in walk_boxes_with_start(
+        data, start, end
+    ):
+        yield btype, body, box_end
+
+
+def walk_boxes_with_start(data: bytes, start: int, end: int):
+    """Yield (box_type, box_start, body_start, body_end) — like
+    walk_boxes but also exposing the box's HEADER start, which differs
+    from body_start - 8 for 64-bit largesize boxes (16-byte header).
+    The fragment demuxer anchors default-base-is-moof offsets here."""
     i = start
     while i + 8 <= end:
         size = _u32(data, i)
@@ -40,7 +51,7 @@ def walk_boxes(data: bytes, start: int, end: int):
             size = end - i
         if size < 8 or i + size > end:
             raise ValueError(f"bad box size {size} at {i}")
-        yield btype, body, i + size
+        yield btype, i, body, i + size
         i += size
 
 
@@ -249,10 +260,12 @@ def _parse_fragments(
     times: list[int] = []
     keyframes: list[int] = []
     t = 0
-    for btype, b, e in walk_boxes(data, 0, len(data)):
+    for btype, box_start, b, e in walk_boxes_with_start(data, 0, len(data)):
         if btype != b"moof":
             continue
-        moof_start = b - 8
+        # the HEADER start, not b - 8: a largesize moof has a 16-byte
+        # header and default-base-is-moof anchors at the header
+        moof_start = box_start
         trafs = [
             (tb, te)
             for tt, tb, te in walk_boxes(data, b, e)
@@ -293,13 +306,16 @@ def _parse_fragments(
                     if data[tfdt[0]]
                     else _u32(data, tfdt[0] + 4)
                 )
+            # §8.8.8: only the FIRST trun defaults to the base; later
+            # truns without an explicit data-offset continue right
+            # after the previous run's samples (pos carries across).
+            pos = base
             for bt2, b2, _e2 in walk_boxes(data, traf[0], traf[1]):
                 if bt2 != b"trun":
                     continue
                 tflags = _u32(data, b2) & 0xFFFFFF
                 cnt = _u32(data, b2 + 4)
                 j = b2 + 8
-                pos = base
                 if tflags & 0x1:  # data-offset (signed, rel. to base)
                     pos = base + struct.unpack(">i", data[j : j + 4])[0]
                     j += 4
@@ -340,8 +356,146 @@ def _parse_fragments(
     return sizes, offsets, times, keyframes
 
 
+def parse_codec_profile(payload: bytes) -> dict:
+    """Parse the video track's stsd SAMPLE DESCRIPTION — the codec
+    metadata a corpus-curation pipeline filters on BEFORE ever running
+    a decoder (and the honest boundary for inter-frame codecs this
+    environment cannot decode): the sample-entry fourcc, the
+    VisualSampleEntry width/height (ISO 14496-12 §12.1.3 — fixed
+    offsets 32/34 into the entry, after the 8-byte header + 8 bytes
+    reserved/data-ref + 16 bytes pre_defined/reserved), and for avc1
+    entries the avcC AVCDecoderConfigurationRecord head (ISO 14496-15
+    §5.3.3: configurationVersion, AVCProfileIndication,
+    profile_compatibility, AVCLevelIndication) rendered as the RFC 6381
+    codec string ``avc1.PPCCLL``. Child boxes (avcC et al.) start at
+    entry offset 86 (after depth + pre_defined). Returns
+    {codec, width, height, profile_idc, compat_flags, level_idc,
+    codec_string} with the avc fields None for non-avc1 entries."""
+    data = bytes(payload)
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    trak = _video_trak(data, moov)
+    mdia = _find(data, trak[0], trak[1], b"mdia")
+    minf = _find(data, mdia[0], mdia[1], b"minf") if mdia else None
+    stbl = _find(data, minf[0], minf[1], b"stbl") if minf else None
+    stsd = _find(data, stbl[0], stbl[1], b"stsd") if stbl else None
+    if stsd is None:
+        raise ValueError("no stsd box")
+    if _u32(data, stsd[0] + 4) == 0:
+        raise ValueError("stsd has no sample descriptions")
+    entry = stsd[0] + 8  # first sample entry's size field
+    size = _u32(data, entry)
+    if size < 16 or entry + size > stsd[1]:
+        raise ValueError(f"bad stsd sample entry size {size}")
+    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
+    width = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
+    height = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    profile = compat = level = None
+    codec_string = codec
+    if entry + 86 < entry + size:
+        for t, b, _e in walk_boxes(data, entry + 86, entry + size):
+            if t == b"avcC":
+                if data[b] != 1:
+                    raise ValueError(
+                        f"unsupported avcC configurationVersion {data[b]}"
+                    )
+                profile, compat, level = data[b + 1], data[b + 2], data[b + 3]
+                codec_string = f"avc1.{profile:02x}{compat:02x}{level:02x}"
+    return {
+        "codec": codec,
+        "width": width,
+        "height": height,
+        "profile_idc": profile,
+        "compat_flags": compat,
+        "level_idc": level,
+        "codec_string": codec_string,
+    }
+
+
+def codec_profile(media):
+    """Codec-metadata extraction over MP4 payloads inside Arrow
+    mapInPandas: stsd/avcC codec identity (parse_codec_profile) joined
+    with the demuxed sample count and mdhd duration (parse_mp4) — one
+    fixed-width row per media file, the projection a video-corpus
+    curation pipeline filters on (codec string, resolution, length)
+    before committing to any decode. Payloads never leave the
+    executors; package is imported on workers
+    (deploy.ensure_package_on_workers)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("profile_idc", T.IntegerType(), True),
+        T.StructField("compat_flags", T.IntegerType(), True),
+        T.StructField("level_idc", T.IntegerType(), True),
+        T.StructField("codec_string", T.StringType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+            parse_codec_profile,
+            parse_mp4,
+        )
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                prof = parse_codec_profile(raw)
+                info = parse_mp4(raw)
+                out["media_id"].append(mid)
+                for k in (
+                    "codec", "width", "height", "profile_idc",
+                    "compat_flags", "level_idc", "codec_string",
+                ):
+                    out[k].append(prof[k])
+                out["n_samples"].append(info["n_samples"])
+                out["duration_ms"].append(
+                    info["duration"] * 1000 // info["timescale"]
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _avc1_sample_entry(
+    width: int, height: int, profile: int, compat: int, level: int
+) -> bytes:
+    """One avc1 VisualSampleEntry with a minimal avcC config record —
+    the stsd shape real H.264 files carry (fixture-only: the parameter
+    sets are empty, which is all metadata extraction needs)."""
+    avcc = _box(
+        b"avcC",
+        bytes([1, profile, compat, level, 0xFF, 0xE0, 0]),
+    )
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)      # reserved + data_ref_index
+        + struct.pack(">HH", 0, 0)               # pre_defined + reserved
+        + b"\x00" * 12                           # pre_defined[3]
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi h/v
+        + struct.pack(">I", 0)                   # reserved
+        + struct.pack(">H", 1)                   # frame_count
+        + b"\x00" * 32                           # compressorname
+        + struct.pack(">Hh", 24, -1)             # depth, pre_defined
+        + avcc
+    )
+    return _box(b"avc1", body)
 
 
 def encode_minimal_mp4(
@@ -351,6 +505,7 @@ def encode_minimal_mp4(
     frames: list[bytes] | None = None,
     keyframes: list[int] | None = None,
     audio_trak_first: bool = False,
+    avc1: tuple[int, int, int, int, int] | None = None,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
     mdat holding the frame payloads back-to-back, and a
@@ -362,7 +517,10 @@ def encode_minimal_mp4(
     ``keyframes`` (0-based sample indices) writes an stss sync-sample
     table; ``audio_trak_first`` prepends a decoy ``soun`` trak with an
     empty stbl, the multi-trak shape real files have — the parser must
-    pick the ``vide`` trak by hdlr, not by position."""
+    pick the ``vide`` trak by hdlr, not by position. ``avc1``
+    (width, height, profile, compat, level) writes a real avc1+avcC
+    sample description instead of the 0-entry raw stsd — the codec
+    metadata parse_codec_profile extracts."""
     if frames is None:
         if frame_sizes is None:
             raise ValueError("need frame_sizes or frames")
@@ -389,7 +547,10 @@ def encode_minimal_mp4(
     # stco needs the absolute mdat payload offset: ftyp + mdat header
     mdat_payload_off = len(ftyp) + 8
     stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_payload_off))
-    stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
+    if avc1 is not None:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _avc1_sample_entry(*avc1))
+    else:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
     stbl_body = stsd + stts + stsc + stsz + stco
     if keyframes is not None:
         stbl_body += _box(
@@ -553,7 +714,10 @@ def decode_mjpeg_frames(
         if sample[:2] != b"\xff\xd8":
             raise NotImplementedError(
                 "mp4 track samples are not JPEG (no SOI) — an "
-                "inter-frame codec needs a codec library"
+                "inter-frame codec needs a codec library; codec "
+                "METADATA (resolution/profile/codec string) is still "
+                "extractable without one via parse_codec_profile / the "
+                "media_codec_profile query"
             )
         img = decode_jpeg(sample)
         out.append(

@@ -269,7 +269,14 @@ def _stage_bucketed_stream(
         "bkt"
     ).parquet(stage)
     for b in range(n_files):
-        part = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")[0]
+        parts = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")
+        if not parts:
+            raise ValueError(
+                f"bucket {b} staged no rows under {stage} — the input "
+                f"is too small (or too heavily dieted) to fill all "
+                f"{n_files} micro-batch buckets"
+            )
+        part = parts[0]
         dst = f"{work}/bucket{b}.parquet"
         shutil.copy(part, dst)
         osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))

@@ -240,6 +240,72 @@ def test_fmp4_multitrack_filters_by_track_id():
     assert payload[info["offsets"][1] : info["offsets"][1] + 5] == video[4:]
 
 
+def test_fmp4_multi_trun_carries_position():
+    """ISO 14496-12 §8.8.8: only the FIRST trun defaults to the base
+    data offset; a later trun without an explicit data-offset continues
+    right after the previous run's samples. Resetting to the base for
+    every trun (the r5 advice repro) would demux run 2 on top of
+    run 1."""
+    head = _fmp4_head(M.encode_minimal_fmp4([4], frames_per_fragment=1))
+    mfhd = M._box(b"mfhd", struct.pack(">II", 0, 1))
+    tfhd = M._box(b"tfhd", struct.pack(">II", 0x020000, 1))
+    run1, run2 = [3, 4], [5]
+    trun1_size = 8 + 8 + 4 + 4 * len(run1)
+    trun2_size = 8 + 8 + 4 * len(run2)  # flags 0x200 only: NO data-offset
+    traf_size = 8 + len(tfhd) + trun1_size + trun2_size
+    moof_size = 8 + len(mfhd) + traf_size
+    trun1 = M._box(
+        b"trun",
+        struct.pack(">IIi", 0x000201, len(run1), moof_size + 8)
+        + b"".join(struct.pack(">I", s) for s in run1),
+    )
+    trun2 = M._box(
+        b"trun",
+        struct.pack(">II", 0x000200, len(run2))
+        + b"".join(struct.pack(">I", s) for s in run2),
+    )
+    moof = M._box(b"moof", mfhd + M._box(b"traf", tfhd + trun1 + trun2))
+    assert len(moof) == moof_size
+    body = bytes(range(12))
+    payload = head + moof + M._box(b"mdat", body)
+    info = M.parse_mp4(payload)
+    assert info["sizes"] == [3, 4, 5]
+    # run 2's sample starts where run 1 ended, not back at the base
+    assert payload[info["offsets"][2] : info["offsets"][2] + 5] == body[7:12]
+    for i, (off, sz) in enumerate(zip(info["offsets"], info["sizes"])):
+        assert payload[off : off + sz] == body[sum(info["sizes"][:i]) :][:sz]
+
+
+def test_fmp4_largesize_moof_anchor():
+    """A 64-bit largesize moof has a 16-byte header, so the
+    default-base-is-moof anchor is the HEADER start — deriving it as
+    body_start - 8 (the r5 advice repro) shifts every sample offset in
+    the fragment by 8 bytes."""
+    head = _fmp4_head(M.encode_minimal_fmp4([4], frames_per_fragment=1))
+    mfhd = M._box(b"mfhd", struct.pack(">II", 0, 1))
+    tfhd = M._box(b"tfhd", struct.pack(">II", 0x020000, 1))
+    sizes = [4, 5]
+    trun_size = 8 + 8 + 4 + 4 * len(sizes)
+    traf_size = 8 + len(tfhd) + trun_size
+    moof_size = 16 + len(mfhd) + traf_size  # 16-byte largesize header
+    trun = M._box(
+        b"trun",
+        struct.pack(">IIi", 0x000201, len(sizes), moof_size + 8)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    body = mfhd + M._box(b"traf", tfhd + trun)
+    moof = (
+        struct.pack(">I", 1) + b"moof" + struct.pack(">Q", 16 + len(body)) + body
+    )
+    assert len(moof) == moof_size
+    frames = bytes(range(9))
+    payload = head + moof + M._box(b"mdat", frames)
+    info = M.parse_mp4(payload)
+    assert info["sizes"] == sizes
+    assert payload[info["offsets"][0] : info["offsets"][0] + 4] == frames[:4]
+    assert payload[info["offsets"][1] : info["offsets"][1] + 5] == frames[4:]
+
+
 def test_stss_entries_range_checked():
     """stss is 1-based: entry 0 (would become Python index -1 and
     silently decode the LAST sample) and entries past n_samples must
@@ -252,6 +318,35 @@ def test_stss_entries_range_checked():
         bad[i + 12 : i + 16] = struct.pack(">I", bad_entry)
         with pytest.raises(ValueError, match="stss"):
             M.parse_mp4(bytes(bad))
+
+
+def test_codec_profile_avc1():
+    """stsd/avcC metadata extraction: fourcc, VisualSampleEntry
+    width/height at the §12.1.3 fixed offsets, avcC profile/compat/
+    level, RFC 6381 codec string — plus graceful degradation on the
+    raw 0-entry fixture stsd (ValueError, not garbage)."""
+    payload = M.encode_minimal_mp4(
+        [4, 4, 4], avc1=(640, 480, 100, 0xC0, 41)
+    )
+    prof = M.parse_codec_profile(payload)
+    assert prof == {
+        "codec": "avc1",
+        "width": 640,
+        "height": 480,
+        "profile_idc": 100,
+        "compat_flags": 0xC0,
+        "level_idc": 41,
+        "codec_string": "avc1.64c029",
+    }
+    # sample tables still demux around the avc1 stsd
+    assert M.parse_mp4(payload)["sizes"] == [4, 4, 4]
+    # raw fixture: no sample descriptions → explicit error
+    with pytest.raises(ValueError, match="sample description"):
+        M.parse_codec_profile(M.encode_minimal_mp4([4]))
+    # fragmented files carry the same moov stsd: profile extraction
+    # must work on fMP4 too (it reads no sample tables)
+    with pytest.raises(ValueError, match="sample description"):
+        M.parse_codec_profile(M.encode_minimal_fmp4([4, 4]))
 
 
 def test_box_walker_handles_largesize_and_to_end():

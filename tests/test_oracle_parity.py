@@ -21,8 +21,9 @@ from bigdata_invoice_stream_analysis_spark.schemas import TESTDATA_TABLES
 @pytest.fixture(autouse=True)
 def _scoped_cache_hygiene():
     """Mirror the bench/driver loop: scoped caches are released after
-    every query so the parity sweep (58 queries, one session) doesn't
-    accumulate executor storage — and so a leak shows up here first."""
+    every query so the parity sweep (len(ORACLES) oracle-gated queries
+    plus the rows-only tail, one session) doesn't accumulate executor
+    storage — and so a leak shows up here first."""
     yield
     release_caches()
 
