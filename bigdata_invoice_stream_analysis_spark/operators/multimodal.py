@@ -105,7 +105,9 @@ def decode_media(payload: bytes, fmt: str) -> Any:
         return {"kind": "video", "n_frames": len(frames), "frames": frames}
     raise NotImplementedError(
         f"no media codec for {fmt!r} in this environment; "
-        "use byte_stats / fake_decode for the tested plumbing"
+        "use byte_stats / fake_decode for the tested plumbing — for "
+        "inter-frame video (h264/h265) codec METADATA is still "
+        "extractable via mp4.parse_codec_profile (media_codec_profile)"
     )
 
 

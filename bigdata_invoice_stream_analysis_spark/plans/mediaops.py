@@ -574,6 +574,88 @@ def q_media_keyframe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_codec_profile",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 18 AS INT) AS k FROM documents
+),
+v AS (
+  SELECT media_id, k,
+         CASE k % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS p,
+         (k % 4) * 32 AS c,
+         CASE k % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+                    WHEN 3 THEN 41 ELSE 50 END AS l
+  FROM media
+)
+SELECT media_id,
+       'avc1' AS codec,
+       CAST(64 + 16 * k AS INT) AS width,
+       CAST(48 + 16 * (k % 3) AS INT) AS height,
+       CAST(p AS INT) AS profile_idc,
+       CAST(c AS INT) AS compat_flags,
+       CAST(l AS INT) AS level_idc,
+       printf('avc1.%02x%02x%02x', p, c, l) AS codec_string,
+       CAST(k + 1 AS BIGINT) AS n_samples,
+       CAST(40 * (k + 1) AS BIGINT) AS duration_ms
+FROM v
+""",
+)
+def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-METADATA extraction — the operator a video-corpus curation
+    pipeline runs on every file BEFORE committing to any decode (filter
+    by codec string / resolution / length), and the honest boundary for
+    inter-frame codecs this environment cannot decode: H.264 frame
+    DATA needs a codec library, but the stsd sample description and
+    avcC configuration record are pure container bytes. Every doc maps
+    to a valid MP4 from a bounded 18-payload broadcast codebook keyed
+    by doc_id % 18 — variant k carries k+1 fake H.264 samples and a
+    REAL avc1+avcC sample entry (width 64+16k, height 48+16(k%3),
+    profile {66,77,100}[k%3] = Baseline/Main/High, compat (k%4)·32,
+    level {30,31,40,41,50}[k%5]). Executors parse the stsd
+    VisualSampleEntry + avcC head and render the RFC 6381 codec string
+    ``avc1.PPCCLL`` (operators/mp4.parse_codec_profile), joined with
+    the demuxed sample count and mdhd duration — the closed-form
+    oracle recomputes all of it from k, so a drift anywhere in the
+    entry-offset arithmetic (the §12.1.3 fixed layout) or the hex
+    rendering flips the hash. Plan: 18-row broadcast join + map-side
+    parse, zero data shuffle."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        codec_profile,
+        encode_minimal_mp4,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    profiles = [66, 77, 100]          # Baseline / Main / High
+    levels = [30, 31, 40, 41, 50]     # 3.0 / 3.1 / 4.0 / 4.1 / 5.0
+    codebook = spark.createDataFrame(
+        [
+            (k, bytearray(encode_minimal_mp4(
+                [(k * 5 + i) % 30 + 1 for i in range(k + 1)],
+                timescale=1000, frame_delta=40,
+                avc1=(
+                    64 + 16 * k,
+                    48 + 16 * (k % 3),
+                    profiles[k % 3],
+                    (k % 4) * 32,
+                    levels[k % 5],
+                ),
+            )))
+            for k in range(18)
+        ],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 18).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return codec_profile(media.select("media_id", "payload"))
+
+
+@query(
     "media_fmp4_video_frames",
     oracle="""
 WITH media AS (
