@@ -15,12 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_invoice_stream_analysis_spark.plans.queries import (
+    LINES_CTE,
     PURCHASE_CTE,
+    SCORING_CENTROIDS,
+    SCORING_THRESHOLD,
+    SQL_CANCELLED,
+    SQL_FIELDS,
+    SQL_INVALID,
     _drain_input_diet,
     _run_drain,
     purchase_rows,
     query,
     r6,
+    raw_lines,
 )
 from bigdata_invoice_stream_analysis_spark.scratch import fresh_checkpoint
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
@@ -1104,3 +1111,269 @@ def q_streaming_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "sketch_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# The COMPOSED end-to-end topology gate: streaming/app.py::run_pipeline —
+# four concurrent queries (invalid / cancellation windows / two anomaly
+# models) over ONE shared staged line source with per-sink checkpoints,
+# exactly the deployment the reference's main ships
+# (InvoicePipeline.scala:31-154).
+# ---------------------------------------------------------------------------
+
+# Second literal model for the bisecting sink (the kmeans sink reuses the
+# shared SCORING_CENTROIDS/THRESHOLD pair): values are plan literals in
+# BOTH engines, chosen — like SCORING_CENTROIDS — so no invoice's distance
+# sits near the threshold (the FP-margin argument of centroid_anomalies).
+BISECT_CENTROIDS = [
+    [800.0, 300.0, 2500.0, 10.0, 40.0],
+    [9000.0, 3500.0, 25000.0, 14.0, 160.0],
+]
+BISECT_THRESHOLD = 2.5e9
+
+
+def _pipe_sqdist(center: list[float]) -> str:
+    """DuckDB squared distance over the pipeline-feature aliases
+    (avgp/minp/maxp/t/items), explicit multiplications (bit-identical
+    across engines, unlike POWER)."""
+    terms = [
+        f"(f.{c} - {v!r}) * (f.{c} - {v!r})"
+        for c, v in zip(["avgp", "minp", "maxp", "t", "items"], center)
+    ]
+    out = terms[0]
+    for term in terms[1:]:
+        out = f"({out} + {term})"
+    return out
+
+
+def _pipe_anomaly_select(topic: str, centers: list[list[float]], threshold: float) -> str:
+    d0, d1 = _pipe_sqdist(centers[0]), _pipe_sqdist(centers[1])
+    return f"""
+SELECT '{topic}' AS sink, inv AS k1,
+       CASE WHEN {d0} <= {d1} THEN '0' ELSE '1' END AS k2,
+       CAST(ROUND(LEAST({d0}, {d1}), -3) AS BIGINT) AS n
+FROM feats f WHERE LEAST({d0}, {d1}) > {threshold!r}"""
+
+
+def _stage_bucketed_text(
+    spark: SparkSession, lines: DataFrame, prefix: str, n_files: int = 3
+) -> str:
+    """Stage raw lines (carrying an int ``bkt`` column in [0, n_files))
+    as one TEXT file per bucket with strictly increasing mtimes — the
+    line-file twin of _stage_bucketed_stream for sources that consume
+    the raw-line envelope (file_lines_source). Returns the staged
+    directory."""
+    import glob as globmod
+    import os as osmod
+    import shutil
+
+    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
+
+    work = scratch_dir(f"{prefix}_in")
+    stage = scratch_dir(f"{prefix}_stage")
+    lines.select("bkt", "value").repartition(n_files, "bkt").write.mode(
+        "overwrite"
+    ).partitionBy("bkt").text(stage)
+    for b in range(n_files):
+        parts = globmod.glob(f"{stage}/bkt={b}/part-*.txt")
+        if not parts:
+            raise ValueError(
+                f"bucket {b} staged no lines under {stage} — the input "
+                f"is too small (or too heavily dieted) to fill all "
+                f"{n_files} micro-batch buckets"
+            )
+        dst = f"{work}/bucket{b}.txt"
+        shutil.copy(parts[0], dst)
+        osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    return work
+
+
+@query(
+    "streaming_full_pipeline",
+    oracle=f"""
+WITH {PURCHASE_CTE}, {LINES_CTE},
+wm AS (
+  SELECT max(strptime({SQL_FIELDS}[5], '%m/%d/%Y %H:%M')) - INTERVAL 10 MINUTE AS w
+  FROM lines
+),
+cx AS (
+  SELECT {SQL_FIELDS}[1] AS inv,
+         strptime({SQL_FIELDS}[5], '%m/%d/%Y %H:%M') AS ts
+  FROM lines WHERE NOT {SQL_INVALID} AND {SQL_CANCELLED}
+),
+cw AS (
+  SELECT ws, CAST(COUNT(DISTINCT inv) AS BIGINT) AS n_cancelled
+  FROM (SELECT time_bucket(INTERVAL 1 MINUTE, ts) - k * INTERVAL 1 MINUTE AS ws, inv
+        FROM cx, generate_series(0, 7) AS t(k))
+  GROUP BY ws
+),
+good AS (
+  SELECT {SQL_FIELDS}[1] AS inv,
+         CAST({SQL_FIELDS}[4] AS INT) AS qty,
+         CAST({SQL_FIELDS}[6] AS DOUBLE) AS price,
+         strptime({SQL_FIELDS}[5], '%m/%d/%Y %H:%M') AS ts
+  FROM lines WHERE NOT {SQL_INVALID} AND NOT {SQL_CANCELLED}
+),
+feats AS (
+  SELECT inv,
+         SUM(price * qty) / SUM(qty) AS avgp,
+         MIN(price) AS minp,
+         MAX(price) AS maxp,
+         AVG(EXTRACT(hour FROM ts) + EXTRACT(minute FROM ts) / 60.0) AS t,
+         CAST(SUM(qty) AS DOUBLE) AS items
+  FROM good GROUP BY inv
+)
+SELECT 'facturas_erroneas' AS sink, value AS k1, '' AS k2,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lines WHERE {SQL_INVALID} GROUP BY value
+UNION ALL
+SELECT 'cancelaciones' AS sink, strftime(ws, '%Y-%m-%d %H:%M:%S') AS k1,
+       strftime(ws + INTERVAL 8 MINUTE, '%Y-%m-%d %H:%M:%S') AS k2, n_cancelled AS n
+FROM cw, wm WHERE ws + INTERVAL 8 MINUTE <= wm.w
+UNION ALL{_pipe_anomaly_select("anomalias_kmeans", SCORING_CENTROIDS, SCORING_THRESHOLD)}
+UNION ALL{_pipe_anomaly_select("anomalias_bisect_kmeans", BISECT_CENTROIDS, BISECT_THRESHOLD)}
+""",
+)
+def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE deployment under one gate
+    (InvoicePipeline.scala:31-154): streaming/app.py::run_pipeline wires
+    FOUR CONCURRENT streaming queries — invalid-line sink, event-time
+    sliding-window cancellation counts, and two centroid-model anomaly
+    sinks — onto ONE shared staged line source, each query with its own
+    checkpoint, draining to the parquet golden-run sinks (the broker-free
+    production mode; update-mode sinks ride the idempotent batch_id
+    overwrite writer). The gate flattens all four sink outputs into one
+    (sink, k1, k2, n) relation and the oracle recomputes each from the
+    same line CTE:
+
+      * facturas_erroneas — distinct invalid lines with multiplicities
+        (append mode, stateless filter);
+      * cancelaciones — 8min/1min windows of distinct cancelled
+        invoices; append-mode emission releases exactly the windows
+        whose end is ≤ the final watermark (max event time − 10 min,
+        watermarked BEFORE the cancel filter — the chained
+        dedup-then-count aggs flush through availableNow's
+        requires-another-batch loop);
+      * anomalias_kmeans / anomalias_bisect_kmeans — per-invoice
+        weighted-mean features scored against two plan-literal centroid
+        models, flagged where sqdist > threshold. Lines are bucketed by
+        line_order (the invoice key), so every invoice's lines land in
+        ONE micro-batch and update mode emits each flagged invoice
+        exactly once with complete features — the deterministic
+        composition contract.
+
+    Scale notes: four queries share the source scan per micro-batch
+    only in foreachBatch-router deployments (sinks.py docstring); this
+    gate deliberately runs the reference's 4-independent-queries
+    topology, where each query tracks its own offsets — the shape that
+    lets one slow sink lag without backpressuring the rest. State: the
+    window aggs hold O(open windows), the feature agg O(open invoices),
+    both watermark/update bounded; scoring is plan-literal codegen."""
+    from bigdata_invoice_stream_analysis_spark.scratch import fresh_checkpoint
+    from bigdata_invoice_stream_analysis_spark.streaming.app import (
+        ModelSpec,
+        PipelineConfig,
+        run_pipeline,
+    )
+    from bigdata_invoice_stream_analysis_spark.streaming.sources import (
+        file_lines_source,
+    )
+
+    from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
+        parse_invoice_ts,
+    )
+
+    ln = _drain_input_diet(raw_lines(spark, sf_dir))
+    # Buckets are EVENT-TIME tertiles (fixed literal cutoffs over the
+    # 1995-2001 testdata range), not invoice-hash: micro-batches must
+    # arrive in time order or the watermark set by batch 0 (max ts −
+    # 10 min) drops nearly all of batches 1-2 as late data. Invoices
+    # stay whole regardless — every line of an invoice carries the same
+    # InvoiceDate, so a time split never straddles one (the update-mode
+    # exactly-once contract above). At production scale this IS the
+    # natural arrival order of a replayed log; the cutoffs only
+    # simulate it from batch files.
+    ts = parse_invoice_ts(F.split(F.col("value"), ",").getItem(4))
+    bkt = (
+        F.when(ts < F.lit("1997-03-01").cast("timestamp"), F.lit(0))
+        .when(ts < F.lit("1999-05-01").cast("timestamp"), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    staged = _stage_bucketed_text(
+        spark,
+        ln.select(bkt.cast("int").alias("bkt"), "value"),
+        "full_pipe",
+    )
+    lines = file_lines_source(spark, staged, max_files_per_trigger=1)
+    out_dir = fresh_checkpoint("full_pipe_out_")
+    cfg = PipelineConfig(
+        sink_mode="parquet",
+        out_dir=out_dir,
+        available_now=True,
+        models={
+            "kmeans": ModelSpec(SCORING_CENTROIDS, SCORING_THRESHOLD),
+            "bisecting": ModelSpec(BISECT_CENTROIDS, BISECT_THRESHOLD),
+        },
+    )
+    # _run_drain's state-partition sizing, inlined: run_pipeline starts
+    # its own queries, so the conf must wrap the whole topology.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(32, spark.sparkContext.defaultParallelism)),
+    )
+    try:
+        queries = run_pipeline(lines, cfg)
+        for q_ in queries:
+            if not q_.awaitTermination(300):
+                q_.stop()
+                raise TimeoutError(
+                    "full-pipeline drain did not finish within 300s"
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    def _read(name: str, fallback_schema: str) -> DataFrame:
+        import glob as globmod
+
+        path = f"{out_dir}/{name}"
+        if globmod.glob(f"{path}/**/*.parquet", recursive=True):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], fallback_schema)
+
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    inv = _read("facturas_erroneas", "key string, value string")
+    can = _read(
+        "cancelaciones",
+        "window_start timestamp, window_end timestamp, n_cancelled long",
+    )
+    parts = [
+        inv.groupBy("value").agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("facturas_erroneas").alias("sink"),
+            F.col("value").alias("k1"),
+            F.lit("").alias("k2"),
+            F.col("n"),
+        ),
+        can.select(
+            F.lit("cancelaciones").alias("sink"),
+            F.date_format("window_start", fmt).alias("k1"),
+            F.date_format("window_end", fmt).alias("k2"),
+            F.col("n_cancelled").cast("long").alias("n"),
+        ),
+    ]
+    for topic in ("anomalias_kmeans", "anomalias_bisect_kmeans"):
+        flagged = _read(
+            topic, "InvoiceNo string, prediction int, dist double"
+        )
+        parts.append(
+            flagged.select(
+                F.lit(topic).alias("sink"),
+                F.col("InvoiceNo").alias("k1"),
+                F.col("prediction").cast("string").alias("k2"),
+                F.round(F.col("dist"), -3).cast("long").alias("n"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
