@@ -49,13 +49,15 @@ def test_reorder_loses_no_queries_or_oracles():
     assert set(os_) <= set(qs)
 
 
-def test_rotation_brings_first_ever_graded_rows():
-    """≥30 of the graded 50 have no driver row from any round BEFORE the
-    one this window was curated for (GRADED_ROUND) — the rotation's
-    whole point is spending the scarce 50 external slots on
-    never-graded queries (plus pins and changed code). Scoped to
-    earlier rounds so the check stays green after the driver writes
-    this round's own CORRECTNESS file."""
+def test_rotation_covers_every_never_graded_query():
+    """EVERY registered query with no driver row from any round BEFORE
+    the one this window was curated for (GRADED_ROUND) must be in the
+    window — the rotation's whole point is spending the scarce 50
+    external slots on never-graded queries first (the round-6 closing
+    property: after it, ever-graded == the full registry, and any
+    query registered later must enter the window the round it lands).
+    Scoped to earlier rounds so the check stays green after the driver
+    writes this round's own CORRECTNESS file."""
     import json
     import re
 
@@ -67,5 +69,6 @@ def test_rotation_brings_first_ever_graded_rows():
         rnd = int(re.search(r"r(\d+)", p.name).group(1))
         if rnd < GRADED_ROUND:
             ever |= set(json.loads(p.read_text()))
-    fresh = [n for n in GRADED_50 if n not in ever]
-    assert len(fresh) >= 30, f"only {len(fresh)} first-ever-graded rows"
+    never = sorted(set(QUERIES) - ever)
+    left_out = [n for n in never if n not in GRADED_50]
+    assert not left_out, f"never-graded queries missing a slot: {left_out}"
