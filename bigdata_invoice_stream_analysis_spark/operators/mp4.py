@@ -404,6 +404,24 @@ def parse_codec_profile(payload: bytes) -> dict:
                     )
                 profile, compat, level = data[b + 1], data[b + 2], data[b + 3]
                 codec_string = f"avc1.{profile:02x}{compat:02x}{level:02x}"
+            elif t == b"hvcC":
+                # HEVCDecoderConfigurationRecord head (ISO 14496-15
+                # §8.3.3.1): version, {2b profile_space | 1b tier |
+                # 5b profile_idc}, u32 compatibility flags, 48b
+                # constraint flags, u8 level_idc.
+                if data[b] != 1:
+                    raise ValueError(
+                        f"unsupported hvcC configurationVersion {data[b]}"
+                    )
+                space = data[b + 1] >> 6
+                tier = (data[b + 1] >> 5) & 1
+                profile = data[b + 1] & 0x1F
+                compat = _u32(data, b + 2)
+                constraints = data[b + 6 : b + 12]
+                level = data[b + 12]
+                codec_string = _hevc_codec_string(
+                    codec, space, tier, profile, compat, constraints, level
+                )
     return {
         "codec": codec,
         "width": width,
@@ -413,6 +431,32 @@ def parse_codec_profile(payload: bytes) -> dict:
         "level_idc": level,
         "codec_string": codec_string,
     }
+
+
+def _hevc_codec_string(
+    fourcc: str,
+    space: int,
+    tier: int,
+    profile_idc: int,
+    compat: int,
+    constraints: bytes,
+    level_idc: int,
+) -> str:
+    """RFC 6381 / ISO 14496-15 Annex E.3 HEVC codec string:
+    ``hev1.[A|B|C]P.CC.[LH]LLL[.C6...]`` — profile space as a letter
+    (empty for 0), the 32 compatibility-flag bits in BIT-REVERSED order
+    as unprefixed hex, tier as L/H + decimal level_idc, then the six
+    constraint bytes in hex with TRAILING ZERO bytes omitted."""
+    rev = int(f"{compat:032b}"[::-1], 2)
+    parts = [
+        fourcc,
+        f"{'' if space == 0 else chr(ord('A') + space - 1)}{profile_idc}",
+        f"{rev:x}",
+        f"{'H' if tier else 'L'}{level_idc}",
+    ]
+    trimmed = bytes(constraints).rstrip(b"\x00")
+    parts.extend(f"{c:02x}" for c in trimmed)
+    return ".".join(parts)
 
 
 def codec_profile(media):
@@ -473,16 +517,9 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
 
 
-def _avc1_sample_entry(
-    width: int, height: int, profile: int, compat: int, level: int
-) -> bytes:
-    """One avc1 VisualSampleEntry with a minimal avcC config record —
-    the stsd shape real H.264 files carry (fixture-only: the parameter
-    sets are empty, which is all metadata extraction needs)."""
-    avcc = _box(
-        b"avcC",
-        bytes([1, profile, compat, level, 0xFF, 0xE0, 0]),
-    )
+def _visual_sample_entry(fourcc: bytes, width: int, height: int, cfg: bytes) -> bytes:
+    """VisualSampleEntry skeleton (ISO 14496-12 §12.1.3) wrapping one
+    codec configuration child box."""
     body = (
         b"\x00" * 6 + struct.pack(">H", 1)      # reserved + data_ref_index
         + struct.pack(">HH", 0, 0)               # pre_defined + reserved
@@ -493,9 +530,57 @@ def _avc1_sample_entry(
         + struct.pack(">H", 1)                   # frame_count
         + b"\x00" * 32                           # compressorname
         + struct.pack(">Hh", 24, -1)             # depth, pre_defined
-        + avcc
+        + cfg
     )
-    return _box(b"avc1", body)
+    return _box(fourcc, body)
+
+
+def _avc1_sample_entry(
+    width: int, height: int, profile: int, compat: int, level: int
+) -> bytes:
+    """One avc1 VisualSampleEntry with a minimal avcC config record —
+    the stsd shape real H.264 files carry (fixture-only: the parameter
+    sets are empty, which is all metadata extraction needs)."""
+    avcc = _box(
+        b"avcC",
+        bytes([1, profile, compat, level, 0xFF, 0xE0, 0]),
+    )
+    return _visual_sample_entry(b"avc1", width, height, avcc)
+
+
+def _hev1_sample_entry(
+    width: int,
+    height: int,
+    profile_idc: int,
+    compat: int,
+    tier: int,
+    level_idc: int,
+    constraints: bytes = b"",
+) -> bytes:
+    """One hev1 VisualSampleEntry with a minimal hvcC
+    HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1; empty
+    parameter-set arrays — fixture-only, metadata extraction needs no
+    NALs): version, space/tier/profile byte, u32 compat flags, 48-bit
+    constraints, level, then the fixed mid fields and numOfArrays=0."""
+    head = (
+        bytes([1, ((tier & 1) << 5) | (profile_idc & 0x1F)])
+        + struct.pack(">I", compat)
+        + (constraints + b"\x00" * 6)[:6]
+        + bytes([level_idc])
+    )
+    tail = (
+        struct.pack(">H", 0xF000)   # reserved + min_spatial_segmentation
+        + bytes([0xFC])             # reserved + parallelismType
+        + bytes([0xFD])             # reserved + chromaFormat 4:2:0
+        + bytes([0xF8])             # reserved + bitDepthLumaMinus8
+        + bytes([0xF8])             # reserved + bitDepthChromaMinus8
+        + struct.pack(">H", 0)      # avgFrameRate
+        + bytes([0x03])             # cfr/layers/nested/lengthSizeMinusOne
+        + bytes([0])                # numOfArrays
+    )
+    return _visual_sample_entry(
+        b"hev1", width, height, _box(b"hvcC", head + tail)
+    )
 
 
 def encode_minimal_mp4(
@@ -506,6 +591,7 @@ def encode_minimal_mp4(
     keyframes: list[int] | None = None,
     audio_trak_first: bool = False,
     avc1: tuple[int, int, int, int, int] | None = None,
+    hev1: tuple[int, int, int, int, int, int] | None = None,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
     mdat holding the frame payloads back-to-back, and a
@@ -519,8 +605,10 @@ def encode_minimal_mp4(
     empty stbl, the multi-trak shape real files have — the parser must
     pick the ``vide`` trak by hdlr, not by position. ``avc1``
     (width, height, profile, compat, level) writes a real avc1+avcC
-    sample description instead of the 0-entry raw stsd — the codec
-    metadata parse_codec_profile extracts."""
+    sample description instead of the 0-entry raw stsd; ``hev1``
+    (width, height, profile_idc, compat, tier, level_idc) likewise an
+    hev1+hvcC entry — the codec metadata parse_codec_profile
+    extracts."""
     if frames is None:
         if frame_sizes is None:
             raise ValueError("need frame_sizes or frames")
@@ -549,6 +637,8 @@ def encode_minimal_mp4(
     stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_payload_off))
     if avc1 is not None:
         stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _avc1_sample_entry(*avc1))
+    elif hev1 is not None:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _hev1_sample_entry(*hev1))
     else:
         stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
     stbl_body = stsd + stts + stsc + stsz + stco

@@ -580,21 +580,29 @@ WITH media AS (
   SELECT doc_id AS media_id, CAST(doc_id % 18 AS INT) AS k FROM documents
 ),
 v AS (
-  SELECT media_id, k,
-         CASE k % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS p,
-         (k % 4) * 32 AS c,
+  SELECT media_id, k, k % 2 AS hevc,
+         CASE k % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS ap,
+         (k % 4) * 32 AS ac,
          CASE k % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
-                    WHEN 3 THEN 41 ELSE 50 END AS l
+                    WHEN 3 THEN 41 ELSE 50 END AS al,
+         1 + ((k // 2) % 2) AS hp,
+         CASE k % 5 WHEN 0 THEN 90 WHEN 1 THEN 93 WHEN 2 THEN 120
+                    WHEN 3 THEN 123 ELSE 150 END AS hl
   FROM media
 )
 SELECT media_id,
-       'avc1' AS codec,
+       CASE WHEN hevc = 1 THEN 'hev1' ELSE 'avc1' END AS codec,
        CAST(64 + 16 * k AS INT) AS width,
        CAST(48 + 16 * (k % 3) AS INT) AS height,
-       CAST(p AS INT) AS profile_idc,
-       CAST(c AS INT) AS compat_flags,
-       CAST(l AS INT) AS level_idc,
-       printf('avc1.%02x%02x%02x', p, c, l) AS codec_string,
+       CAST(CASE WHEN hevc = 1 THEN hp ELSE ap END AS INT) AS profile_idc,
+       CAST(CASE WHEN hevc = 1 THEN 3 * (1 << (30 - hp)) ELSE ac END AS INT)
+         AS compat_flags,
+       CAST(CASE WHEN hevc = 1 THEN hl ELSE al END AS INT) AS level_idc,
+       CASE WHEN hevc = 1
+            THEN 'hev1.' || CAST(hp AS VARCHAR) || '.'
+                 || CASE hp WHEN 1 THEN '6' ELSE 'c' END
+                 || '.L' || CAST(hl AS VARCHAR)
+            ELSE printf('avc1.%02x%02x%02x', ap, ac, al) END AS codec_string,
        CAST(k + 1 AS BIGINT) AS n_samples,
        CAST(40 * (k + 1) AS BIGINT) AS duration_ms
 FROM v
@@ -604,21 +612,26 @@ def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CODEC-METADATA extraction — the operator a video-corpus curation
     pipeline runs on every file BEFORE committing to any decode (filter
     by codec string / resolution / length), and the honest boundary for
-    inter-frame codecs this environment cannot decode: H.264 frame
-    DATA needs a codec library, but the stsd sample description and
-    avcC configuration record are pure container bytes. Every doc maps
-    to a valid MP4 from a bounded 18-payload broadcast codebook keyed
-    by doc_id % 18 — variant k carries k+1 fake H.264 samples and a
-    REAL avc1+avcC sample entry (width 64+16k, height 48+16(k%3),
-    profile {66,77,100}[k%3] = Baseline/Main/High, compat (k%4)·32,
-    level {30,31,40,41,50}[k%5]). Executors parse the stsd
-    VisualSampleEntry + avcC head and render the RFC 6381 codec string
-    ``avc1.PPCCLL`` (operators/mp4.parse_codec_profile), joined with
-    the demuxed sample count and mdhd duration — the closed-form
-    oracle recomputes all of it from k, so a drift anywhere in the
-    entry-offset arithmetic (the §12.1.3 fixed layout) or the hex
-    rendering flips the hash. Plan: 18-row broadcast join + map-side
-    parse, zero data shuffle."""
+    inter-frame codecs this environment cannot decode: H.264/H.265
+    frame DATA needs a codec library, but the stsd sample description
+    and the avcC/hvcC configuration records are pure container bytes.
+    Every doc maps to a valid MP4 from a bounded 18-payload broadcast
+    codebook keyed by doc_id % 18 — even k carries a REAL avc1+avcC
+    entry (profile {66,77,100}[k%3] = Baseline/Main/High, compat
+    (k%4)·32, level {30,31,40,41,50}[k%5]), odd k a REAL hev1+hvcC
+    entry (profile_idc 1+((k//2)%2) = Main/Main10, compat flags with
+    the two profile bits set, Main tier, level_idc
+    {90,93,120,123,150}[k%5]); all with width 64+16k, height
+    48+16(k%3) and k+1 fake samples. Executors parse the
+    VisualSampleEntry + config-record head and render the RFC 6381
+    codec string — ``avc1.PPCCLL`` hex, or Annex-E ``hev1.P.C.Lnnn``
+    with the 32 compatibility bits BIT-REVERSED and zero constraint
+    bytes trimmed (operators/mp4.parse_codec_profile) — joined with
+    the demuxed sample count and mdhd duration. The closed-form oracle
+    recomputes all of it from k, so a drift anywhere in the
+    entry-offset arithmetic (the §12.1.3 fixed layout), the hvcC bit
+    unpacking, or the string rendering flips the hash. Plan: 18-row
+    broadcast join + map-side parse, zero data shuffle."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,
     )
@@ -629,20 +642,27 @@ def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_package_on_workers(spark)
     d = load_table(spark, sf_dir, "documents")
-    profiles = [66, 77, 100]          # Baseline / Main / High
-    levels = [30, 31, 40, 41, 50]     # 3.0 / 3.1 / 4.0 / 4.1 / 5.0
+    profiles = [66, 77, 100]            # AVC Baseline / Main / High
+    levels = [30, 31, 40, 41, 50]       # AVC 3.0 / 3.1 / 4.0 / 4.1 / 5.0
+    hevc_levels = [90, 93, 120, 123, 150]  # HEVC 3.0 / 3.1 / 4.0 / 4.1 / 5.0
+    def entry_kw(k: int) -> dict:
+        if k % 2 == 0:
+            return {"avc1": (
+                64 + 16 * k, 48 + 16 * (k % 3),
+                profiles[k % 3], (k % 4) * 32, levels[k % 5],
+            )}
+        hp = 1 + ((k // 2) % 2)         # Main / Main10
+        return {"hev1": (
+            64 + 16 * k, 48 + 16 * (k % 3),
+            hp, 0b11 << (30 - hp), 0, hevc_levels[k % 5],
+        )}
+
     codebook = spark.createDataFrame(
         [
             (k, bytearray(encode_minimal_mp4(
                 [(k * 5 + i) % 30 + 1 for i in range(k + 1)],
                 timescale=1000, frame_delta=40,
-                avc1=(
-                    64 + 16 * k,
-                    48 + 16 * (k % 3),
-                    profiles[k % 3],
-                    (k % 4) * 32,
-                    levels[k % 5],
-                ),
+                **entry_kw(k),
             )))
             for k in range(18)
         ],

@@ -340,6 +340,25 @@ def test_codec_profile_avc1():
     }
     # sample tables still demux around the avc1 stsd
     assert M.parse_mp4(payload)["sizes"] == [4, 4, 4]
+    # HEVC twin: hvcC bit unpacking + Annex-E string (compat bits
+    # BIT-REVERSED, zero constraint bytes trimmed, Main tier = L)
+    hevc = M.encode_minimal_mp4(
+        [4, 4], hev1=(1920, 1080, 1, 0x60000000, 0, 93)
+    )
+    hprof = M.parse_codec_profile(hevc)
+    assert hprof == {
+        "codec": "hev1",
+        "width": 1920,
+        "height": 1080,
+        "profile_idc": 1,
+        "compat_flags": 0x60000000,
+        "level_idc": 93,
+        "codec_string": "hev1.1.6.L93",
+    }
+    # high tier + profile space B + a non-zero constraint byte
+    assert M._hevc_codec_string(
+        "hvc1", 2, 1, 2, 0x30000000, b"\xb0\x00\x00\x00\x00\x00", 120
+    ) == "hvc1.B2.c.H120.b0"
     # raw fixture: no sample descriptions → explicit error
     with pytest.raises(ValueError, match="sample description"):
         M.parse_codec_profile(M.encode_minimal_mp4([4]))
