@@ -1322,15 +1322,20 @@ def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.shuffle.partitions",
         str(min(32, spark.sparkContext.defaultParallelism)),
     )
+    queries = []
     try:
         queries = run_pipeline(lines, cfg)
         for q_ in queries:
             if not q_.awaitTermination(300):
-                q_.stop()
                 raise TimeoutError(
                     "full-pipeline drain did not finish within 300s"
                 )
     finally:
+        # One failing sink must not leak the three concurrent survivors
+        # as active streams in the session.
+        for q_ in queries:
+            if q_.isActive:
+                q_.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     def _read(name: str, fallback_schema: str) -> DataFrame:
