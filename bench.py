@@ -113,12 +113,17 @@ def _subset_main() -> None:
         raise SystemExit(f"unknown subset queries: {unknown}")
     spark = get_spark(app_name="bench-subset")
     _warmup(spark, sf_dir, names)
-    out: dict[str, list[float]] = {}
-    for name in names:
-        print(f"[bench-subset] {name}", file=sys.stderr, flush=True)
-        out[name] = [
-            round(_run_once(spark, name, sf_dir), 3) for _ in range(repeats)
-        ]
+    out: dict[str, list[float]] = {n: [] for n in names}
+    # Repeats are ROUND-INTERLEAVED (all queries once, then again), not
+    # back-to-back per query: the box's contention windows span minutes
+    # (measured r6: the same state gate read 11 s / 23 s / 29 s across
+    # three otherwise-identical bench runs), so three consecutive
+    # samples of one gate all land inside one window, while interleaved
+    # samples sit ~5 min apart and the median survives it.
+    for r in range(repeats):
+        for name in names:
+            print(f"[bench-subset] {name} #{r + 1}", file=sys.stderr, flush=True)
+            out[name].append(round(_run_once(spark, name, sf_dir), 3))
     print(json.dumps({"subset": out}))
     spark.stop()
 
@@ -132,13 +137,33 @@ def _run_json_subprocess(env: dict, timeout: int, script: str | None = None):
     import subprocess
 
     cmd = [sys.executable, script or os.path.join(_HERE, "bench.py")]
+
+    def _text(v) -> str:
+        # TimeoutExpired carries captured output as BYTES on POSIX even
+        # under text=True.
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v or ""
+
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout, env=env
         )
     except subprocess.TimeoutExpired as e:
-        tail = (e.stderr or "")[-2000:] if isinstance(e.stderr, str) else ""
-        return None, {"error": f"timeout after {timeout}s", "stderr_tail": tail}
+        # The child may have already PRINTED its result and hung later
+        # (e.g. in spark.stop()) — salvage a parseable last line before
+        # declaring the whole leg dead.
+        out_lines = _text(e.stdout).strip().splitlines()
+        if out_lines:
+            try:
+                return json.loads(out_lines[-1]), None
+            except ValueError:
+                pass
+        return None, {
+            "error": f"timeout after {timeout}s",
+            "stdout_tail": _text(e.stdout)[-500:],
+            "stderr_tail": _text(e.stderr)[-2000:],
+        }
     lines = proc.stdout.strip().splitlines()
     if proc.returncode != 0 or not lines:
         return None, {
@@ -260,10 +285,15 @@ def main() -> None:
     # 31k lines/s with the parent alive vs 41.7k manual minutes apart).
     spark.stop()
 
-    # Drain gates in a FRESH subprocess JVM (one pass), then a second
-    # subprocess median-of-3 for any gate drifted >1.4× vs a prior
-    # fresh-JVM same-diet row — the measured fatigue band (1.4-2.0×)
-    # sat entirely under the old 2× trigger.
+    # Drain gates in a FRESH subprocess JVM, MEDIAN of 3 round-
+    # interleaved passes each (see _subset_main: the box's multi-minute
+    # contention windows otherwise poison all of a gate's back-to-back
+    # samples at once — measured r6, 11 s / 23 s / 29 s for one gate
+    # across identical runs). A gate whose median still drifts >1.4×
+    # vs a prior fresh-JVM same-diet row — the measured fatigue band
+    # (1.4-2.0×) sat entirely under the old 2× trigger — is flagged in
+    # retimed_for_drift (it IS already a median; no extra samples
+    # would change the verdict, the flag marks it for reader scrutiny).
     drain_names = sorted(diet_capable)
     drain_error = None
     if drain_names:
@@ -271,38 +301,22 @@ def main() -> None:
             **os.environ,
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "SPARK_GRAFT_BENCH_SUBSET": ",".join(drain_names),
-            "SPARK_GRAFT_BENCH_SUBSET_REPEATS": "1",
+            "SPARK_GRAFT_BENCH_SUBSET_REPEATS": "3",
         }
-        parsed, err = _run_json_subprocess(sub_env, timeout=2400)
+        parsed, err = _run_json_subprocess(sub_env, timeout=3600)
         if err is not None:
             drain_error = err
         else:
             for name, samples in parsed["subset"].items():
-                timings[name] = samples[0]
-                repeats.setdefault(name, list(samples))
-            drain_drift = sorted(
+                timings[name] = sorted(samples)[len(samples) // 2]
+                repeats[name] = list(samples)
+            drifted |= {
                 name
                 for name in drain_names
                 if name in timings
                 and (r := drift_ratio(name, timings[name])) is not None
                 and (r > 1.4 or r < 1 / 1.4)
-            )
-            if drain_drift:
-                print(
-                    f"[bench] re-time drifted drains {drain_drift}",
-                    file=sys.stderr, flush=True,
-                )
-                sub_env["SPARK_GRAFT_BENCH_SUBSET"] = ",".join(drain_drift)
-                sub_env["SPARK_GRAFT_BENCH_SUBSET_REPEATS"] = "2"
-                parsed2, err2 = _run_json_subprocess(sub_env, timeout=2400)
-                if err2 is None:
-                    for name, extra in parsed2["subset"].items():
-                        samples = [timings[name], *extra]
-                        repeats[name] = samples
-                        timings[name] = sorted(samples)[1]
-                    drifted |= set(drain_drift)
-                else:
-                    drain_error = err2
+            }
 
     # Streaming-throughput headline in its own fresh subprocess JVM —
     # MEDIAN of 3 runs: the box's measured run-to-run variance on this
@@ -389,6 +403,15 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_dieted": len(dieted),
                 "drain_mode": "fresh_jvm",
+                # A failed drain subprocess must be VISIBLE in the
+                # driver-captured line, not only in the detail file —
+                # otherwise "value" silently drops by the drain total
+                # and reads as a fabricated speedup.
+                **(
+                    {"drain_error": drain_error.get("error")}
+                    if drain_error
+                    else {}
+                ),
                 "streaming": stream_brief,
                 "sf": sf_val,
                 "detail": "BENCH_DETAIL.json",

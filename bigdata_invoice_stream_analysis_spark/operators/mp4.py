@@ -235,10 +235,13 @@ def _parse_fragments(
     duration/size/flags (0x8/0x10/0x20), tfdt decode-time anchors
     (v0/v1), and trun with data-offset (0x1), first-sample-flags (0x4)
     and per-sample duration/size/flags/cts (0x100/0x200/0x400/0x800).
-    Per spec, with neither base flag set the first trun's base is the
-    moof start. Within each moof, only trafs whose tfhd track_ID
-    matches the video track are expanded (multi-track segments carry
-    audio trafs too); ``track_id`` 0 means unknown → first traf.
+    Per §8.8.7, with neither base flag set the FIRST track fragment
+    anchors at the moof start and each subsequent one at the END of
+    the preceding track fragment's data. Within each moof, only trafs
+    whose tfhd track_ID matches the video track EMIT samples
+    (multi-track segments carry audio trafs too — their runs are still
+    walked to carry the running data end); ``track_id`` 0 means
+    unknown → every traf emits.
 
     Sync samples: sample_is_non_sync_sample bit (0x10000) of the
     effective sample flags, with the spec's precedence — explicit
@@ -273,18 +276,34 @@ def _parse_fragments(
         ]
         if not trafs:
             raise ValueError("moof without traf")
-        for traf in trafs:
+        # §8.8.7: with neither base flag set, the FIRST track fragment
+        # anchors at the moof start and each SUBSEQUENT one at the END
+        # of the preceding track fragment's data — so even trafs of
+        # OTHER tracks must have their runs walked (emit=False) to
+        # carry the running data end; anchoring them all at moof_start
+        # would alias a later default-based traf onto the first one's
+        # bytes. prev_end is None when the preceding traf's sizes were
+        # unknowable (another track's trex defaults are not parsed).
+        prev_end: int | None = None
+        for idx, traf in enumerate(trafs):
             tfhd = _find(data, traf[0], traf[1], b"tfhd")
             if tfhd is None:
                 raise ValueError("traf without tfhd")
-            if track_id and _u32(data, tfhd[0] + 4) != track_id:
-                continue  # another track's fragment run (audio etc.)
+            emit = not track_id or _u32(data, tfhd[0] + 4) == track_id
             flags = _u32(data, tfhd[0]) & 0xFFFFFF
             i = tfhd[0] + 8  # skip version/flags + track_ID
-            base = moof_start
             if flags & 0x1:  # base-data-offset (u64 absolute)
                 base = struct.unpack(">Q", data[i : i + 8])[0]
                 i += 8
+            elif flags & 0x20000 or idx == 0:  # default-base-is-moof
+                base = moof_start
+            elif prev_end is not None:
+                base = prev_end  # §8.8.7 subsequent-traf default
+            else:
+                raise ValueError(
+                    "cannot anchor traf: no base flag set and the "
+                    "preceding track fragment's data end is unknown"
+                )
             if flags & 0x2:  # sample-description-index
                 i += 4
             frag_dur = default_dur
@@ -299,20 +318,27 @@ def _parse_fragments(
             if flags & 0x20:  # default-sample-flags
                 frag_flags = _u32(data, i)
                 i += 4
-            tfdt = _find(data, traf[0], traf[1], b"tfdt")
-            if tfdt is not None:
-                t = (
-                    struct.unpack(">Q", data[tfdt[0] + 4 : tfdt[0] + 12])[0]
-                    if data[tfdt[0]]
-                    else _u32(data, tfdt[0] + 4)
-                )
+            if emit:
+                tfdt = _find(data, traf[0], traf[1], b"tfdt")
+                if tfdt is not None:
+                    t = (
+                        struct.unpack(
+                            ">Q", data[tfdt[0] + 4 : tfdt[0] + 12]
+                        )[0]
+                        if data[tfdt[0]]
+                        else _u32(data, tfdt[0] + 4)
+                    )
             # §8.8.8: only the FIRST trun defaults to the base; later
             # truns without an explicit data-offset continue right
             # after the previous run's samples (pos carries across).
             pos = base
+            traf_end = base
+            sized = True
             for bt2, b2, _e2 in walk_boxes(data, traf[0], traf[1]):
                 if bt2 != b"trun":
                     continue
+                if not sized:
+                    break
                 tflags = _u32(data, b2) & 0xFFFFFF
                 cnt = _u32(data, b2 + 4)
                 j = b2 + 8
@@ -340,19 +366,28 @@ def _parse_fragments(
                         sflags = first_flags
                     if tflags & 0x800:  # composition-time offset
                         j += 4
-                    # sample_is_non_sync_sample bit; no flags → sync
-                    if sflags is None or not (sflags & 0x10000):
-                        keyframes.append(len(sizes))
                     if sz <= 0:
-                        raise ValueError(
-                            "fragment sample with no size: trun lacks "
-                            "sample-size and no tfhd/trex default applies"
-                        )
-                    offsets.append(pos)
-                    sizes.append(sz)
-                    times.append(t)
+                        if emit:
+                            raise ValueError(
+                                "fragment sample with no size: trun lacks "
+                                "sample-size and no tfhd/trex default "
+                                "applies"
+                            )
+                        # another track relying on ITS trex defaults
+                        # (not parsed here): its data end is unknowable
+                        sized = False
+                        break
+                    if emit:
+                        # sample_is_non_sync_sample bit; no flags → sync
+                        if sflags is None or not (sflags & 0x10000):
+                            keyframes.append(len(sizes))
+                        offsets.append(pos)
+                        sizes.append(sz)
+                        times.append(t)
+                        t += dur
                     pos += sz
-                    t += dur
+                    traf_end = max(traf_end, pos)
+            prev_end = traf_end if sized else None
     return sizes, offsets, times, keyframes
 
 

@@ -254,16 +254,18 @@ def prepared_purchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stage_bucketed_stream(
-    spark: SparkSession, p: DataFrame, prefix: str, n_files: int = 3
-) -> DataFrame:
-    """Stage ``p`` (carrying an int ``bkt`` column in [0, n_files)) as
-    one parquet file per bucket and open them as a maxFilesPerTrigger=1
-    file stream. ONE write job: repartition on the bucket key puts each
-    bucket in its own task → exactly one data file per bkt= dir
-    (partitionBy strips the bkt column from the data files). Staged
-    files get strictly increasing mtimes so the FileStreamSource picks
-    buckets 0→…→n−1 deterministically."""
+def _stage_buckets(
+    df: DataFrame, prefix: str, n_files: int, fmt: str
+) -> str:
+    """Stage ``df`` (carrying an int ``bkt`` column in [0, n_files))
+    as one ``fmt`` file per bucket under a scratch dir with strictly
+    increasing mtimes, so the FileStreamSource picks buckets 0→…→n−1
+    deterministically. ONE write job: repartition on the bucket key
+    puts each bucket in its own task → exactly one data file per bkt=
+    dir (partitionBy strips the bkt column from the data files). ONE
+    body shared by the parquet-staged state gates and the text-staged
+    full-pipeline gate — a staging fix lands everywhere at once.
+    Returns the staged directory."""
     import glob as globmod
     import os as osmod
     import shutil
@@ -272,21 +274,29 @@ def _stage_bucketed_stream(
 
     work = scratch_dir(f"{prefix}_in")
     stage = scratch_dir(f"{prefix}_stage")
-    p.repartition(n_files, "bkt").write.mode("overwrite").partitionBy(
-        "bkt"
-    ).parquet(stage)
+    writer = df.repartition(n_files, "bkt").write.mode("overwrite").partitionBy("bkt")
+    getattr(writer, fmt)(stage)
     for b in range(n_files):
-        parts = globmod.glob(f"{stage}/bkt={b}/part-*.parquet")
+        parts = globmod.glob(f"{stage}/bkt={b}/part-*.{fmt if fmt != 'text' else 'txt'}")
         if not parts:
             raise ValueError(
                 f"bucket {b} staged no rows under {stage} — the input "
                 f"is too small (or too heavily dieted) to fill all "
                 f"{n_files} micro-batch buckets"
             )
-        part = parts[0]
-        dst = f"{work}/bucket{b}.parquet"
-        shutil.copy(part, dst)
+        ext = "parquet" if fmt == "parquet" else "txt"
+        dst = f"{work}/bucket{b}.{ext}"
+        shutil.copy(parts[0], dst)
         osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    return work
+
+
+def _stage_bucketed_stream(
+    spark: SparkSession, p: DataFrame, prefix: str, n_files: int = 3
+) -> DataFrame:
+    """Parquet-staged micro-batch stream over _stage_buckets (the
+    keyed-state drain gates' input shape)."""
+    work = _stage_buckets(p, prefix, n_files, "parquet")
     return (
         spark.readStream.schema(p.drop("bkt").schema)
         .option("maxFilesPerTrigger", "1")
@@ -1133,17 +1143,12 @@ BISECT_THRESHOLD = 2.5e9
 
 
 def _pipe_sqdist(center: list[float]) -> str:
-    """DuckDB squared distance over the pipeline-feature aliases
-    (avgp/minp/maxp/t/items), explicit multiplications (bit-identical
-    across engines, unlike POWER)."""
-    terms = [
-        f"(f.{c} - {v!r}) * (f.{c} - {v!r})"
-        for c, v in zip(["avgp", "minp", "maxp", "t", "items"], center)
-    ]
-    out = terms[0]
-    for term in terms[1:]:
-        out = f"({out} + {term})"
-    return out
+    """_sql_sqdist over the pipeline-feature aliases
+    (avgp/minp/maxp/t/items) — same shared body as every other
+    centroid-scoring oracle."""
+    from bigdata_invoice_stream_analysis_spark.plans.queries import _sql_sqdist
+
+    return _sql_sqdist(center, ["avgp", "minp", "maxp", "t", "items"])
 
 
 def _pipe_anomaly_select(topic: str, centers: list[list[float]], threshold: float) -> str:
@@ -1158,34 +1163,12 @@ FROM feats f WHERE LEAST({d0}, {d1}) > {threshold!r}"""
 def _stage_bucketed_text(
     spark: SparkSession, lines: DataFrame, prefix: str, n_files: int = 3
 ) -> str:
-    """Stage raw lines (carrying an int ``bkt`` column in [0, n_files))
-    as one TEXT file per bucket with strictly increasing mtimes — the
-    line-file twin of _stage_bucketed_stream for sources that consume
-    the raw-line envelope (file_lines_source). Returns the staged
-    directory."""
-    import glob as globmod
-    import os as osmod
-    import shutil
-
-    from bigdata_invoice_stream_analysis_spark.scratch import scratch_dir
-
-    work = scratch_dir(f"{prefix}_in")
-    stage = scratch_dir(f"{prefix}_stage")
-    lines.select("bkt", "value").repartition(n_files, "bkt").write.mode(
-        "overwrite"
-    ).partitionBy("bkt").text(stage)
-    for b in range(n_files):
-        parts = globmod.glob(f"{stage}/bkt={b}/part-*.txt")
-        if not parts:
-            raise ValueError(
-                f"bucket {b} staged no lines under {stage} — the input "
-                f"is too small (or too heavily dieted) to fill all "
-                f"{n_files} micro-batch buckets"
-            )
-        dst = f"{work}/bucket{b}.txt"
-        shutil.copy(parts[0], dst)
-        osmod.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
-    return work
+    """Text-staged twin of _stage_bucketed_stream for sources that
+    consume the raw-line envelope (file_lines_source); same shared
+    _stage_buckets body. Returns the staged directory."""
+    return _stage_buckets(
+        lines.select("bkt", "value"), prefix, n_files, "text"
+    )
 
 
 @query(

@@ -1298,10 +1298,16 @@ _FEATURE_ALIASES = [
 ]
 
 
-def _sql_sqdist(center: list[float]) -> str:
+def _sql_sqdist(center: list[float], cols: list[str] | None = None) -> str:
+    """DuckDB squared distance to a literal centroid over aliases of
+    relation ``f`` — explicit multiplications (bit-identical across
+    engines, unlike POWER) with the left-fold parenthesization the
+    Spark twin uses. ONE body for every centroid-scoring oracle
+    (centroid_anomalies, the streaming scoring gate, the composed
+    pipeline gate), so an exactness fix cannot leave a copy stale."""
     terms = [
         f"(f.{c} - {v!r}) * (f.{c} - {v!r})"
-        for c, v in zip(_FEATURE_ALIASES, center)
+        for c, v in zip(cols or _FEATURE_ALIASES, center)
     ]
     out = terms[0]
     for t in terms[1:]:

@@ -97,38 +97,48 @@ def _start(
 
 def run_pipeline(lines: DataFrame, cfg: PipelineConfig) -> list[StreamingQuery]:
     """Wire all four branches onto a normalized line stream
-    (sources.*_lines_source) and start their queries."""
+    (sources.*_lines_source) and start their queries. If wiring fails
+    after some queries started (bad checkpoint dir, broken sink), the
+    survivors are stopped before the error propagates — a partial
+    topology must not leak active streams into the session."""
     queries: list[StreamingQuery] = []
-
-    queries.append(
-        _start(P.invalid_lines(lines), TOPIC_INVALID, cfg, "append")
-    )
-    queries.append(
-        _start(
-            P.cancellation_counts(
-                lines, window=cfg.window, slide=cfg.slide,
-                watermark=cfg.watermark, time_mode=cfg.time_mode,
-            ),
-            TOPIC_CANCELLATIONS, cfg, "append",
+    try:
+        queries.append(
+            _start(P.invalid_lines(lines), TOPIC_INVALID, cfg, "append")
         )
-    )
-
-    purchases = P.good_purchases(lines, time_mode=cfg.time_mode)
-    if cfg.legacy_state:
-        updates = state.apply_invoice_state(purchases)
-    else:
-        updates = P.invoice_updates(purchases, weighted_avg=cfg.weighted_avg)
-
-    topic_by_model = {
-        "kmeans": TOPIC_ANOMALIES_KMEANS,
-        "bisecting": TOPIC_ANOMALIES_BISECT,
-    }
-    for model_name, spec in cfg.models.items():
-        flagged = scoring.anomalies_with_centroids(
-            updates, spec.centers, spec.threshold, cfg.feature_cols
+        queries.append(
+            _start(
+                P.cancellation_counts(
+                    lines, window=cfg.window, slide=cfg.slide,
+                    watermark=cfg.watermark, time_mode=cfg.time_mode,
+                ),
+                TOPIC_CANCELLATIONS, cfg, "append",
+            )
         )
-        topic = topic_by_model.get(model_name, f"anomalias_{model_name}")
-        queries.append(_start(flagged, topic, cfg, "update"))
+
+        purchases = P.good_purchases(lines, time_mode=cfg.time_mode)
+        if cfg.legacy_state:
+            updates = state.apply_invoice_state(purchases)
+        else:
+            updates = P.invoice_updates(purchases, weighted_avg=cfg.weighted_avg)
+
+        topic_by_model = {
+            "kmeans": TOPIC_ANOMALIES_KMEANS,
+            "bisecting": TOPIC_ANOMALIES_BISECT,
+        }
+        for model_name, spec in cfg.models.items():
+            flagged = scoring.anomalies_with_centroids(
+                updates, spec.centers, spec.threshold, cfg.feature_cols
+            )
+            topic = topic_by_model.get(model_name, f"anomalias_{model_name}")
+            queries.append(_start(flagged, topic, cfg, "update"))
+    except Exception:
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass  # best-effort cleanup; the wiring error propagates
+        raise
     return queries
 
 

@@ -306,6 +306,52 @@ def test_fmp4_largesize_moof_anchor():
     assert payload[info["offsets"][1] : info["offsets"][1] + 5] == frames[4:]
 
 
+def test_fmp4_subsequent_traf_anchors_at_preceding_end():
+    """ISO 14496-12 §8.8.7: with neither base flag set, the SECOND
+    traf's default base is the END of the preceding track fragment's
+    data — not the moof start (the r6 review repro: anchoring every
+    traf at moof_start aliases the video run onto the audio bytes)."""
+    head = _fmp4_head(M.encode_minimal_fmp4([4], frames_per_fragment=1))
+    mfhd = M._box(b"mfhd", struct.pack(">II", 0, 1))
+    tfhd_a = M._box(b"tfhd", struct.pack(">II", 0, 2))  # NO base flags
+    tfhd_v = M._box(b"tfhd", struct.pack(">II", 0, 1))  # NO base flags
+    a_sizes, v_sizes = [3], [4, 5]
+    trun_a_size = 8 + 8 + 4 + 4 * len(a_sizes)
+    trun_v_size = 8 + 8 + 4 * len(v_sizes)  # 0x200 only: no data-offset
+    moof_size = (
+        8 + len(mfhd)
+        + (8 + len(tfhd_a) + trun_a_size)
+        + (8 + len(tfhd_v) + trun_v_size)
+    )
+    # audio traf: first traf, base defaults to moof start, explicit
+    # trun data-offset points at the mdat payload
+    trun_a = M._box(
+        b"trun",
+        struct.pack(">IIi", 0x000201, 1, moof_size + 8)
+        + struct.pack(">I", 3),
+    )
+    # video traf: NO base flag, NO data-offset → must anchor at the
+    # audio traf's data END per §8.8.7
+    trun_v = M._box(
+        b"trun",
+        struct.pack(">II", 0x000200, 2) + struct.pack(">II", 4, 5),
+    )
+    moof = M._box(
+        b"moof",
+        mfhd
+        + M._box(b"traf", tfhd_a + trun_a)
+        + M._box(b"traf", tfhd_v + trun_v),
+    )
+    assert len(moof) == moof_size
+    audio = b"AAA"
+    video = bytes(range(9))
+    payload = head + moof + M._box(b"mdat", audio + video)
+    info = M.parse_mp4(payload)
+    assert info["sizes"] == v_sizes
+    assert payload[info["offsets"][0] : info["offsets"][0] + 4] == video[:4]
+    assert payload[info["offsets"][1] : info["offsets"][1] + 5] == video[4:]
+
+
 def test_stss_entries_range_checked():
     """stss is 1-based: entry 0 (would become Python index -1 and
     silently decode the LAST sample) and entries past n_samples must
