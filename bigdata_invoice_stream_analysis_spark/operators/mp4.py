@@ -391,6 +391,51 @@ def _parse_fragments(
     return sizes, offsets, times, keyframes
 
 
+def _stsd_first_entry(
+    data: bytes, handler: bytes = b"vide"
+) -> tuple[int, int]:
+    """Locate the first stsd sample entry of the trak with the given
+    hdlr handler type; returns (entry_start, entry_size) where
+    entry_start points at the entry's own size field. Shared by the
+    video codec-profile, SPS cross-check, and audio codec parsers."""
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    if handler == b"vide":
+        trak = _video_trak(data, moov)
+    else:
+        trak = _handler_trak(data, moov, handler)
+    mdia = _find(data, trak[0], trak[1], b"mdia")
+    minf = _find(data, mdia[0], mdia[1], b"minf") if mdia else None
+    stbl = _find(data, minf[0], minf[1], b"stbl") if minf else None
+    stsd = _find(data, stbl[0], stbl[1], b"stsd") if stbl else None
+    if stsd is None:
+        raise ValueError("no stsd box")
+    if _u32(data, stsd[0] + 4) == 0:
+        raise ValueError("stsd has no sample descriptions")
+    entry = stsd[0] + 8  # first sample entry's size field
+    size = _u32(data, entry)
+    if size < 16 or entry + size > stsd[1]:
+        raise ValueError(f"bad stsd sample entry size {size}")
+    return entry, size
+
+
+def _handler_trak(data: bytes, moov, handler: bytes) -> tuple[int, int]:
+    """Pick the trak whose mdia/hdlr handler_type matches (no
+    positional fallback — an audio parse of a video-only file should
+    fail loudly, not read the wrong trak's tables)."""
+    for t, b, e in walk_boxes(data, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(data, b, e, b"mdia")
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr") if mdia else None
+        if hdlr is not None and data[hdlr[0] + 8 : hdlr[0] + 12] == handler:
+            return b, e
+    raise ValueError(f"no trak with handler {handler!r}")
+
+
 def parse_codec_profile(payload: bytes) -> dict:
     """Parse the video track's stsd SAMPLE DESCRIPTION — the codec
     metadata a corpus-curation pipeline filters on BEFORE ever running
@@ -407,24 +452,7 @@ def parse_codec_profile(payload: bytes) -> dict:
     {codec, width, height, profile_idc, compat_flags, level_idc,
     codec_string} with the avc fields None for non-avc1 entries."""
     data = bytes(payload)
-    if len(data) < 16 or data[4:8] != b"ftyp":
-        raise ValueError("not an ISO BMFF payload (no ftyp)")
-    moov = _find(data, 0, len(data), b"moov")
-    if moov is None:
-        raise ValueError("no moov box")
-    trak = _video_trak(data, moov)
-    mdia = _find(data, trak[0], trak[1], b"mdia")
-    minf = _find(data, mdia[0], mdia[1], b"minf") if mdia else None
-    stbl = _find(data, minf[0], minf[1], b"stbl") if minf else None
-    stsd = _find(data, stbl[0], stbl[1], b"stsd") if stbl else None
-    if stsd is None:
-        raise ValueError("no stsd box")
-    if _u32(data, stsd[0] + 4) == 0:
-        raise ValueError("stsd has no sample descriptions")
-    entry = stsd[0] + 8  # first sample entry's size field
-    size = _u32(data, entry)
-    if size < 16 or entry + size > stsd[1]:
-        raise ValueError(f"bad stsd sample entry size {size}")
+    entry, size = _stsd_first_entry(data)
     codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
     width = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
     height = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
@@ -511,7 +539,9 @@ def codec_profile(media):
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("profile_idc", T.IntegerType(), True),
-        T.StructField("compat_flags", T.IntegerType(), True),
+        # u32 in hvcC — bit 31 (general_profile_compatibility_flag[0])
+        # overflows a signed int32 at Arrow conversion, so LongType.
+        T.StructField("compat_flags", T.LongType(), True),
         T.StructField("level_idc", T.IntegerType(), True),
         T.StructField("codec_string", T.StringType(), False),
         T.StructField("n_samples", T.LongType(), False),
@@ -548,6 +578,342 @@ def codec_profile(media):
     return media.mapInPandas(batches, schema=out_schema)
 
 
+def parse_sps_cross_check(payload: bytes) -> dict:
+    """Bitstream truth vs container claim: locate the avcC record in
+    the video trak's stsd entry (ISO 14496-15 §5.3.3.1), pull the first
+    sequenceParameterSetNALUnit out of its SPS array, parse it at the
+    bit level (operators/h264.parse_sps — Exp-Golomb walk of
+    §7.3.2.1.1), and compare the SPS-derived display size (coded
+    macroblock size minus frame cropping) against the stsd
+    VisualSampleEntry width/height. Scraped corpora routinely carry
+    containers that lie; the SPS is what a decoder obeys, so
+    ``dims_match`` is the filter bit a curation pipeline wants.
+    Returns container_{width,height}, the SPS truth
+    (sps_{profile_idc,constraint_flags,level_idc,chroma_format_idc},
+    coded_{width,height}, sps_{width,height}), and dims_match.
+    Raises for non-avc1 entries or an empty SPS array — for metadata
+    -only fixtures use parse_codec_profile instead."""
+    from bigdata_invoice_stream_analysis_spark.operators.h264 import parse_sps
+
+    data = bytes(payload)
+    entry, size = _stsd_first_entry(data)
+    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
+    container_w = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
+    container_h = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    avcc = None
+    if entry + 86 < entry + size:
+        for t, b, e in walk_boxes(data, entry + 86, entry + size):
+            if t == b"avcC":
+                avcc = (b, e)
+    if avcc is None:
+        raise ValueError(f"no avcC record in {codec!r} sample entry")
+    b = avcc[0]
+    if data[b] != 1:
+        raise ValueError(f"unsupported avcC configurationVersion {data[b]}")
+    n_sps = data[b + 5] & 0x1F
+    if n_sps == 0:
+        raise ValueError("avcC carries no sequence parameter sets")
+    nal_len = struct.unpack(">H", data[b + 6 : b + 8])[0]
+    nal = data[b + 8 : b + 8 + nal_len]
+    if len(nal) != nal_len or b + 8 + nal_len > avcc[1]:
+        raise ValueError("avcC SPS NAL truncated")
+    sps = parse_sps(nal)
+    return {
+        "codec": codec,
+        "container_width": container_w,
+        "container_height": container_h,
+        "sps_profile_idc": sps["profile_idc"],
+        "sps_constraint_flags": sps["constraint_flags"],
+        "sps_level_idc": sps["level_idc"],
+        "sps_chroma_format_idc": sps["chroma_format_idc"],
+        "coded_width": sps["coded_width"],
+        "coded_height": sps["coded_height"],
+        "sps_width": sps["width"],
+        "sps_height": sps["height"],
+        "dims_match": (
+            container_w == sps["width"] and container_h == sps["height"]
+        ),
+    }
+
+
+def sps_cross_check(media):
+    """SPS-vs-container audit over MP4 payloads inside Arrow
+    mapInPandas — one fixed-width row per file with the stsd claims,
+    the bitstream truth, and the match bit. The cheapest possible
+    truth pass over a 100 TB video corpus: moov-only byte ranges, zero
+    data shuffles, no decode. Package is imported on workers
+    (deploy.ensure_package_on_workers)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("container_width", T.IntegerType(), False),
+        T.StructField("container_height", T.IntegerType(), False),
+        T.StructField("sps_profile_idc", T.IntegerType(), False),
+        T.StructField("sps_constraint_flags", T.IntegerType(), False),
+        T.StructField("sps_level_idc", T.IntegerType(), False),
+        T.StructField("sps_chroma_format_idc", T.IntegerType(), False),
+        T.StructField("coded_width", T.IntegerType(), False),
+        T.StructField("coded_height", T.IntegerType(), False),
+        T.StructField("sps_width", T.IntegerType(), False),
+        T.StructField("sps_height", T.IntegerType(), False),
+        T.StructField("dims_match", T.BooleanType(), False),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+            parse_sps_cross_check,
+        )
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                row = parse_sps_cross_check(bytes(p))
+                out["media_id"].append(mid)
+                for k in cols[1:]:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+# ASC samplingFrequencyIndex table (ISO 14496-3 §1.6.3.4).
+_ASC_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _read_descriptor(data: bytes, i: int, end: int) -> tuple[int, int, int]:
+    """MPEG-4 BaseDescriptor header (ISO 14496-1 §8.3.3): tag byte +
+    expandable length — 1-4 bytes, 7 payload bits each, bit 7 set on
+    every byte but the last (real muxers emit both the compact and the
+    padded 0x80 0x80 0x80 xx forms). Returns (tag, body_start,
+    body_end)."""
+    if i >= end:
+        raise ValueError("esds descriptor truncated")
+    tag = data[i]
+    i += 1
+    length = 0
+    for n in range(4):
+        if i >= end:
+            raise ValueError("esds descriptor length truncated")
+        b = data[i]
+        i += 1
+        length = (length << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    else:
+        raise ValueError("esds descriptor length over 4 bytes")
+    if i + length > end:
+        raise ValueError("esds descriptor body truncated")
+    return tag, i, i + length
+
+
+def parse_audio_codec_profile(payload: bytes) -> dict:
+    """Audio twin of parse_codec_profile: the ``soun`` trak's stsd
+    AudioSampleEntry (ISO 14496-12 §12.2.3 — channelcount at entry
+    offset 24, samplesize at 26, 16.16 samplerate at 32; child boxes
+    from 36) and, for mp4a entries, the esds ES_Descriptor chain
+    (ISO 14496-1 §7.2.6.5/.6.6): DecoderConfigDescriptor's
+    objectTypeIndication plus the DecoderSpecificInfo
+    AudioSpecificConfig (ISO 14496-3 §1.6.2.1 — 5-bit audioObjectType,
+    4-bit samplingFrequencyIndex, 4-bit channelConfiguration),
+    rendered as the RFC 6381 string ``mp4a.OO.A`` (hex OTI, decimal
+    AOT). Emits BOTH the container claims and the ASC truth — like
+    the video SPS cross-check, scraped corpora carry mp4a entries
+    whose 16.16 samplerate disagrees with the ASC index the decoder
+    obeys — plus ``rate_match``. Non-mp4a entries (raw PCM fourccs)
+    return the container fields with the esds fields None."""
+    data = bytes(payload)
+    entry, size = _stsd_first_entry(data, handler=b"soun")
+    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
+    channels = struct.unpack(">H", data[entry + 24 : entry + 26])[0]
+    sample_size = struct.unpack(">H", data[entry + 26 : entry + 28])[0]
+    container_rate = _u32(data, entry + 32) >> 16
+    oti = aot = asc_rate = asc_channels = None
+    codec_string = codec
+    if entry + 36 < entry + size:
+        for t, b, e in walk_boxes(data, entry + 36, entry + size):
+            if t != b"esds":
+                continue
+            i = b + 4  # FullBox version/flags
+            tag, ds, de = _read_descriptor(data, i, e)
+            if tag != 0x03:
+                raise ValueError(f"esds does not start with ES_Descriptor ({tag:#x})")
+            # ES_Descriptor: ES_ID u16, then flag byte gating optional
+            # streamDependence / URL / OCR fields (§7.2.6.5).
+            j = ds + 2
+            flags = data[j]
+            j += 1
+            if flags & 0x80:
+                j += 2  # dependsOn_ES_ID
+            if flags & 0x40:
+                j += 1 + data[j]  # URLlength + URLstring
+            if flags & 0x20:
+                j += 2  # OCR_ES_ID
+            tag, cs, ce = _read_descriptor(data, j, de)
+            if tag != 0x04:
+                raise ValueError(f"expected DecoderConfigDescriptor, got {tag:#x}")
+            oti = data[cs]
+            codec_string = f"mp4a.{oti:02x}"
+            # skip streamType/bufferSize/bitrates (13 bytes) to the
+            # optional DecoderSpecificInfo
+            j = cs + 13
+            if j < ce:
+                tag, is_, ie = _read_descriptor(data, j, ce)
+                if tag == 0x05 and ie - is_ >= 2:
+                    asc = struct.unpack(">H", data[is_ : is_ + 2])[0]
+                    aot = asc >> 11
+                    freq_idx = (asc >> 7) & 0xF
+                    asc_channels = (asc >> 3) & 0xF
+                    if freq_idx == 0xF:
+                        # escape: 24-bit explicit frequency follows
+                        if ie - is_ < 5:
+                            raise ValueError("ASC explicit frequency truncated")
+                        asc_rate = (
+                            struct.unpack(">I", data[is_ + 1 : is_ + 5])[0]
+                            >> 7
+                        ) & 0xFFFFFF
+                        asc_channels = (data[is_ + 4] >> 3) & 0xF
+                    elif freq_idx < len(_ASC_RATES):
+                        asc_rate = _ASC_RATES[freq_idx]
+                    if aot == 31:
+                        raise ValueError("escaped audioObjectType unsupported")
+                    codec_string = f"mp4a.{oti:02x}.{aot}"
+    return {
+        "codec": codec,
+        "container_channels": channels,
+        "sample_size": sample_size,
+        "container_sample_rate": container_rate,
+        "oti": oti,
+        "aot": aot,
+        "asc_sample_rate": asc_rate,
+        "asc_channels": asc_channels,
+        "codec_string": codec_string,
+        "rate_match": (
+            asc_rate is None or container_rate == asc_rate
+        ),
+    }
+
+
+def audio_codec_profile(media):
+    """mp4a/esds codec-metadata extraction over MP4 payloads inside
+    Arrow mapInPandas — one fixed-width row per file: container
+    AudioSampleEntry claims, esds/ASC truth, RFC 6381 string, and the
+    rate-match audit bit. The audio-corpus twin of codec_profile:
+    moov-only, zero data shuffles. Package is imported on workers
+    (deploy.ensure_package_on_workers)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("container_channels", T.IntegerType(), False),
+        T.StructField("sample_size", T.IntegerType(), False),
+        T.StructField("container_sample_rate", T.IntegerType(), False),
+        T.StructField("oti", T.IntegerType(), True),
+        T.StructField("aot", T.IntegerType(), True),
+        T.StructField("asc_sample_rate", T.IntegerType(), True),
+        T.StructField("asc_channels", T.IntegerType(), True),
+        T.StructField("codec_string", T.StringType(), False),
+        T.StructField("rate_match", T.BooleanType(), False),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+            parse_audio_codec_profile,
+        )
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                row = parse_audio_codec_profile(bytes(p))
+                out["media_id"].append(mid)
+                for k in cols[1:]:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def _descriptor(tag: int, body: bytes, padded_length: bool = False) -> bytes:
+    """BaseDescriptor with either the compact 1-byte length or the
+    4-byte 0x80-padded expandable form real muxers commonly emit."""
+    if padded_length:
+        n = len(body)
+        hdr = bytes([
+            tag, 0x80 | (n >> 21) & 0x7F, 0x80 | (n >> 14) & 0x7F,
+            0x80 | (n >> 7) & 0x7F, n & 0x7F,
+        ])
+        return hdr + body
+    return bytes([tag, len(body)]) + body
+
+
+def _mp4a_sample_entry(
+    channels: int,
+    samplerate: int,
+    aot: int,
+    freq_index: int,
+    asc_channels: int | None = None,
+    padded_descriptors: bool = False,
+    explicit_rate: int | None = None,
+) -> bytes:
+    """One mp4a AudioSampleEntry (ISO 14496-12 §12.2.3) wrapping a real
+    esds chain — ES_Descriptor(DecoderConfigDescriptor(OTI 0x40 AAC +
+    DecoderSpecificInfo AudioSpecificConfig) + SLConfigDescriptor).
+    The ASC carries ``freq_index``/``asc_channels`` (the truth a
+    decoder obeys); ``samplerate``/``channels`` are the container
+    claims, which fixtures may deliberately set differently.
+    ``explicit_rate`` (with freq_index 0xF) writes the 24-bit
+    escaped-frequency ASC form non-table rates use."""
+    if asc_channels is None:
+        asc_channels = channels
+    if explicit_rate is not None:
+        # 5b AOT + 4b idx=15 + 24b rate + 4b chan + 3b GASpecific
+        val = (
+            (aot << 35) | (0xF << 31) | (explicit_rate << 7)
+            | (asc_channels << 3)
+        )
+        asc = val.to_bytes(5, "big")
+    else:
+        # ASC: 5b AOT + 4b freq index + 4b channel config + 3b GASpecific
+        asc_bits = (aot << 11) | (freq_index << 7) | (asc_channels << 3)
+        asc = struct.pack(">H", asc_bits)
+    dcd_body = (
+        bytes([0x40])                      # objectTypeIndication: AAC
+        + bytes([0x15])                    # streamType 5 (audio) | upStream
+        + b"\x00\x00\x00"                  # bufferSizeDB
+        + struct.pack(">II", 128000, 128000)  # max/avg bitrate
+        + _descriptor(0x05, asc, padded_descriptors)
+    )
+    es_body = (
+        struct.pack(">H", 1)               # ES_ID
+        + bytes([0])                       # no optional fields
+        + _descriptor(0x04, dcd_body, padded_descriptors)
+        + _descriptor(0x06, b"\x02", padded_descriptors)  # SLConfig
+    )
+    esds = _box(
+        b"esds", struct.pack(">I", 0) + _descriptor(0x03, es_body, padded_descriptors)
+    )
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + b"\x00" * 8                        # reserved[2]
+        + struct.pack(">HH", channels, 16)   # channelcount, samplesize
+        + struct.pack(">HH", 0, 0)           # pre_defined, reserved
+        + struct.pack(">I", samplerate << 16)
+        + esds
+    )
+    return _box(b"mp4a", body)
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
 
@@ -571,15 +937,23 @@ def _visual_sample_entry(fourcc: bytes, width: int, height: int, cfg: bytes) -> 
 
 
 def _avc1_sample_entry(
-    width: int, height: int, profile: int, compat: int, level: int
+    width: int,
+    height: int,
+    profile: int,
+    compat: int,
+    level: int,
+    sps_nals: tuple[bytes, ...] = (),
 ) -> bytes:
     """One avc1 VisualSampleEntry with a minimal avcC config record —
-    the stsd shape real H.264 files carry (fixture-only: the parameter
-    sets are empty, which is all metadata extraction needs)."""
-    avcc = _box(
-        b"avcC",
-        bytes([1, profile, compat, level, 0xFF, 0xE0, 0]),
-    )
+    the stsd shape real H.264 files carry. ``sps_nals`` embeds real
+    length-prefixed sequenceParameterSetNALUnits (ISO 14496-15
+    §5.3.3.1), the bitstream-truth payload parse_sps_cross_check
+    extracts; empty means metadata-only fixtures."""
+    body = bytearray([1, profile, compat, level, 0xFF, 0xE0 | len(sps_nals)])
+    for nal in sps_nals:
+        body += struct.pack(">H", len(nal)) + nal
+    body.append(0)  # numOfPictureParameterSets
+    avcc = _box(b"avcC", bytes(body))
     return _visual_sample_entry(b"avc1", width, height, avcc)
 
 
@@ -626,7 +1000,9 @@ def encode_minimal_mp4(
     keyframes: list[int] | None = None,
     audio_trak_first: bool = False,
     avc1: tuple[int, int, int, int, int] | None = None,
+    avc1_sps: tuple[bytes, ...] = (),
     hev1: tuple[int, int, int, int, int, int] | None = None,
+    mp4a: tuple | None = None,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
     mdat holding the frame payloads back-to-back, and a
@@ -640,10 +1016,14 @@ def encode_minimal_mp4(
     empty stbl, the multi-trak shape real files have — the parser must
     pick the ``vide`` trak by hdlr, not by position. ``avc1``
     (width, height, profile, compat, level) writes a real avc1+avcC
-    sample description instead of the 0-entry raw stsd; ``hev1``
+    sample description instead of the 0-entry raw stsd (``avc1_sps``
+    embeds real SPS NAL units in its array — the bitstream truth
+    parse_sps_cross_check audits); ``hev1``
     (width, height, profile_idc, compat, tier, level_idc) likewise an
     hev1+hvcC entry — the codec metadata parse_codec_profile
-    extracts."""
+    extracts. ``mp4a`` (channels, samplerate, aot, freq_index) makes
+    the trak an AUDIO trak (hdlr ``soun``) with a real mp4a+esds
+    entry for parse_audio_codec_profile."""
     if frames is None:
         if frame_sizes is None:
             raise ValueError("need frame_sizes or frames")
@@ -671,9 +1051,15 @@ def encode_minimal_mp4(
     mdat_payload_off = len(ftyp) + 8
     stco = _box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", mdat_payload_off))
     if avc1 is not None:
-        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _avc1_sample_entry(*avc1))
+        stsd = _box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + _avc1_sample_entry(*avc1, sps_nals=avc1_sps),
+        )
     elif hev1 is not None:
         stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _hev1_sample_entry(*hev1))
+    elif mp4a is not None:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _mp4a_sample_entry(*mp4a))
     else:
         stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
     stbl_body = stsd + stts + stsc + stsz + stco
@@ -685,7 +1071,8 @@ def encode_minimal_mp4(
         )
     stbl = _box(b"stbl", stbl_body)
     minf = _box(b"minf", stbl)
-    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    handler = b"soun" if mp4a is not None else b"vide"
+    hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + handler + b"\x00" * 13)
     mdhd = _box(
         b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x55\xc4\x00\x00"
     )

@@ -595,7 +595,7 @@ SELECT media_id,
        CAST(64 + 16 * k AS INT) AS width,
        CAST(48 + 16 * (k % 3) AS INT) AS height,
        CAST(CASE WHEN hevc = 1 THEN hp ELSE ap END AS INT) AS profile_idc,
-       CAST(CASE WHEN hevc = 1 THEN 3 * (1 << (30 - hp)) ELSE ac END AS INT)
+       CAST(CASE WHEN hevc = 1 THEN 3 * (1 << (30 - hp)) ELSE ac END AS BIGINT)
          AS compat_flags,
        CAST(CASE WHEN hevc = 1 THEN hl ELSE al END AS INT) AS level_idc,
        CASE WHEN hevc = 1
@@ -673,6 +673,191 @@ def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 18).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return codec_profile(media.select("media_id", "payload"))
+
+
+@query(
+    "media_sps_cross_check",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 16 AS INT) AS k FROM documents
+),
+v AS (
+  SELECT media_id, k,
+         CASE k % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END AS prof,
+         (k % 4) * 32 AS cons,
+         CASE k % 5 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+                    WHEN 3 THEN 41 ELSE 50 END AS lev,
+         64 + 16 * (k % 5) AS cw,
+         48 + 16 * (k % 4) AS ch,
+         64 + 16 * (k % 5) - 2 * (k % 3) AS sw,
+         48 + 16 * (k % 4) - 2 * (k % 2) AS sh
+  FROM media
+)
+SELECT media_id, 'avc1' AS codec,
+       CAST(CASE WHEN k % 4 = 0 THEN sw + 16 ELSE sw END AS INT)
+         AS container_width,
+       CAST(CASE WHEN k % 4 = 0 THEN sh + 16 ELSE sh END AS INT)
+         AS container_height,
+       CAST(prof AS INT) AS sps_profile_idc,
+       CAST(cons AS INT) AS sps_constraint_flags,
+       CAST(lev AS INT) AS sps_level_idc,
+       CAST(1 AS INT) AS sps_chroma_format_idc,
+       CAST(cw AS INT) AS coded_width,
+       CAST(ch AS INT) AS coded_height,
+       CAST(sw AS INT) AS sps_width,
+       CAST(sh AS INT) AS sps_height,
+       k % 4 <> 0 AS dims_match
+FROM v
+""",
+)
+def q_media_sps_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITSTREAM TRUTH vs CONTAINER CLAIM — the audit a scraped-video
+    curation pipeline needs because stsd width/height are whatever the
+    muxer wrote, while the H.264 SPS inside the avcC record is what a
+    decoder obeys. Every doc maps to a valid MP4 from a bounded
+    16-payload broadcast codebook keyed by doc_id % 16 — variant k's
+    avcC carries a REAL SPS NAL (operators/h264.encode_sps: profile
+    {66,77,100}[k%3] — the 100 rows exercise the high-profile
+    chroma/bit-depth branch — constraint byte (k%4)·32, level
+    {30,31,40,41,50}[k%5], coded size (4+k%5)×(3+k%4) macroblocks,
+    frame cropping right k%3 / bottom k%2 crop units = 2 luma px each
+    at 4:2:0). The stsd entry claims the SPS display size for
+    k%4 != 0 and DELIBERATELY LIES (+16 px both axes) for k%4 == 0 —
+    the mismatch rows a real corpus contains. Executors bit-parse the
+    SPS (Exp-Golomb walk of §7.3.2.1.1 incl. the crop-unit math) and
+    emit claims, truth, and the match bit; the closed-form oracle
+    recomputes everything from k, so a drift anywhere in the bit
+    reader, the Exp-Golomb decode, the high-profile branch, or the
+    §7.4.2.1.1 crop-unit scaling flips the hash. Plan: 16-row
+    broadcast join + moov-only map-side parse, zero data shuffle —
+    the cheapest possible truth pass over a 100 TB video corpus.
+    Reference: n/a (extension surface; the honest-boundary note at
+    operators/multimodal.py — metadata, not frame decode)."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.h264 import encode_sps
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+        sps_cross_check,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    profiles = [66, 77, 100]
+    levels = [30, 31, 40, 41, 50]
+
+    def payload(k: int) -> bytes:
+        prof, cons, lev = profiles[k % 3], (k % 4) * 32, levels[k % 5]
+        sps = encode_sps(
+            prof, cons, lev,
+            width_mbs=4 + (k % 5), height_map_units=3 + (k % 4),
+            crop_right_units=k % 3, crop_bottom_units=k % 2,
+        )
+        sw = 16 * (4 + k % 5) - 2 * (k % 3)
+        sh = 16 * (3 + k % 4) - 2 * (k % 2)
+        lie = 16 if k % 4 == 0 else 0
+        return encode_minimal_mp4(
+            [(k * 7 + i) % 20 + 1 for i in range(k + 1)],
+            avc1=(sw + lie, sh + lie, prof, cons, lev),
+            avc1_sps=(sps,),
+        )
+
+    codebook = spark.createDataFrame(
+        [(k, bytearray(payload(k))) for k in range(16)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 16).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return sps_cross_check(media.select("media_id", "payload"))
+
+
+@query(
+    "media_audio_codec_profile",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 12 AS INT) AS k FROM documents
+),
+v AS (
+  SELECT media_id, k,
+         1 + (k % 2) AS ch,
+         CASE 3 + (k % 5) WHEN 3 THEN 48000 WHEN 4 THEN 44100
+              WHEN 5 THEN 32000 WHEN 6 THEN 24000 ELSE 22050 END AS rate,
+         CASE k % 3 WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 29 END AS aot
+  FROM media
+)
+SELECT media_id, 'mp4a' AS codec,
+       CAST(ch AS INT) AS container_channels,
+       CAST(16 AS INT) AS sample_size,
+       CAST(CASE WHEN k % 4 = 1 THEN rate // 2 ELSE rate END AS INT)
+         AS container_sample_rate,
+       CAST(64 AS INT) AS oti,
+       CAST(aot AS INT) AS aot,
+       CAST(rate AS INT) AS asc_sample_rate,
+       CAST(ch AS INT) AS asc_channels,
+       'mp4a.40.' || CAST(aot AS VARCHAR) AS codec_string,
+       k % 4 <> 1 AS rate_match
+FROM v
+""",
+)
+def q_media_audio_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO codec-metadata extraction — the mp4a/esds twin of
+    media_codec_profile for an audio corpus: the ``soun`` trak's
+    AudioSampleEntry container claims (channels / 16.16 samplerate at
+    the §12.2.3 fixed offsets) plus the esds descriptor chain's truth
+    (ISO 14496-1 expandable-length BaseDescriptors → ES_Descriptor →
+    DecoderConfigDescriptor OTI 0x40 → DecoderSpecificInfo
+    AudioSpecificConfig: 5-bit audioObjectType, 4-bit
+    samplingFrequencyIndex, 4-bit channelConfiguration), rendered as
+    RFC 6381 ``mp4a.40.A``. Every doc maps to a valid audio MP4 from a
+    bounded 12-payload broadcast codebook keyed by doc_id % 12 —
+    variant k: 1+(k%2) channels, ASC freq index 3+(k%5)
+    ({48000,44100,32000,24000,22050} Hz), AOT {2,5,29}[k%3]
+    (AAC-LC / HE-AAC / HE-AACv2); odd k writes the PADDED 4-byte
+    0x80-prefixed descriptor lengths real muxers emit. The container
+    samplerate DELIBERATELY LIES (half the ASC truth) for k%4 == 1 —
+    ``rate_match`` is the audit bit, mirroring the video SPS
+    cross-check. The closed-form oracle recomputes everything from k,
+    so a drift in the descriptor walk, the expandable-length decode,
+    or the ASC bit unpacking flips the hash. Plan: 12-row broadcast
+    join + moov-only map-side parse, zero data shuffle. Reference:
+    n/a (extension surface — the reference has no media path)."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        audio_codec_profile,
+        encode_minimal_mp4,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    aots = [2, 5, 29]
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import _ASC_RATES
+
+    def payload(k: int) -> bytes:
+        rate = _ASC_RATES[3 + (k % 5)]
+        # the lie must fit the u16-integral 16.16 field, so halve
+        claimed = rate // 2 if k % 4 == 1 else rate
+        return encode_minimal_mp4(
+            [(k * 9 + i) % 25 + 1 for i in range(k + 1)],
+            mp4a=(
+                1 + (k % 2), claimed, aots[k % 3], 3 + (k % 5),
+                None, k % 2 == 1,
+            ),
+        )
+
+    codebook = spark.createDataFrame(
+        [(k, bytearray(payload(k))) for k in range(12)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 12).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return audio_codec_profile(media.select("media_id", "payload"))
 
 
 @query(

@@ -414,6 +414,54 @@ def test_codec_profile_avc1():
         M.parse_codec_profile(M.encode_minimal_fmp4([4, 4]))
 
 
+def test_audio_codec_profile_mp4a():
+    """mp4a/esds metadata: AudioSampleEntry fixed offsets (§12.2.3),
+    the ES descriptor chain walk incl. both the compact and padded
+    expandable-length forms (ISO 14496-1 §8.3.3), ASC bit unpacking,
+    RFC 6381 string, and the container-vs-ASC rate audit."""
+    p = M.encode_minimal_mp4([9, 9], mp4a=(2, 44100, 2, 4))
+    r = M.parse_audio_codec_profile(p)
+    assert r == {
+        "codec": "mp4a",
+        "container_channels": 2,
+        "sample_size": 16,
+        "container_sample_rate": 44100,
+        "oti": 0x40,
+        "aot": 2,
+        "asc_sample_rate": 44100,
+        "asc_channels": 2,
+        "codec_string": "mp4a.40.2",
+        "rate_match": True,
+    }
+    # container claims half the ASC truth → audit bit trips
+    lie = M.encode_minimal_mp4([9], mp4a=(1, 22050, 5, 4))
+    rl = M.parse_audio_codec_profile(lie)
+    assert rl["rate_match"] is False
+    assert rl["asc_sample_rate"] == 44100
+    assert rl["codec_string"] == "mp4a.40.5"
+    # padded 0x80-prefixed 4-byte descriptor lengths parse identically
+    pad = M.encode_minimal_mp4([9], mp4a=(2, 48000, 2, 3, None, True))
+    assert M.parse_audio_codec_profile(pad) == M.parse_audio_codec_profile(
+        M.encode_minimal_mp4([9], mp4a=(2, 48000, 2, 3))
+    )
+    # ASC explicit-frequency escape: index 15 + 24-bit rate (the form
+    # non-standard rates like 44056 NTSC-pulldown audio actually use)
+    esc = M.encode_minimal_mp4(
+        [9], mp4a=(2, 44056, 2, 0xF, None, False, 44056)
+    )
+    re_ = M.parse_audio_codec_profile(esc)
+    assert re_["asc_sample_rate"] == 44056
+    assert re_["asc_channels"] == 2
+    assert re_["rate_match"] is True
+    # video-only file: loud failure, no positional fallback
+    with pytest.raises(ValueError, match="soun"):
+        M.parse_audio_codec_profile(
+            M.encode_minimal_mp4([4], avc1=(64, 48, 66, 0, 30))
+        )
+    # audio trak demuxes like any other (sample tables intact)
+    assert M.parse_mp4(p)["sizes"] == [9, 9]
+
+
 def test_box_walker_handles_largesize_and_to_end():
     body = b"\x01\x02\x03"
     large = (
