@@ -1182,9 +1182,10 @@ def _stage_bucketed_text(
     )
 
 
-@query(
-    "streaming_full_pipeline",
-    oracle=f"""
+# Shared by streaming_full_pipeline (4 independent queries) and
+# streaming_full_pipeline_router (3 queries, anomaly fan-out router):
+# both topologies must produce row-identical sink contents.
+FULL_PIPELINE_ORACLE = f"""
 WITH {PURCHASE_CTE}, {LINES_CTE},
 wm AS (
   SELECT max(strptime({SQL_FIELDS}[5], '%m/%d/%Y %H:%M')) - INTERVAL 10 MINUTE AS w
@@ -1226,8 +1227,10 @@ SELECT 'cancelaciones' AS sink, strftime(ws, '%Y-%m-%d %H:%M:%S') AS k1,
 FROM cw, wm WHERE ws + INTERVAL 8 MINUTE <= wm.w
 UNION ALL{_pipe_anomaly_select("anomalias_kmeans", SCORING_CENTROIDS, SCORING_THRESHOLD)}
 UNION ALL{_pipe_anomaly_select("anomalias_bisect_kmeans", BISECT_CENTROIDS, BISECT_THRESHOLD)}
-""",
-)
+"""
+
+
+@query("streaming_full_pipeline", oracle=FULL_PIPELINE_ORACLE)
 def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's WHOLE deployment under one gate
     (InvoicePipeline.scala:31-154): streaming/app.py::run_pipeline wires
@@ -1263,11 +1266,50 @@ def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets one slow sink lag without backpressuring the rest. State: the
     window aggs hold O(open windows), the feature agg O(open invoices),
     both watermark/update bounded; scoring is plan-literal codegen."""
+    from bigdata_invoice_stream_analysis_spark.streaming.app import run_pipeline
+
+    return _run_full_pipeline_gate(spark, sf_dir, run_pipeline, "full_pipe")
+
+
+@query("streaming_full_pipeline_router", oracle=FULL_PIPELINE_ORACLE)
+def q_streaming_full_pipeline_router(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SHARED-SCAN twin of streaming_full_pipeline:
+    streaming/app.py::run_pipeline_router collapses the two anomaly
+    sinks into ONE streaming query — the per-invoice feature
+    aggregation (the expensive stateful stage) runs once per
+    micro-batch instead of once per model, and a foreachBatch router
+    scores the batch against both centroid models and fans out through
+    the idempotent batch_id-overwrite writer (all sinks replay
+    together, so the multi-sink write is batch-transactional). 3
+    source scans + 1 feature-agg state store per micro-batch vs the
+    4-query topology's 4 + 2 — the arithmetic that dominates at 100 TB
+    (PERF.md compares the two plans). Same staged event-time-ordered
+    buckets, same oracle, row-identical output: the gate IS the proof
+    of output equivalence between the two deployment shapes."""
+    from bigdata_invoice_stream_analysis_spark.streaming.app import (
+        run_pipeline_router,
+    )
+
+    return _run_full_pipeline_gate(
+        spark, sf_dir, run_pipeline_router, "full_pipe_router"
+    )
+
+
+def _run_full_pipeline_gate(
+    spark: SparkSession, sf_dir: str, runner, prefix: str
+) -> DataFrame:
+    """Shared drain/read/flatten body for the two full-pipeline
+    topology gates: stage event-time-ordered line buckets, run the
+    topology under ``runner`` (run_pipeline or run_pipeline_router)
+    with parquet sinks + fresh checkpoints, then flatten all four sink
+    outputs into one (sink, k1, k2, n) relation for the shared
+    oracle."""
     from bigdata_invoice_stream_analysis_spark.scratch import fresh_checkpoint
     from bigdata_invoice_stream_analysis_spark.streaming.app import (
         ModelSpec,
         PipelineConfig,
-        run_pipeline,
     )
     from bigdata_invoice_stream_analysis_spark.streaming.sources import (
         file_lines_source,
@@ -1296,10 +1338,10 @@ def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _stage_bucketed_text(
         spark,
         ln.select(bkt.cast("int").alias("bkt"), "value"),
-        "full_pipe",
+        prefix,
     )
     lines = file_lines_source(spark, staged, max_files_per_trigger=1)
-    out_dir = fresh_checkpoint("full_pipe_out_")
+    out_dir = fresh_checkpoint(f"{prefix}_out_")
     cfg = PipelineConfig(
         sink_mode="parquet",
         out_dir=out_dir,
@@ -1318,7 +1360,7 @@ def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = []
     try:
-        queries = run_pipeline(lines, cfg)
+        queries = runner(lines, cfg)
         for q_ in queries:
             if not q_.awaitTermination(300):
                 raise TimeoutError(

@@ -142,6 +142,105 @@ def run_pipeline(lines: DataFrame, cfg: PipelineConfig) -> list[StreamingQuery]:
     return queries
 
 
+def _model_router(
+    updates: DataFrame, specs: list[tuple[str, ModelSpec]], cfg: PipelineConfig
+) -> StreamingQuery:
+    """ONE streaming query carrying BOTH anomaly sinks: the stateful
+    per-invoice feature aggregation runs once, and a foreachBatch
+    router scores each micro-batch against every model and fans out
+    transactionally (idempotent batch_id overwrite per sink — a replay
+    rewrites every sink's partition, so the multi-sink write is
+    all-or-nothing at the batch level). This is the shape a 100 TB
+    deployment prefers over per-model queries: one source scan and ONE
+    feature-agg state store per micro-batch instead of one per model
+    (the run_pipeline topology keeps per-sink offsets instead — the
+    trade is isolation vs duplicated scan+state; PERF.md compares)."""
+    def route(bdf: DataFrame, bid: int) -> None:
+        bdf.persist()
+        try:
+            for topic, spec in specs:
+                flagged = scoring.anomalies_with_centroids(
+                    bdf, spec.centers, spec.threshold, cfg.feature_cols
+                )
+                if cfg.sink_mode == "parquet":
+                    sinks.overwrite_batch(flagged, bid, f"{cfg.out_dir}/{topic}")
+                elif cfg.sink_mode == "kafka":
+                    (
+                        sinks.to_kafka_records(flagged, key_col=flagged.columns[0])
+                        .write.format("kafka")
+                        .option("kafka.bootstrap.servers", cfg.brokers)
+                        .option("topic", topic)
+                        .save()
+                    )
+                else:
+                    raise ValueError(
+                        "the foreachBatch router needs an idempotent "
+                        f"batch sink; sink_mode {cfg.sink_mode!r} is not"
+                    )
+        finally:
+            bdf.unpersist()
+
+    return sinks.foreach_batch_collector(
+        updates,
+        route,
+        output_mode="update",
+        checkpoint=f"{cfg.out_dir}/_checkpoints/anomalias_router",
+        trigger_available_now=cfg.available_now,
+    )
+
+
+def run_pipeline_router(
+    lines: DataFrame, cfg: PipelineConfig
+) -> list[StreamingQuery]:
+    """run_pipeline's shared-scan twin: the stateless invalid-line sink
+    and the windowed cancellation sink keep their own queries (their
+    state machines are distinct), but the N anomaly sinks collapse into
+    ONE query via the foreachBatch model router — N+2 source scans and
+    N feature-agg state stores become 3 scans and 1 store for the
+    reference's 4-sink deployment. Output is row-identical to
+    run_pipeline (the streaming_full_pipeline_router gate pins both
+    against one oracle)."""
+    queries: list[StreamingQuery] = []
+    try:
+        queries.append(
+            _start(P.invalid_lines(lines), TOPIC_INVALID, cfg, "append")
+        )
+        queries.append(
+            _start(
+                P.cancellation_counts(
+                    lines, window=cfg.window, slide=cfg.slide,
+                    watermark=cfg.watermark, time_mode=cfg.time_mode,
+                ),
+                TOPIC_CANCELLATIONS, cfg, "append",
+            )
+        )
+        if cfg.models:
+            purchases = P.good_purchases(lines, time_mode=cfg.time_mode)
+            if cfg.legacy_state:
+                updates = state.apply_invoice_state(purchases)
+            else:
+                updates = P.invoice_updates(
+                    purchases, weighted_avg=cfg.weighted_avg
+                )
+            topic_by_model = {
+                "kmeans": TOPIC_ANOMALIES_KMEANS,
+                "bisecting": TOPIC_ANOMALIES_BISECT,
+            }
+            specs = [
+                (topic_by_model.get(m, f"anomalias_{m}"), spec)
+                for m, spec in cfg.models.items()
+            ]
+            queries.append(_model_router(updates, specs, cfg))
+    except Exception:
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass  # best-effort cleanup; the wiring error propagates
+        raise
+    return queries
+
+
 def await_all(queries: list[StreamingQuery], timeout: int | None = None) -> None:
     for q in queries:
         q.awaitTermination(timeout)

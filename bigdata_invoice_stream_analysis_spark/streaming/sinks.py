@@ -194,6 +194,27 @@ def foreach_batch_collector(
     return writer.start()
 
 
+def overwrite_batch(bdf: DataFrame, bid: int, path: str) -> None:
+    """The idempotent micro-batch write primitive: land the batch in
+    ``batch_id=N/`` with dynamic partition overwrite, so a replayed
+    batch (crash between sink write and checkpoint commit) overwrites
+    its own previous attempt instead of appending duplicates. Used by
+    idempotent_parquet_sink and by foreachBatch routers that fan one
+    batch out to several sinks transactionally."""
+    spark = bdf.sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            bdf.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
 def idempotent_parquet_sink(
     df: DataFrame,
     path: str,
@@ -213,18 +234,7 @@ def idempotent_parquet_sink(
     to any transactional target (JDBC upsert keyed on batch_id, Delta
     txn appId/version)."""
     def write(bdf: DataFrame, bid: int) -> None:
-        spark = bdf.sparkSession
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                bdf.withColumn("batch_id", F.lit(bid))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        overwrite_batch(bdf, bid, path)
 
     writer = df.writeStream.foreachBatch(write).outputMode(output_mode).option(
         "checkpointLocation", checkpoint

@@ -72,3 +72,30 @@ def test_rotation_covers_every_never_graded_query():
     never = sorted(set(QUERIES) - ever)
     left_out = [n for n in never if n not in GRADED_50]
     assert not left_out, f"never-graded queries missing a slot: {left_out}"
+
+
+def test_no_row_goes_stale_beyond_four_rounds():
+    """Freshness invariant (VERDICT r6 item 6): every registered query
+    must either be in this round's window or have a driver grade at
+    most 4 rounds old — the rotation must visit the whole registry on
+    a bounded cadence, not just the squeaky wheels. A query whose
+    newest row is from round GRADED_ROUND-5 or older and is NOT being
+    re-graded this round fails."""
+    import json
+    import re
+
+    from bigdata_invoice_stream_analysis_spark.plans.graded import GRADED_ROUND
+
+    root = Path(__file__).resolve().parents[1]
+    newest: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        if rnd < GRADED_ROUND:
+            for name in json.loads(p.read_text()):
+                newest[name] = max(newest.get(name, 0), rnd)
+    stale = sorted(
+        n
+        for n, rnd in newest.items()
+        if n in QUERIES and GRADED_ROUND - rnd > 4 and n not in GRADED_50
+    )
+    assert not stale, f"rows stale >4 rounds and not in the window: {stale}"
