@@ -485,6 +485,35 @@ def parse_codec_profile(payload: bytes) -> dict:
                 codec_string = _hevc_codec_string(
                     codec, space, tier, profile, compat, constraints, level
                 )
+            elif t == b"av1C":
+                # AV1CodecConfigurationRecord (AV1-ISOBMFF binding
+                # §2.3): marker(1)=1 | version(7)=1, then
+                # seq_profile(3) | seq_level_idx_0(5), then
+                # seq_tier_0(1) | high_bitdepth(1) | twelve_bit(1) |
+                # monochrome(1) | ssx(1) | ssy(1) | sample_pos(2).
+                if data[b] != 0x81:
+                    raise ValueError(
+                        f"unsupported av1C marker/version {data[b]:#x}"
+                    )
+                profile = data[b + 1] >> 5
+                level = data[b + 1] & 0x1F
+                tier = data[b + 2] >> 7
+                high_bd = (data[b + 2] >> 6) & 1
+                twelve = (data[b + 2] >> 5) & 1
+                compat = None
+                # Bit depth (AV1 spec §6.4.1 color_config): profile 2
+                # with high_bitdepth may be 12-bit; else 10 or 8.
+                if high_bd:
+                    depth = 12 if (profile == 2 and twelve) else 10
+                else:
+                    depth = 8
+                # AV1 Codecs Parameter String (binding §5, short form):
+                # av01.P.LLT.DD — decimal profile, 2-digit level,
+                # M/H tier, 2-digit bit depth.
+                codec_string = (
+                    f"av01.{profile}.{level:02d}{'H' if tier else 'M'}"
+                    f".{depth:02d}"
+                )
     return {
         "codec": codec,
         "width": width,
@@ -673,6 +702,132 @@ def sps_cross_check(media):
             out = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 row = parse_sps_cross_check(bytes(p))
+                out["media_id"].append(mid)
+                for k in cols[1:]:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def parse_hevc_sps_cross_check(payload: bytes) -> dict:
+    """The HEVC twin of parse_sps_cross_check: locate the hvcC record
+    in the video trak's stsd entry (ISO 14496-15 §8.3.3.1), pull the
+    first NAL out of its SPS array (array NAL_unit_type 33), bit-parse
+    it (operators/h265.parse_hevc_sps — Exp-Golomb walk of §7.3.2.2.1
+    incl. the fixed-width profile_tier_level and the §7.4.3.2.1
+    conformance-window SubWidthC/SubHeightC scaling), and compare the
+    SPS-derived output size against the stsd VisualSampleEntry claims.
+    Also cross-checks the hvcC record HEAD against the SPS
+    profile/tier/level (record_match) — re-muxed corpora carry hvcC
+    heads rebuilt from guesses while the SPS is untouched. Raises for
+    entries without an hvcC SPS array — metadata-only fixtures use
+    parse_codec_profile instead."""
+    from bigdata_invoice_stream_analysis_spark.operators.h265 import (
+        parse_hevc_sps,
+    )
+
+    data = bytes(payload)
+    entry, size = _stsd_first_entry(data)
+    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
+    container_w = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
+    container_h = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    hvcc = None
+    if entry + 86 < entry + size:
+        for t, b, e in walk_boxes(data, entry + 86, entry + size):
+            if t == b"hvcC":
+                hvcc = (b, e)
+    if hvcc is None:
+        raise ValueError(f"no hvcC record in {codec!r} sample entry")
+    b, end = hvcc
+    if data[b] != 1:
+        raise ValueError(f"unsupported hvcC configurationVersion {data[b]}")
+    rec_tier = (data[b + 1] >> 5) & 1
+    rec_profile = data[b + 1] & 0x1F
+    rec_level = data[b + 12]
+    # NAL arrays start after the 22-byte record head + numOfArrays byte
+    # (§8.3.3.1: bytes 13..21 are the fixed mid fields).
+    i = b + 22
+    n_arrays = data[i]
+    i += 1
+    nal = None
+    for _ in range(n_arrays):
+        if i + 3 > end:
+            raise ValueError("hvcC NAL array truncated")
+        nal_type = data[i] & 0x3F
+        n_nalus = struct.unpack(">H", data[i + 1 : i + 3])[0]
+        i += 3
+        for _ in range(n_nalus):
+            ln = struct.unpack(">H", data[i : i + 2])[0]
+            if i + 2 + ln > end:
+                raise ValueError("hvcC NAL unit truncated")
+            if nal_type == 33 and nal is None:
+                nal = data[i + 2 : i + 2 + ln]
+            i += 2 + ln
+    if nal is None:
+        raise ValueError("hvcC carries no SPS array")
+    sps = parse_hevc_sps(nal)
+    return {
+        "codec": codec,
+        "container_width": container_w,
+        "container_height": container_h,
+        "sps_profile_idc": sps["profile_idc"],
+        "sps_tier_flag": sps["tier_flag"],
+        "sps_level_idc": sps["level_idc"],
+        "sps_chroma_format_idc": sps["chroma_format_idc"],
+        "coded_width": sps["coded_width"],
+        "coded_height": sps["coded_height"],
+        "sps_width": sps["width"],
+        "sps_height": sps["height"],
+        "dims_match": (
+            container_w == sps["width"] and container_h == sps["height"]
+        ),
+        "record_match": (
+            rec_profile == sps["profile_idc"]
+            and rec_tier == sps["tier_flag"]
+            and rec_level == sps["level_idc"]
+        ),
+    }
+
+
+def hevc_sps_cross_check(media):
+    """HEVC SPS-vs-container audit over MP4 payloads inside Arrow
+    mapInPandas — stsd claims, hvcC-record claims, bitstream truth, and
+    the two match bits, one fixed-width row per file. Same 100 TB shape
+    as the H.264 twin: moov-only byte ranges, zero data shuffles, no
+    decode. Package is imported on workers
+    (deploy.ensure_package_on_workers)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("container_width", T.IntegerType(), False),
+        T.StructField("container_height", T.IntegerType(), False),
+        T.StructField("sps_profile_idc", T.IntegerType(), False),
+        T.StructField("sps_tier_flag", T.IntegerType(), False),
+        T.StructField("sps_level_idc", T.IntegerType(), False),
+        T.StructField("sps_chroma_format_idc", T.IntegerType(), False),
+        T.StructField("coded_width", T.IntegerType(), False),
+        T.StructField("coded_height", T.IntegerType(), False),
+        T.StructField("sps_width", T.IntegerType(), False),
+        T.StructField("sps_height", T.IntegerType(), False),
+        T.StructField("dims_match", T.BooleanType(), False),
+        T.StructField("record_match", T.BooleanType(), False),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+            parse_hevc_sps_cross_check,
+        )
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                row = parse_hevc_sps_cross_check(bytes(p))
                 out["media_id"].append(mid)
                 for k in cols[1:]:
                     out[k].append(row[k])
@@ -965,18 +1120,28 @@ def _hev1_sample_entry(
     tier: int,
     level_idc: int,
     constraints: bytes = b"",
+    sps_nals: tuple[bytes, ...] = (),
 ) -> bytes:
     """One hev1 VisualSampleEntry with a minimal hvcC
-    HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1; empty
-    parameter-set arrays — fixture-only, metadata extraction needs no
-    NALs): version, space/tier/profile byte, u32 compat flags, 48-bit
-    constraints, level, then the fixed mid fields and numOfArrays=0."""
+    HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1): version,
+    space/tier/profile byte, u32 compat flags, 48-bit constraints,
+    level, the fixed mid fields, then the NAL arrays — empty for
+    metadata-only fixtures, or one SPS array (NAL type 33, §8.3.3.1.2
+    array layout: completeness/type byte, u16 numNalus, each u16
+    length + NAL bytes) carrying the bitstream truth
+    parse_hevc_sps_cross_check audits."""
     head = (
         bytes([1, ((tier & 1) << 5) | (profile_idc & 0x1F)])
         + struct.pack(">I", compat)
         + (constraints + b"\x00" * 6)[:6]
         + bytes([level_idc])
     )
+    arrays = bytearray([1 if sps_nals else 0])  # numOfArrays
+    if sps_nals:
+        arrays += bytes([0x80 | 33])  # array_completeness=1, NAL type SPS
+        arrays += struct.pack(">H", len(sps_nals))
+        for nal in sps_nals:
+            arrays += struct.pack(">H", len(nal)) + nal
     tail = (
         struct.pack(">H", 0xF000)   # reserved + min_spatial_segmentation
         + bytes([0xFC])             # reserved + parallelismType
@@ -985,11 +1150,44 @@ def _hev1_sample_entry(
         + bytes([0xF8])             # reserved + bitDepthChromaMinus8
         + struct.pack(">H", 0)      # avgFrameRate
         + bytes([0x03])             # cfr/layers/nested/lengthSizeMinusOne
-        + bytes([0])                # numOfArrays
+        + bytes(arrays)
     )
     return _visual_sample_entry(
         b"hev1", width, height, _box(b"hvcC", head + tail)
     )
+
+
+def _av01_sample_entry(
+    width: int,
+    height: int,
+    seq_profile: int,
+    seq_level_idx: int,
+    seq_tier: int = 0,
+    high_bitdepth: int = 0,
+    twelve_bit: int = 0,
+    monochrome: int = 0,
+) -> bytes:
+    """One av01 VisualSampleEntry with an av1C
+    AV1CodecConfigurationRecord (public AV1 Codec ISO Media File Format
+    Binding §2.3): marker/version byte 0x81, then
+    {seq_profile(3) | seq_level_idx_0(5)},
+    {seq_tier_0(1) | high_bitdepth(1) | twelve_bit(1) | monochrome(1) |
+    chroma_subsampling_x(1) | chroma_subsampling_y(1) |
+    chroma_sample_position(2)}, and a reserved/delay byte; configOBUs
+    omitted (optional — fixtures are metadata-only, matching the
+    empty-array hvcC fixtures)."""
+    ssx = ssy = 1 if monochrome else 1  # 4:2:0 (and mono implies 1,1)
+    byte1 = ((seq_profile & 0x7) << 5) | (seq_level_idx & 0x1F)
+    byte2 = (
+        ((seq_tier & 1) << 7)
+        | ((high_bitdepth & 1) << 6)
+        | ((twelve_bit & 1) << 5)
+        | ((monochrome & 1) << 4)
+        | ((ssx & 1) << 3)
+        | ((ssy & 1) << 2)
+    )
+    av1c = _box(b"av1C", bytes([0x81, byte1, byte2, 0]))
+    return _visual_sample_entry(b"av01", width, height, av1c)
 
 
 def encode_minimal_mp4(
@@ -1002,6 +1200,8 @@ def encode_minimal_mp4(
     avc1: tuple[int, int, int, int, int] | None = None,
     avc1_sps: tuple[bytes, ...] = (),
     hev1: tuple[int, int, int, int, int, int] | None = None,
+    hev1_sps: tuple[bytes, ...] = (),
+    av01: tuple | None = None,
     mp4a: tuple | None = None,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
@@ -1021,7 +1221,11 @@ def encode_minimal_mp4(
     parse_sps_cross_check audits); ``hev1``
     (width, height, profile_idc, compat, tier, level_idc) likewise an
     hev1+hvcC entry — the codec metadata parse_codec_profile
-    extracts. ``mp4a`` (channels, samplerate, aot, freq_index) makes
+    extracts (``hev1_sps`` embeds real HEVC SPS NAL units in an hvcC
+    array for parse_hevc_sps_cross_check); ``av01``
+    (width, height, seq_profile, seq_level_idx, seq_tier,
+    high_bitdepth, twelve_bit, monochrome) an av01+av1C entry.
+    ``mp4a`` (channels, samplerate, aot, freq_index) makes
     the trak an AUDIO trak (hdlr ``soun``) with a real mp4a+esds
     entry for parse_audio_codec_profile."""
     if frames is None:
@@ -1057,7 +1261,15 @@ def encode_minimal_mp4(
             + _avc1_sample_entry(*avc1, sps_nals=avc1_sps),
         )
     elif hev1 is not None:
-        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _hev1_sample_entry(*hev1))
+        stsd = _box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + _hev1_sample_entry(*hev1, sps_nals=hev1_sps),
+        )
+    elif av01 is not None:
+        stsd = _box(
+            b"stsd", struct.pack(">II", 0, 1) + _av01_sample_entry(*av01)
+        )
     elif mp4a is not None:
         stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _mp4a_sample_entry(*mp4a))
     else:

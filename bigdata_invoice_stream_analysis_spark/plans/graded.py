@@ -8,36 +8,43 @@ layout — so the graded window is instead curated here as a deliberate,
 checked-in artifact and the entry point reorders the registry to put
 it first.
 
-Composition (round 6 — the CLOSING rotation: after this round every
-registered query has at least one driver correctness row):
+Composition (round 7 — the registry closed in r6; from here the window
+is pins + new code + changed code + a freshness rotation that keeps
+every row's newest driver grade ≤ 4 rounds old, the invariant
+tests/test_graded_window.py enforces):
   * 11 §2 pins (S1, P1-P9, P11, A1-A4, A6, T1, W1, M3, M4 keep driver
     rows; the three iterative-ML rows-only pins stay rotated out per
     the round-5 rationale — their scoring logic is hash-gated through
     centroid_anomalies and r04's elbow_selection_table).
-  * ALL 17 queries with no prior driver row — the 2 NEW this round
-    (streaming_full_pipeline: the composed run_pipeline topology gate,
-    4 concurrent sinks over one staged source; media_codec_profile:
-    stsd/avcC codec-metadata extraction), the 3 staged round-6 leads
-    (streaming_state_list_map, media_fmp4_video_frames,
-    media_keyframe_index), and the 12 r04-era parity-only tail.
-  * Changed-code re-pins (the standing rule): the 4 state drain gates
-    (streaming_custom_state / streaming_state_v2 / streaming_state_ttl
-    / streaming_state_timers — their shared _stage_bucketed_stream
-    staging changed this round) and the 2 progressive-MP4 media gates
-    (media_mp4_frame_index, media_video_frames — parse_mp4 gained the
-    multi-trun offset carry, largesize-moof anchor, and stsd codec
-    parsing).
-  * 16 freshness refreshes: the queries whose only driver rows are the
-    OLDEST (all 9 remaining r01-era rows, then 7 r02-era across the
-    dedup/ANN/text families) — with the registry fully graded, spare
-    slots go to re-confirming the stalest rows.
+  * 5 NEW this round (new code is always graded):
+    media_sps_cross_check (H.264 SPS Exp-Golomb bitstream truth vs
+    stsd container claims, deliberate planted lies),
+    media_hevc_sps_cross_check (the H.265 twin, plus the hvcC-head
+    record_match audit), media_audio_codec_profile (mp4a/esds
+    AudioSpecificConfig + RFC 6381 strings, container-rate lies),
+    media_av1_codec_profile (av1C → AV1 codecs parameter string —
+    the codec matrix now covers AVC/HEVC/AV1), and
+    streaming_full_pipeline_router (the shared-scan foreachBatch
+    anomaly-fanout topology, pinned against the same oracle as the
+    4-query shape — output equivalence proof).
+  * 2 changed-code re-pins (the standing rule): media_codec_profile
+    (compat_flags IntegerType→LongType, ADVICE r6) and
+    streaming_full_pipeline (gate body refactored into the shared
+    _run_full_pipeline_gate; idempotent sink write extracted to
+    overwrite_batch).
+  * 32 freshness refreshes: ALL 28 rows whose newest driver grade is
+    r02 (they hit the >4-rounds-stale invariant this round), then 4
+    stalest-family r03 representatives (2 streaming drains incl.
+    the bench-anchored error_purchase_join + 2 batch; 2 batch slots
+    ceded to the late-round HEVC/AV1 queries).
 
-Ever-graded after this round: 183 of 183 registered (166 through r05
-+ 17 first-ever here). Rotate per round: queries displaced this round
-keep their green rows from CORRECTNESS_r01-r05 and remain locally
-parity-gated by tests/test_oracle_parity.py over ALL registered
-oracles. tests/test_graded_window.py asserts the window matches this
-list so slot changes are deliberate diffs, not import-order accidents.
+Ever-graded: 183/183 registered before this round; the 5 new queries
+make 188, all graded by this window. Rotate per round: queries
+displaced this round keep their green rows from CORRECTNESS_r01-r06
+and remain locally parity-gated by tests/test_oracle_parity.py over
+ALL registered oracles. tests/test_graded_window.py asserts the window
+matches this list so slot changes are deliberate diffs, not
+import-order accidents.
 """
 
 from __future__ import annotations
@@ -50,7 +57,7 @@ from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
 
 # The round this window was curated FOR: freshness checks compare the
 # window against driver rows from rounds strictly before this one.
-GRADED_ROUND = 6
+GRADED_ROUND = 7
 
 GRADED_50: list[str] = [
     # --- §2 operator pins (reference operators keep green rows) ---
@@ -66,51 +73,50 @@ GRADED_50: list[str] = [
     "sliding_window_errors",     # A3 W1
     "centroid_anomalies",        # P11 M3 M4
     # --- NEW this round (new code is always graded) ---
-    "streaming_full_pipeline",   # run_pipeline: 4 concurrent sinks,
-                                 # one staged source (IP:31-154)
-    "media_codec_profile",       # stsd/avcC codec metadata (RFC 6381)
-    # --- the 3 staged round-6 leads (registered late r5) ---
-    "streaming_state_list_map",  # v2 List+Map typed state
-    "media_fmp4_video_frames",   # fragmented-MP4 MJPEG e2e decode
-    "media_keyframe_index",      # stss keyframe-only sampling
-    # --- the 12 r04-era parity-only tail (last never-graded rows) ---
-    "pareto_frontier_parts",
-    "customer_revenue_gini",
-    "sentence_stats_udtf",
-    "unpivot_metrics",
-    "centroid_silhouette",
-    "table_diff_audit",
-    "media_resize_profile",
-    "fk_integrity_audit",
-    "corpus_curation_funnel",
-    "length_bucketed_batches",
-    "crossmodal_sample_audit",
-    "event_dow_hour_heatmap",
-    # --- changed-code re-pins (staging / parse_mp4 touched r6) ---
-    "streaming_custom_state",
-    "streaming_state_v2",
-    "streaming_state_ttl",
-    "streaming_state_timers",
-    "media_mp4_frame_index",
-    "media_video_frames",
-    # --- freshness refreshes: stalest driver rows first (9× r01) ---
-    "order_status_cube",
-    "orders_above_avg",
-    "priority_distinct_reach",
-    "repeat_customers",
-    "rolling_user_value",
-    "segment_active_customers",
-    "status_priority_pivot",
-    "time_since_error",
-    "top_parts_per_nation",
-    # --- (7× r02: dedup / ANN / text family representatives) ---
-    "ann_cosine_topk",
-    "dedup_components",
-    "exact_dedup_groups",
-    "minhash_lsh_dedup",
-    "language_id",
-    "nation_revenue",
-    "embedding_dup_pairs",
+    "media_sps_cross_check",     # H.264 SPS Exp-Golomb vs stsd claims
+    "media_hevc_sps_cross_check",  # H.265 SPS + hvcC-head cross-check
+    "media_audio_codec_profile", # mp4a/esds ASC + RFC 6381
+    "media_av1_codec_profile",   # av1C + AV1 codecs parameter string
+    "streaming_full_pipeline_router",  # shared-scan topology twin
+    # --- changed-code re-pins ---
+    "media_codec_profile",       # compat_flags → LongType (ADVICE r6)
+    "streaming_full_pipeline",   # gate body refactor + overwrite_batch
+    # --- freshness: ALL 28 rows whose newest grade is r02 ---
+    "token_counts",
+    "order_priority_rollup",
+    "pricing_summary",
+    "top_suppliers",
+    "price_percentiles",
+    "segment_order_gap",
+    "unordered_parts",
+    "user_sessions",
+    "text_quality",
+    "ngram_jaccard_dedup",
+    "simhash_fingerprints",
+    "simhash_dedup_pairs",
+    "ann_ivf_topk",
+    "media_byte_stats",
+    "term_doc_frequency",
+    "media_frame_samples",
+    "stratified_split",
+    "tfidf_top_terms",
+    "split_contamination",
+    "label_embedding_centroids",
+    "minhash_lsh_dedup_arrow",
+    "ivf_cells_literal",
+    "doc_repetition",
+    "dedup_survivors",
+    "ann_sq8_topk",
+    "knn_label_vote",
+    "embedding_norm_stats",
+    "entity_hash_sample",
+    # --- freshness: 4 stalest-family r03 representatives (2 slots
+    # ceded to the late-round HEVC/AV1 queries; r03 rows age into the
+    # mandatory set next round either way) ---
+    "streaming_error_windows",
+    "streaming_error_purchase_join",
+    "copurchase_pagerank",
+    "pii_redaction",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

@@ -861,6 +861,209 @@ def q_media_audio_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_hevc_sps_cross_check",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 14 AS INT) AS k FROM documents
+),
+v AS (
+  SELECT media_id, k,
+         1 + (k % 2) AS prof,
+         (k // 2) % 2 AS tier,
+         CASE k % 5 WHEN 0 THEN 90 WHEN 1 THEN 93 WHEN 2 THEN 120
+                    WHEN 3 THEN 123 ELSE 150 END AS lev,
+         CASE k % 4 WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 1 END AS cf,
+         64 + 16 * (k % 5) AS cw,
+         48 + 16 * (k % 4) AS ch
+  FROM media
+),
+w AS (
+  SELECT *,
+         CASE WHEN cf IN (1, 2) THEN 2 ELSE 1 END AS sub_w,
+         CASE WHEN cf = 1 THEN 2 ELSE 1 END AS sub_h
+  FROM v
+),
+x AS (
+  SELECT *,
+         cw - sub_w * (k % 3) AS sw,
+         ch - sub_h * (k % 2) AS sh
+  FROM w
+)
+SELECT media_id, 'hev1' AS codec,
+       CAST(CASE WHEN k % 4 = 2 THEN sw + 16 ELSE sw END AS INT)
+         AS container_width,
+       CAST(CASE WHEN k % 4 = 2 THEN sh + 16 ELSE sh END AS INT)
+         AS container_height,
+       CAST(prof AS INT) AS sps_profile_idc,
+       CAST(tier AS INT) AS sps_tier_flag,
+       CAST(lev AS INT) AS sps_level_idc,
+       CAST(cf AS INT) AS sps_chroma_format_idc,
+       CAST(cw AS INT) AS coded_width,
+       CAST(ch AS INT) AS coded_height,
+       CAST(sw AS INT) AS sps_width,
+       CAST(sh AS INT) AS sps_height,
+       k % 4 <> 2 AS dims_match,
+       k % 7 <> 3 AS record_match
+FROM x
+""",
+)
+def q_media_hevc_sps_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HEVC twin of media_sps_cross_check — H.265 is the OTHER
+    codec a scraped-video corpus carries at volume, and it lies in one
+    more place: besides the stsd container dims, the hvcC record HEAD
+    (profile/tier/level, §8.3.3.1) is often rebuilt by re-muxers while
+    the SPS NAL inside it stays untouched. Every doc maps to a valid
+    MP4 from a bounded 14-payload broadcast codebook keyed by
+    doc_id % 14 — variant k's hvcC carries a REAL HEVC SPS NAL
+    (operators/h265.encode_hevc_sps: profile 1+(k%2) = Main/Main10,
+    tier (k//2)%2, level {90,93,120,123,150}[k%5], chroma_format_idc
+    {1,1,2,3}[k%4] — exercising every SubWidthC/SubHeightC crop-unit
+    branch of §7.4.3.2.1 — coded size (64+16(k%5))×(48+16(k%4)),
+    conformance-window crop right k%3 / bottom k%2 units). The stsd
+    claims DELIBERATELY LIE (+16 px) for k%4 == 2, and the hvcC head's
+    level_idc lies (+3) for k%7 == 3 — dims_match and record_match are
+    the two audit bits. Executors bit-parse the SPS (h265.parse_hevc_sps:
+    fixed-width profile_tier_level, Exp-Golomb geometry walk) and the
+    closed-form oracle recomputes everything from k. Plan: 14-row
+    broadcast join + moov-only map-side parse, zero data shuffle.
+    Reference: n/a (extension surface)."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.h265 import (
+        encode_hevc_sps,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+        hevc_sps_cross_check,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    levels = [90, 93, 120, 123, 150]
+    chroma = [1, 1, 2, 3]
+
+    def payload(k: int) -> bytes:
+        prof, tier, lev = 1 + (k % 2), (k // 2) % 2, levels[k % 5]
+        cf = chroma[k % 4]
+        cw, ch = 64 + 16 * (k % 5), 48 + 16 * (k % 4)
+        sps = encode_hevc_sps(
+            prof, tier, lev, cw, ch,
+            crop_right_units=k % 3, crop_bottom_units=k % 2,
+            chroma_format_idc=cf,
+        )
+        sub_w = 2 if cf in (1, 2) else 1
+        sub_h = 2 if cf == 1 else 1
+        sw, sh = cw - sub_w * (k % 3), ch - sub_h * (k % 2)
+        lie = 16 if k % 4 == 2 else 0
+        head_lev = lev + (3 if k % 7 == 3 else 0)
+        return encode_minimal_mp4(
+            [(k * 11 + i) % 20 + 1 for i in range(k + 1)],
+            hev1=(sw + lie, sh + lie, prof, (0b11 << 30), tier, head_lev),
+            hev1_sps=(sps,),
+        )
+
+    codebook = spark.createDataFrame(
+        [(k, bytearray(payload(k))) for k in range(14)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 14).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return hevc_sps_cross_check(media.select("media_id", "payload"))
+
+
+@query(
+    "media_av1_codec_profile",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 10 AS INT) AS k FROM documents
+),
+v AS (
+  SELECT media_id, k,
+         k % 3 AS prof,
+         (2 * k + 1) % 24 AS lev,
+         k % 2 AS tier,
+         (k // 2) % 2 AS hbd,
+         CASE WHEN k % 3 = 2 AND k % 5 = 0 THEN 1 ELSE 0 END AS twelve
+  FROM media
+),
+w AS (
+  SELECT *,
+         CASE WHEN hbd = 0 THEN 8
+              WHEN prof = 2 AND twelve = 1 THEN 12
+              ELSE 10 END AS depth
+  FROM v
+)
+SELECT media_id, 'av01' AS codec,
+       CAST(64 + 32 * k AS INT) AS width,
+       CAST(48 + 16 * (k % 4) AS INT) AS height,
+       CAST(prof AS INT) AS profile_idc,
+       CAST(NULL AS BIGINT) AS compat_flags,
+       CAST(lev AS INT) AS level_idc,
+       printf('av01.%d.%02d%s.%02d', prof, lev,
+              CASE WHEN tier = 1 THEN 'H' ELSE 'M' END, depth)
+         AS codec_string,
+       CAST(k + 1 AS BIGINT) AS n_samples,
+       CAST(40 * (k + 1) AS BIGINT) AS duration_ms
+FROM w
+""",
+)
+def q_media_av1_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 codec-metadata extraction — the third codec family of the
+    curation-filter pass (media_codec_profile covers AVC/HEVC): the
+    av1C AV1CodecConfigurationRecord (public AV1-ISOBMFF binding §2.3)
+    is pure fixed bits — marker/version, seq_profile(3),
+    seq_level_idx_0(5), seq_tier_0(1), high_bitdepth(1), twelve_bit(1),
+    monochrome(1), chroma subsampling — rendered as the binding §5
+    short-form Codecs Parameter String ``av01.P.LLT.DD`` (decimal
+    profile, 2-digit level, M/H tier, 2-digit bit depth from the
+    profile-dependent §6.4.1 depth rule: profile 2 + high_bitdepth +
+    twelve_bit → 12, high_bitdepth → 10, else 8). Every doc maps to a
+    valid MP4 from a bounded 10-payload broadcast codebook keyed by
+    doc_id % 10 — variant k: profile k%3, level (2k+1)%24, tier k%2,
+    high_bitdepth (k//2)%2, twelve_bit only where profile 2 allows it
+    — joined with the demuxed sample count and mdhd duration through
+    the same codec_profile operator, proving one pass handles a MIXED
+    AVC/HEVC/AV1 corpus. Closed-form oracle over k. Plan: 10-row
+    broadcast join + moov-only map-side parse, zero data shuffle.
+    Reference: n/a (extension surface)."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        codec_profile,
+        encode_minimal_mp4,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    def payload(k: int) -> bytes:
+        prof = k % 3
+        twelve = 1 if (prof == 2 and k % 5 == 0) else 0
+        return encode_minimal_mp4(
+            [(k * 13 + i) % 22 + 1 for i in range(k + 1)],
+            timescale=1000, frame_delta=40,
+            av01=(
+                64 + 32 * k, 48 + 16 * (k % 4),
+                prof, (2 * k + 1) % 24, k % 2, (k // 2) % 2, twelve, 0,
+            ),
+        )
+
+    codebook = spark.createDataFrame(
+        [(k, bytearray(payload(k))) for k in range(10)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 10).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return codec_profile(media.select("media_id", "payload"))
+
+
+@query(
     "media_fmp4_video_frames",
     oracle="""
 WITH media AS (
