@@ -355,6 +355,11 @@ def main() -> None:
             "SPARK_GRAFT_BENCH_SUBSET_REPEATS": "3",
         }
         parsed, err = _run_json_subprocess(sub_env, timeout=3600)
+        if err is None and "subset" not in parsed:
+            # The non-zero-exit salvage path can hand back a valid JSON
+            # line that is not the subset result; degrade to the
+            # structured per-leg error instead of KeyError-ing the run.
+            err = {"error": "subprocess JSON lacks 'subset'", "got": parsed}
         if err is not None:
             drain_error = err
         else:
@@ -383,6 +388,12 @@ def main() -> None:
                 timeout=900,
                 script=os.path.join(_HERE, "bench_streaming.py"),
             )
+            if err is None and not {"value", "lines", "wall_sec"} <= set(parsed):
+                err = {
+                    "error": "streaming subprocess JSON lacks value/lines"
+                    "/wall_sec",
+                    "got": parsed,
+                }
             if err is not None:
                 break
             samples.append(parsed)

@@ -161,9 +161,10 @@ def encode_hevc_sps(
     raw ue values), so the luma-pixel crop follows the §7.4.3.2.1
     SubWidthC/SubHeightC scaling parse_hevc_sps must reproduce."""
     if compat_flags is None:
-        # canonical writer habit: set the bit for this profile plus
-        # profile-1 compatibility, MSB-first flag order (flag[0]=bit31)
-        compat_flags = (1 << (32 - profile_idc)) | (1 << 31)
+        # canonical writer habit: set this profile's own flag plus the
+        # Main(1) flag; MSB-first flag order (flag[k] = bit 31-k), so
+        # flag[profile_idc] is bit 31-profile_idc.
+        compat_flags = (1 << (31 - profile_idc)) | (1 << 30)
     w = BitWriter()
     w.u(0, 4)  # sps_video_parameter_set_id
     w.u(0, 3)  # sps_max_sub_layers_minus1

@@ -436,6 +436,28 @@ def _handler_trak(data: bytes, moov, handler: bytes) -> tuple[int, int]:
     raise ValueError(f"no trak with handler {handler!r}")
 
 
+def _visual_entry_claims(data: bytes) -> tuple[int, int, str, int, int]:
+    """Locate the video trak's first stsd sample entry and read the
+    VisualSampleEntry CONTAINER CLAIMS — the fourcc and the §12.1.3
+    fixed-offset width/height (entry+32/34, after the 8-byte header +
+    8 bytes reserved/data-ref + 16 bytes pre_defined/reserved).
+    Shared by the codec-profile parser and both SPS cross-checks so
+    the offset arithmetic lives in exactly one place."""
+    entry, size = _stsd_first_entry(data)
+    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
+    width = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
+    height = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    return entry, size, codec, width, height
+
+
+def _entry_config_boxes(data: bytes, entry: int, size: int):
+    """Iterate a VisualSampleEntry's child config boxes (avcC/hvcC/
+    av1C ...), which start at entry offset 86 — after the §12.1.3
+    fixed fields through depth + pre_defined."""
+    if entry + 86 < entry + size:
+        yield from walk_boxes(data, entry + 86, entry + size)
+
+
 def parse_codec_profile(payload: bytes) -> dict:
     """Parse the video track's stsd SAMPLE DESCRIPTION — the codec
     metadata a corpus-curation pipeline filters on BEFORE ever running
@@ -452,68 +474,64 @@ def parse_codec_profile(payload: bytes) -> dict:
     {codec, width, height, profile_idc, compat_flags, level_idc,
     codec_string} with the avc fields None for non-avc1 entries."""
     data = bytes(payload)
-    entry, size = _stsd_first_entry(data)
-    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
-    width = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
-    height = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    entry, size, codec, width, height = _visual_entry_claims(data)
     profile = compat = level = None
     codec_string = codec
-    if entry + 86 < entry + size:
-        for t, b, _e in walk_boxes(data, entry + 86, entry + size):
-            if t == b"avcC":
-                if data[b] != 1:
-                    raise ValueError(
-                        f"unsupported avcC configurationVersion {data[b]}"
-                    )
-                profile, compat, level = data[b + 1], data[b + 2], data[b + 3]
-                codec_string = f"avc1.{profile:02x}{compat:02x}{level:02x}"
-            elif t == b"hvcC":
-                # HEVCDecoderConfigurationRecord head (ISO 14496-15
-                # §8.3.3.1): version, {2b profile_space | 1b tier |
-                # 5b profile_idc}, u32 compatibility flags, 48b
-                # constraint flags, u8 level_idc.
-                if data[b] != 1:
-                    raise ValueError(
-                        f"unsupported hvcC configurationVersion {data[b]}"
-                    )
-                space = data[b + 1] >> 6
-                tier = (data[b + 1] >> 5) & 1
-                profile = data[b + 1] & 0x1F
-                compat = _u32(data, b + 2)
-                constraints = data[b + 6 : b + 12]
-                level = data[b + 12]
-                codec_string = _hevc_codec_string(
-                    codec, space, tier, profile, compat, constraints, level
+    for t, b, _e in _entry_config_boxes(data, entry, size):
+        if t == b"avcC":
+            if data[b] != 1:
+                raise ValueError(
+                    f"unsupported avcC configurationVersion {data[b]}"
                 )
-            elif t == b"av1C":
-                # AV1CodecConfigurationRecord (AV1-ISOBMFF binding
-                # §2.3): marker(1)=1 | version(7)=1, then
-                # seq_profile(3) | seq_level_idx_0(5), then
-                # seq_tier_0(1) | high_bitdepth(1) | twelve_bit(1) |
-                # monochrome(1) | ssx(1) | ssy(1) | sample_pos(2).
-                if data[b] != 0x81:
-                    raise ValueError(
-                        f"unsupported av1C marker/version {data[b]:#x}"
-                    )
-                profile = data[b + 1] >> 5
-                level = data[b + 1] & 0x1F
-                tier = data[b + 2] >> 7
-                high_bd = (data[b + 2] >> 6) & 1
-                twelve = (data[b + 2] >> 5) & 1
-                compat = None
-                # Bit depth (AV1 spec §6.4.1 color_config): profile 2
-                # with high_bitdepth may be 12-bit; else 10 or 8.
-                if high_bd:
-                    depth = 12 if (profile == 2 and twelve) else 10
-                else:
-                    depth = 8
-                # AV1 Codecs Parameter String (binding §5, short form):
-                # av01.P.LLT.DD — decimal profile, 2-digit level,
-                # M/H tier, 2-digit bit depth.
-                codec_string = (
-                    f"av01.{profile}.{level:02d}{'H' if tier else 'M'}"
-                    f".{depth:02d}"
+            profile, compat, level = data[b + 1], data[b + 2], data[b + 3]
+            codec_string = f"avc1.{profile:02x}{compat:02x}{level:02x}"
+        elif t == b"hvcC":
+            # HEVCDecoderConfigurationRecord head (ISO 14496-15
+            # §8.3.3.1): version, {2b profile_space | 1b tier |
+            # 5b profile_idc}, u32 compatibility flags, 48b
+            # constraint flags, u8 level_idc.
+            if data[b] != 1:
+                raise ValueError(
+                    f"unsupported hvcC configurationVersion {data[b]}"
                 )
+            space = data[b + 1] >> 6
+            tier = (data[b + 1] >> 5) & 1
+            profile = data[b + 1] & 0x1F
+            compat = _u32(data, b + 2)
+            constraints = data[b + 6 : b + 12]
+            level = data[b + 12]
+            codec_string = _hevc_codec_string(
+                codec, space, tier, profile, compat, constraints, level
+            )
+        elif t == b"av1C":
+            # AV1CodecConfigurationRecord (AV1-ISOBMFF binding
+            # §2.3): marker(1)=1 | version(7)=1, then
+            # seq_profile(3) | seq_level_idx_0(5), then
+            # seq_tier_0(1) | high_bitdepth(1) | twelve_bit(1) |
+            # monochrome(1) | ssx(1) | ssy(1) | sample_pos(2).
+            if data[b] != 0x81:
+                raise ValueError(
+                    f"unsupported av1C marker/version {data[b]:#x}"
+                )
+            profile = data[b + 1] >> 5
+            level = data[b + 1] & 0x1F
+            tier = data[b + 2] >> 7
+            high_bd = (data[b + 2] >> 6) & 1
+            twelve = (data[b + 2] >> 5) & 1
+            compat = None
+            # Bit depth (AV1 spec §6.4.1 color_config): profile 2
+            # with high_bitdepth may be 12-bit; else 10 or 8.
+            if high_bd:
+                depth = 12 if (profile == 2 and twelve) else 10
+            else:
+                depth = 8
+            # AV1 Codecs Parameter String (binding §5, short form):
+            # av01.P.LLT.DD — decimal profile, 2-digit level,
+            # M/H tier, 2-digit bit depth.
+            codec_string = (
+                f"av01.{profile}.{level:02d}{'H' if tier else 'M'}"
+                f".{depth:02d}"
+            )
     return {
         "codec": codec,
         "width": width,
@@ -625,15 +643,11 @@ def parse_sps_cross_check(payload: bytes) -> dict:
     from bigdata_invoice_stream_analysis_spark.operators.h264 import parse_sps
 
     data = bytes(payload)
-    entry, size = _stsd_first_entry(data)
-    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
-    container_w = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
-    container_h = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    entry, size, codec, container_w, container_h = _visual_entry_claims(data)
     avcc = None
-    if entry + 86 < entry + size:
-        for t, b, e in walk_boxes(data, entry + 86, entry + size):
-            if t == b"avcC":
-                avcc = (b, e)
+    for t, b, e in _entry_config_boxes(data, entry, size):
+        if t == b"avcC":
+            avcc = (b, e)
     if avcc is None:
         raise ValueError(f"no avcC record in {codec!r} sample entry")
     b = avcc[0]
@@ -728,18 +742,16 @@ def parse_hevc_sps_cross_check(payload: bytes) -> dict:
     )
 
     data = bytes(payload)
-    entry, size = _stsd_first_entry(data)
-    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
-    container_w = struct.unpack(">H", data[entry + 32 : entry + 34])[0]
-    container_h = struct.unpack(">H", data[entry + 34 : entry + 36])[0]
+    entry, size, codec, container_w, container_h = _visual_entry_claims(data)
     hvcc = None
-    if entry + 86 < entry + size:
-        for t, b, e in walk_boxes(data, entry + 86, entry + size):
-            if t == b"hvcC":
-                hvcc = (b, e)
+    for t, b, e in _entry_config_boxes(data, entry, size):
+        if t == b"hvcC":
+            hvcc = (b, e)
     if hvcc is None:
         raise ValueError(f"no hvcC record in {codec!r} sample entry")
     b, end = hvcc
+    if b + 23 > end:
+        raise ValueError("hvcC record shorter than its 23-byte head")
     if data[b] != 1:
         raise ValueError(f"unsupported hvcC configurationVersion {data[b]}")
     rec_tier = (data[b + 1] >> 5) & 1
@@ -758,6 +770,8 @@ def parse_hevc_sps_cross_check(payload: bytes) -> dict:
         n_nalus = struct.unpack(">H", data[i + 1 : i + 3])[0]
         i += 3
         for _ in range(n_nalus):
+            if i + 2 > end:
+                raise ValueError("hvcC NAL length truncated")
             ln = struct.unpack(">H", data[i : i + 2])[0]
             if i + 2 + ln > end:
                 raise ValueError("hvcC NAL unit truncated")
@@ -1176,7 +1190,7 @@ def _av01_sample_entry(
     chroma_sample_position(2)}, and a reserved/delay byte; configOBUs
     omitted (optional — fixtures are metadata-only, matching the
     empty-array hvcC fixtures)."""
-    ssx = ssy = 1 if monochrome else 1  # 4:2:0 (and mono implies 1,1)
+    ssx = ssy = 1  # 4:2:0 subsampling bits (monochrome also writes 1,1)
     byte1 = ((seq_profile & 0x7) << 5) | (seq_level_idx & 0x1F)
     byte2 = (
         ((seq_tier & 1) << 7)

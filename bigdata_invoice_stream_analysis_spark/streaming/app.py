@@ -155,6 +155,16 @@ def _model_router(
     feature-agg state store per micro-batch instead of one per model
     (the run_pipeline topology keeps per-sink offsets instead — the
     trade is isolation vs duplicated scan+state; PERF.md compares)."""
+    if cfg.sink_mode not in ("parquet", "kafka"):
+        # Validate at WIRING time: raising inside the foreachBatch
+        # callback would start all queries successfully and fail
+        # asynchronously on batch 0, bypassing run_pipeline_router's
+        # stop-survivors cleanup.
+        raise ValueError(
+            "the foreachBatch router needs an idempotent batch sink; "
+            f"sink_mode {cfg.sink_mode!r} is not"
+        )
+
     def route(bdf: DataFrame, bid: int) -> None:
         bdf.persist()
         try:
@@ -164,18 +174,13 @@ def _model_router(
                 )
                 if cfg.sink_mode == "parquet":
                     sinks.overwrite_batch(flagged, bid, f"{cfg.out_dir}/{topic}")
-                elif cfg.sink_mode == "kafka":
+                else:  # "kafka" — the only other mode wiring admits
                     (
                         sinks.to_kafka_records(flagged, key_col=flagged.columns[0])
                         .write.format("kafka")
                         .option("kafka.bootstrap.servers", cfg.brokers)
                         .option("topic", topic)
                         .save()
-                    )
-                else:
-                    raise ValueError(
-                        "the foreachBatch router needs an idempotent "
-                        f"batch sink; sink_mode {cfg.sink_mode!r} is not"
                     )
         finally:
             bdf.unpersist()

@@ -56,18 +56,45 @@ def main() -> int:
     args = ap.parse_args()
 
     with open(args.baseline) as fh:
-        base = _queries_of(json.load(fh))
+        base_art = json.load(fh)
+    base = _queries_of(base_art)
     with open(args.current) as fh:
         cur_art = json.load(fh)
     cur = _queries_of(cur_art)
     drain_min = cur_art.get("drain_min_of_3", {})
 
+    # Comparability gates, mirroring bench.py's own drift guard: a
+    # cross-SF comparison is meaningless in BOTH directions (an sf0.01
+    # smoke run overwriting BENCH_DETAIL.json would read as a huge
+    # speedup and exit 0), so it is an ERROR, not a judgement.
+    def _sf(a: dict):
+        return a.get("sf", (a.get("parsed") or {}).get("sf"))
+
+    if _sf(base_art) != _sf(cur_art):
+        print(
+            f"ERROR: SF mismatch — baseline sf={_sf(base_art)} vs "
+            f"current sf={_sf(cur_art)}; re-run bench at the baseline SF",
+            file=sys.stderr,
+        )
+        return 2
+    # Dieted drain gates are only comparable under the same diet; the
+    # baseline artifact predates the diet mechanism (no diet_keep_1_in
+    # key), so any drain row dieted NOW is excluded rather than compared
+    # against a full-volume baseline row.
+    cur_dieted = set(cur_art.get("dieted") or [])
+    if base_art.get("diet_keep_1_in") == cur_art.get("diet_keep_1_in"):
+        cur_dieted = set()
+
     common = sorted(set(base) & set(cur))
     rows, over, skipped = [], [], []
+    diet_skipped = []
     base_total = cur_total = 0.0
     for name in common:
         c = drain_min.get(name, cur[name])
         ratio = max(c, 0.001) / max(base[name], 0.001)
+        if name in cur_dieted:
+            diet_skipped.append(name)
+            continue
         if name in WORKLOAD_CHANGED_SINCE_R01:
             skipped.append((name, ratio, WORKLOAD_CHANGED_SINCE_R01[name]))
             continue
@@ -84,6 +111,10 @@ def main() -> int:
         print(
             f"{name:40s} workload changed since baseline "
             f"(comparable from r{since:02d}) — excluded, nominal {r:.2f}x"
+        )
+    if diet_skipped:
+        print(
+            f"diet mismatch vs baseline — excluded: {sorted(diet_skipped)}"
         )
     print(
         f"\nsame-workload common={len(rows)}  total {base_total:.1f}s -> "

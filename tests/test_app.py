@@ -140,6 +140,18 @@ def test_run_pipeline_router_matches_four_query_topology(spark, tmp_path):
     km = spark.read.parquet(f"{out_b}/anomalias_kmeans")
     assert "I9" in {r.InvoiceNo for r in km.collect()}
 
+    # unsupported sink modes fail at WIRING time (no half-started
+    # topology failing asynchronously on batch 0)
+    with pytest.raises(ValueError, match="idempotent batch sink"):
+        run_pipeline_router(
+            lines,
+            PipelineConfig(
+                out_dir=str(tmp_path / "out_bad"),
+                **{**cfg_kw, "sink_mode": "memory"},
+            ),
+        )
+    assert not (tmp_path / "out_bad" / "anomalias_kmeans").exists()
+
 
 def test_train_all_cli(spark, tmp_path):
     import numpy as np

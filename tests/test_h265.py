@@ -21,7 +21,8 @@ def test_hevc_sps_roundtrip_profiles_tiers():
         assert s["level_idc"] == lev
         assert s["coded_width"] == 1920 and s["coded_height"] == 1080
         assert s["width"] == 1920 and s["height"] == 1080
-        assert s["compat_flags"] == (1 << (32 - prof)) | (1 << 31)
+        # flag[k] = bit 31-k: this profile's own flag + the Main flag
+        assert s["compat_flags"] == (1 << (31 - prof)) | (1 << 30)
         assert s["chroma_format_idc"] == 1
         assert s["bit_depth_luma"] == 8
 
