@@ -16,9 +16,14 @@ Both streaming-engine measurement families therefore run in FRESH
 subprocess JVMs, after the parent session has been STOPPED (a live
 100 GB-heap parent depresses a "fresh" subprocess ~25%, measured):
   * the DRAIN GATES (every diet-capable query) are timed by re-running
-    bench.py in subset mode (SPARK_GRAFT_BENCH_SUBSET) — their rows in
-    BENCH_DETAIL.json carry drain_mode="fresh_jvm" and are comparable
-    round-over-round and to the r4-era early-registry numbers;
+    bench.py in subset mode (SPARK_GRAFT_BENCH_SUBSET) — 3 passes,
+    each its own fresh subprocess with the gate ORDER ROTATED a third
+    per pass, because fatigue also grows with position WITHIN a pass
+    (r7: 10.7-14.3 s at position 5/14 vs 6.8-7.4 s standalone for the
+    same gate) and rotation gives every gate one near-front sample;
+    their rows in BENCH_DETAIL.json carry drain_mode="fresh_jvm" and
+    min-of-3 is comparable round-over-round and to the r4-era
+    early-registry numbers;
   * the streaming THROUGHPUT headline re-runs bench_streaming.py the
     same way; the legacy same-JVM number is preserved separately as
     "streaming_in_bench" (it is the fatigue measurement, not the
@@ -329,51 +334,70 @@ def main() -> None:
         pass
     spark.stop()
 
-    # Drain gates in a FRESH subprocess JVM, MEDIAN of 3 round-
-    # interleaved passes each (see _subset_main: the box's multi-minute
-    # contention windows otherwise poison all of a gate's back-to-back
-    # samples at once — measured r6, 11 s / 23 s / 29 s for one gate
-    # across identical runs). The MIN of the 3 is recorded alongside
-    # (drain_min_of_3): under EXTERNAL contention 2 of 3 interleaved
-    # samples can still inflate (measured r6: 9.4/14.8/16.4 s vs an
-    # 8.3 s anchor — the min matched, the median did not), and min is
-    # the right point estimate for a pure-compute gate. Drift vs a
-    # prior fresh-JVM same-diet row is therefore judged on the MIN at
-    # >1.4× (the measured fatigue band, 1.4-2.0×, sat under the old 2×
-    # trigger) and FLAGGED under drain_drift_flagged — not re-timed
-    # (each row is already 3 fresh samples) and not mixed into
-    # retimed_for_drift, whose entries really were re-timed.
+    # Drain gates: 3 passes, each in its OWN fresh subprocess JVM with
+    # the gate order ROTATED one third per pass. Two fatigue mechanisms
+    # demand this shape (both measured):
+    #  * the box's multi-minute contention windows poison all of a
+    #    gate's back-to-back samples at once (r6: 11/23/29 s for one
+    #    gate across identical runs) — separate subprocesses keep the
+    #    3 samples minutes apart (interleaved);
+    #  * JVM fatigue WITHIN a drain pass grows with position (r7: the
+    #    same gate read 10.7-14.3 s at position 5 of a 14-gate pass vs
+    #    6.8-7.4 s standalone) — rotation puts every gate near the
+    #    front of one pass, so its MIN samples a fresh position.
+    # The MIN of 3 is recorded alongside the median (drain_min_of_3);
+    # min is the right point estimate for a pure-compute gate under
+    # external contention + positional fatigue, so drift vs a prior
+    # fresh-JVM same-diet row is judged on the MIN at >1.4× (the
+    # measured fatigue band, 1.4-2.0×, sat under the old 2× trigger)
+    # and FLAGGED under drain_drift_flagged — not re-timed (each row
+    # is already 3 fresh samples) and not mixed into retimed_for_drift,
+    # whose entries really were re-timed.
     drain_names = sorted(diet_capable)
     drain_error = None
     drain_min: dict[str, float] = {}
     drain_drift_flagged: set[str] = set()
     if drain_names:
-        sub_env = {
-            **os.environ,
-            "SPARK_GRAFT_SF_DIR": sf_dir,
-            "SPARK_GRAFT_BENCH_SUBSET": ",".join(drain_names),
-            "SPARK_GRAFT_BENCH_SUBSET_REPEATS": "3",
-        }
-        parsed, err = _run_json_subprocess(sub_env, timeout=3600)
-        if err is None and "subset" not in parsed:
-            # The non-zero-exit salvage path can hand back a valid JSON
-            # line that is not the subset result; degrade to the
-            # structured per-leg error instead of KeyError-ing the run.
-            err = {"error": "subprocess JSON lacks 'subset'", "got": parsed}
-        if err is not None:
-            drain_error = err
-        else:
-            for name, samples in parsed["subset"].items():
-                timings[name] = sorted(samples)[len(samples) // 2]
-                repeats[name] = list(samples)
-                drain_min[name] = min(samples)
-            drain_drift_flagged = {
-                name
-                for name in drain_names
-                if name in drain_min
-                and (r := drift_ratio(name, drain_min[name])) is not None
-                and (r > 1.4 or r < 1 / 1.4)
+        collected: dict[str, list[float]] = {n: [] for n in drain_names}
+        k = len(drain_names)
+        for i in range(3):
+            off = (i * k) // 3
+            order = drain_names[off:] + drain_names[:off]
+            sub_env = {
+                **os.environ,
+                "SPARK_GRAFT_SF_DIR": sf_dir,
+                "SPARK_GRAFT_BENCH_SUBSET": ",".join(order),
+                "SPARK_GRAFT_BENCH_SUBSET_REPEATS": "1",
             }
+            parsed, err = _run_json_subprocess(sub_env, timeout=1800)
+            if err is None and "subset" not in parsed:
+                # The non-zero-exit salvage path can hand back a valid
+                # JSON line that is not the subset result; degrade to
+                # the structured per-leg error, not a KeyError.
+                err = {
+                    "error": "subprocess JSON lacks 'subset'",
+                    "got": parsed,
+                }
+            if err is not None:
+                # keep whatever earlier passes measured — a dead pass 3
+                # should not discard two passes' samples
+                drain_error = {**err, "failed_pass": i + 1}
+                break
+            for name, samples in parsed["subset"].items():
+                collected[name].extend(samples)
+        for name, samples in collected.items():
+            if not samples:
+                continue
+            timings[name] = sorted(samples)[len(samples) // 2]
+            repeats[name] = list(samples)
+            drain_min[name] = min(samples)
+        drain_drift_flagged = {
+            name
+            for name in drain_names
+            if name in drain_min
+            and (r := drift_ratio(name, drain_min[name])) is not None
+            and (r > 1.4 or r < 1 / 1.4)
+        }
 
     # Streaming-throughput headline in its own fresh subprocess JVM —
     # MEDIAN of 3 runs: the box's measured run-to-run variance on this
