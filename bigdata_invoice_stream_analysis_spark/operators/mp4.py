@@ -503,6 +503,21 @@ def parse_codec_profile(payload: bytes) -> dict:
             codec_string = _hevc_codec_string(
                 codec, space, tier, profile, compat, constraints, level
             )
+        elif t == b"vpcC":
+            # VPCodecConfigurationRecord (public VP Codec ISO Media
+            # File Format Binding §2.2.2): FullBox v1, then profile u8,
+            # level u8, {bitDepth(4) | chromaSubsampling(3) |
+            # videoFullRangeFlag(1)}, colour primaries/transfer/matrix,
+            # u16 codecInitializationDataSize (0 for VP9).
+            if data[b] != 1:
+                raise ValueError(f"unsupported vpcC version {data[b]}")
+            profile = data[b + 4]
+            level = data[b + 5]
+            depth = data[b + 6] >> 4
+            compat = None
+            # VP9 codecs parameter string (binding §3, short form):
+            # vp09.PP.LL.DD, two decimal digits each.
+            codec_string = f"vp09.{profile:02d}.{level:02d}.{depth:02d}"
         elif t == b"av1C":
             # AV1CodecConfigurationRecord (AV1-ISOBMFF binding
             # §2.3): marker(1)=1 | version(7)=1, then
@@ -1204,6 +1219,35 @@ def _av01_sample_entry(
     return _visual_sample_entry(b"av01", width, height, av1c)
 
 
+def _vp09_sample_entry(
+    width: int,
+    height: int,
+    profile: int,
+    level: int,
+    bit_depth: int = 8,
+    chroma_subsampling: int = 1,
+    full_range: int = 0,
+) -> bytes:
+    """One vp09 VisualSampleEntry with a vpcC
+    VPCodecConfigurationRecord (VP Codec ISO Media File Format Binding
+    §2.2.2): FullBox version 1, profile/level bytes, the packed
+    bitDepth/chromaSubsampling/fullRange byte, BT.709 colour triple,
+    and an empty codecInitializationData (required for VP9)."""
+    body = (
+        bytes([1, 0, 0, 0])  # version 1, flags 0
+        + bytes([
+            profile,
+            level,
+            ((bit_depth & 0xF) << 4)
+            | ((chroma_subsampling & 0x7) << 1)
+            | (full_range & 1),
+            1, 1, 1,  # BT.709 primaries / transfer / matrix
+        ])
+        + struct.pack(">H", 0)
+    )
+    return _visual_sample_entry(b"vp09", width, height, _box(b"vpcC", body))
+
+
 def encode_minimal_mp4(
     frame_sizes: list[int] | None = None,
     timescale: int = 1000,
@@ -1216,6 +1260,7 @@ def encode_minimal_mp4(
     hev1: tuple[int, int, int, int, int, int] | None = None,
     hev1_sps: tuple[bytes, ...] = (),
     av01: tuple | None = None,
+    vp09: tuple | None = None,
     mp4a: tuple | None = None,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
@@ -1284,6 +1329,10 @@ def encode_minimal_mp4(
         stsd = _box(
             b"stsd", struct.pack(">II", 0, 1) + _av01_sample_entry(*av01)
         )
+    elif vp09 is not None:
+        stsd = _box(
+            b"stsd", struct.pack(">II", 0, 1) + _vp09_sample_entry(*vp09)
+        )
     elif mp4a is not None:
         stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _mp4a_sample_entry(*mp4a))
     else:
@@ -1342,6 +1391,12 @@ def encode_minimal_fmp4(
     frames: list[bytes] | None = None,
     frames_per_fragment: int = 2,
     explicit_base_offset: bool = False,
+    avc1: tuple[int, int, int, int, int] | None = None,
+    avc1_sps: tuple[bytes, ...] = (),
+    hev1: tuple[int, int, int, int, int, int] | None = None,
+    hev1_sps: tuple[bytes, ...] = (),
+    av01: tuple | None = None,
+    vp09: tuple | None = None,
 ) -> bytes:
     """Minimal but VALID FRAGMENTED ISO BMFF file (the DASH/HLS/CMAF
     segment shape): ftyp, a moov whose sample tables are EMPTY (plus
@@ -1350,7 +1405,11 @@ def encode_minimal_fmp4(
     (default-base-is-moof, or an explicit absolute base-data-offset
     when ``explicit_base_offset``), tfdt (v1 decode-time anchor), and
     a trun with data-offset + per-sample sizes. Same deterministic
-    fill convention as encode_minimal_mp4."""
+    fill convention as encode_minimal_mp4, and the same codec
+    sample-entry kwargs: a real init segment carries its avc1/hev1/
+    av01 entry in the (otherwise-empty-tables) moov stsd, which is
+    exactly where the codec-metadata and SPS cross-check parsers read
+    it — fragmented corpora audit with the SAME moov-only pass."""
     if frames is None:
         if frame_sizes is None:
             raise ValueError("need frame_sizes or frames")
@@ -1365,7 +1424,28 @@ def encode_minimal_fmp4(
     stsz = _box(b"stsz", struct.pack(">III", 0, 0, 0))
     stsc = _box(b"stsc", struct.pack(">II", 0, 0))
     stco = _box(b"stco", struct.pack(">II", 0, 0))
-    stsd = _box(b"stsd", struct.pack(">II", 0, 0))
+    if avc1 is not None:
+        stsd = _box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + _avc1_sample_entry(*avc1, sps_nals=avc1_sps),
+        )
+    elif hev1 is not None:
+        stsd = _box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + _hev1_sample_entry(*hev1, sps_nals=hev1_sps),
+        )
+    elif av01 is not None:
+        stsd = _box(
+            b"stsd", struct.pack(">II", 0, 1) + _av01_sample_entry(*av01)
+        )
+    elif vp09 is not None:
+        stsd = _box(
+            b"stsd", struct.pack(">II", 0, 1) + _vp09_sample_entry(*vp09)
+        )
+    else:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 0))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _box(b"minf", stbl)
     hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 13)

@@ -39,7 +39,15 @@ tests/test_graded_window.py enforces):
     ceded to the late-round HEVC/AV1 queries).
 
 Ever-graded: 183/183 registered before this round; the 5 new queries
-make 188, all graded by this window. Rotate per round: queries
+make 188, all graded by this window.
+
+Round-8 rotation leads (code + unit tests landed late r7, registration
+deferred so the closing invariant holds — register WITH a window slot):
+fragmented-init-segment codec metadata (encode_minimal_fmp4 now carries
+avc1/hev1/av01/vp09 stsd entries; all four metadata parsers verified on
+CMAF-shaped fixtures) and the vp09/vpcC fourth codec family
+(test_h265.py pins both). Round-8 mandatory freshness: the 25 remaining
+r03-era rows (+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
 and remain locally parity-gated by tests/test_oracle_parity.py over
 ALL registered oracles. tests/test_graded_window.py asserts the window

