@@ -16,7 +16,7 @@ tests/test_graded_window.py enforces):
     rows; the three iterative-ML rows-only pins stay rotated out per
     the round-5 rationale — their scoring logic is hash-gated through
     centroid_anomalies and r04's elbow_selection_table).
-  * 5 NEW this round (new code is always graded):
+  * 7 NEW this round (new code is always graded):
     media_sps_cross_check (H.264 SPS Exp-Golomb bitstream truth vs
     stsd container claims, deliberate planted lies),
     media_hevc_sps_cross_check (the H.265 twin, plus the hvcC-head
@@ -26,28 +26,34 @@ tests/test_graded_window.py enforces):
     the codec matrix now covers AVC/HEVC/AV1), and
     streaming_full_pipeline_router (the shared-scan foreachBatch
     anomaly-fanout topology, pinned against the same oracle as the
-    4-query shape — output equivalence proof).
+    4-query shape — output equivalence proof), and the WARC
+    web-corpus ingestion pair warc_record_stats / warc_text_corpus
+    (ISO 28500 record framing + per-record gzip members + RFC 7230
+    chunked HTTP + HTML text extraction + RFC 3986 URL
+    normalization, closed-form oracles over bounded codebooks).
   * 2 changed-code re-pins (the standing rule): media_codec_profile
     (compat_flags IntegerType→LongType, ADVICE r6) and
     streaming_full_pipeline (gate body refactored into the shared
     _run_full_pipeline_gate; idempotent sink write extracted to
     overwrite_batch).
-  * 32 freshness refreshes: ALL 28 rows whose newest driver grade is
-    r02 (they hit the >4-rounds-stale invariant this round), then 4
-    stalest-family r03 representatives (2 streaming drains incl.
-    the bench-anchored error_purchase_join + 2 batch; 2 batch slots
-    ceded to the late-round HEVC/AV1 queries).
+  * 30 freshness refreshes: ALL 28 rows whose newest driver grade is
+    r02 (they hit the >4-rounds-stale invariant this round), then 2
+    stalest-family r03 streaming drains incl. the bench-anchored
+    error_purchase_join (2 batch slots ceded to the late-round
+    HEVC/AV1 queries, 2 more to the WARC pair; the displaced r03
+    batch rows age into round-8's mandatory set).
 
-Ever-graded: 183/183 registered before this round; the 5 new queries
-make 188, all graded by this window.
+Ever-graded: 183/183 registered before this round; the 7 new queries
+make 190, all graded by this window.
 
 Round-8 rotation leads (code + unit tests landed late r7, registration
 deferred so the closing invariant holds — register WITH a window slot):
 fragmented-init-segment codec metadata (encode_minimal_fmp4 now carries
 avc1/hev1/av01/vp09 stsd entries; all four metadata parsers verified on
 CMAF-shaped fixtures) and the vp09/vpcC fourth codec family
-(test_h265.py pins both). Round-8 mandatory freshness: the 25 remaining
-r03-era rows (+ pins + new code). Rotate per round: queries
+(test_h265.py pins both). Round-8 mandatory freshness: the 27 remaining
+r03-era rows incl. the two batch reps displaced by the WARC pair
+(+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
 and remain locally parity-gated by tests/test_oracle_parity.py over
 ALL registered oracles. tests/test_graded_window.py asserts the window
@@ -118,13 +124,16 @@ GRADED_50: list[str] = [
     "knn_label_vote",
     "embedding_norm_stats",
     "entity_hash_sample",
-    # --- freshness: 4 stalest-family r03 representatives (2 slots
-    # ceded to the late-round HEVC/AV1 queries; r03 rows age into the
-    # mandatory set next round either way) ---
+    # --- NEW: WARC web-corpus ingestion (never-graded must hold a
+    # slot the round it registers; the two batch r03 slots ceded —
+    # copurchase_pagerank / pii_redaction age into round-8's mandatory
+    # set either way) ---
+    "warc_record_stats",
+    "warc_text_corpus",
+    # --- freshness: 2 stalest-family r03 streaming drains (incl. the
+    # bench-anchored error_purchase_join) ---
     "streaming_error_windows",
     "streaming_error_purchase_join",
-    "copurchase_pagerank",
-    "pii_redaction",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)
