@@ -1,0 +1,220 @@
+"""robots.txt parsing and URL gating (RFC 9309) — crawl governance
+for a web corpus.
+
+A training-data pipeline ingesting crawled pages needs to answer, at
+corpus scale, "was this URL even allowed to be fetched, and is it
+allowed for MY agent?" — both for compliance audits over existing
+corpora (Common Crawl publishes the robots responses alongside the
+pages) and for building fetch frontiers. This implements the Robots
+Exclusion Protocol from the RFC:
+
+* Group parsing (§2.1-2.2): consecutive ``User-agent`` lines start a
+  group that the following ``Allow``/``Disallow`` rules attach to;
+  rules outside any group are ignored; field names are
+  case-insensitive; ``#`` comments and a UTF-8 BOM are tolerated.
+  ``Sitemap`` is collected globally; ``Crawl-delay`` (ubiquitous
+  de-facto extension) is kept per group.
+* Group selection (§2.2.1): the group whose user-agent token is the
+  LONGEST case-insensitive match for the product token wins;
+  otherwise the ``*`` group; otherwise everything is allowed.
+* Rule matching (§2.2.2): longest-match wins, measured in pattern
+  octets; an ``allow`` beats a ``disallow`` of equal length. Patterns
+  support ``*`` (any substring) and a terminal ``$`` anchor. An empty
+  ``Disallow:`` matches nothing (the classic allow-all idiom).
+
+Scale posture: robots documents are tiny and per-host — at 100 TB the
+URL table is the big side, so the operator broadcasts the robots
+table, parses each distinct document once per Arrow batch, and
+evaluates map-side: zero shuffles on the URL side.
+
+Reference: n/a (extension surface; staged for round-8 registration —
+see plans/graded.py docstring).
+"""
+
+from __future__ import annotations
+
+import re
+
+_FIELD_RE = re.compile(r"^([A-Za-z-]+)\s*:\s*(.*?)\s*$")
+
+
+def parse_robots(text: str) -> dict:
+    """Parse robots.txt into
+    ``{groups: [{agents: [...], rules: [(allow, pattern)],
+    crawl_delay}], sitemaps: [...]}``. Line-tolerant per RFC 9309
+    §2.2: unknown fields skipped, comments stripped, CR tolerated."""
+    groups: list[dict] = []
+    sitemaps: list[str] = []
+    current: dict | None = None
+    in_agent_run = False  # consecutive user-agent lines extend a group
+    for raw in text.lstrip("﻿").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        m = _FIELD_RE.match(line)
+        if not m:
+            continue
+        field, value = m.group(1).lower(), m.group(2)
+        if field == "user-agent":
+            if not in_agent_run:
+                current = {"agents": [], "rules": [], "crawl_delay": None}
+                groups.append(current)
+                in_agent_run = True
+            current["agents"].append(value.lower())
+            continue
+        in_agent_run = False
+        if field == "sitemap":
+            sitemaps.append(value)
+        elif current is None:
+            continue  # rules outside any group are ignored (§2.2.2)
+        elif field in ("allow", "disallow"):
+            if value == "":
+                # "Disallow:" = allow everything; empty patterns match
+                # nothing in either direction (the reference parsers
+                # agree), so record nothing.
+                continue
+            current["rules"].append((field == "allow", value))
+        elif field == "crawl-delay":
+            try:
+                current["crawl_delay"] = float(value)
+            except ValueError:
+                pass
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def select_group(robots: dict, agent: str) -> dict | None:
+    """§2.2.1: longest case-insensitive user-agent match, else the
+    ``*`` group, else None (no group = everything allowed)."""
+    agent = agent.lower()
+    best: dict | None = None
+    best_len = -1
+    star: dict | None = None
+    for g in robots["groups"]:
+        for a in g["agents"]:
+            if a == "*":
+                if star is None:
+                    star = g
+            elif a in agent and len(a) > best_len:
+                best, best_len = g, len(a)
+    return best if best is not None else star
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """Match a robots path pattern (literal + ``*`` wildcard +
+    optional terminal ``$``) against a URL path, iteratively (no
+    regex — patterns are untrusted input; this is linear-ish and
+    cannot backtrack exponentially)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    # First part must match at the start.
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:-1] if len(parts) > 1 else []:
+        if part == "":
+            continue
+        idx = path.find(part, pos)
+        if idx < 0:
+            return False
+        pos = idx + len(part)
+    if len(parts) > 1:
+        last = parts[-1]
+        if anchored:
+            return path.endswith(last) and len(path) - len(last) >= pos
+        if last == "":
+            return True
+        return path.find(last, pos) >= 0
+    return not anchored or len(path) == pos
+
+
+def evaluate(robots: dict, agent: str, path: str) -> dict:
+    """Evaluate one path for one agent: §2.2.2 longest-match, allow
+    wins ties. Returns ``{allowed, matched (pattern or None),
+    crawl_delay}``."""
+    group = select_group(robots, agent)
+    if group is None:
+        return {"allowed": True, "matched": None, "crawl_delay": None}
+    best_len = -1
+    best_allow = True
+    best_pattern = None
+    for allow, pattern in group["rules"]:
+        if _pattern_matches(pattern, path):
+            size = len(pattern)
+            if size > best_len or (size == best_len and allow
+                                   and not best_allow):
+                best_len, best_allow, best_pattern = size, allow, pattern
+    return {
+        "allowed": best_allow if best_pattern is not None else True,
+        "matched": best_pattern,
+        "crawl_delay": group["crawl_delay"],
+    }
+
+
+def robots_url_gate(urls, robots, agent: str):
+    """Gate a URL table against per-host robots.txt documents:
+    ``urls`` (url_id, host, path) ⋈ ``robots`` (host, robots_txt) →
+    one row per URL with the RFC 9309 verdict. The robots side is
+    broadcast (per-host documents are tiny next to a 100 TB URL
+    table); each distinct document is parsed once per Arrow batch and
+    evaluation is map-side — zero shuffles on the URL side. URLs on
+    hosts with no robots document are allowed (§2.3.1.2: absent =
+    unrestricted), with ``has_robots`` false so an audit can split
+    the two kinds of 'allowed'."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("url_id", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("has_robots", T.BooleanType(), False),
+        T.StructField("allowed", T.BooleanType(), False),
+        T.StructField("matched_rule", T.StringType(), True),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ])
+
+    joined = urls.join(
+        F.broadcast(robots.withColumnRenamed("host", "r_host")),
+        urls["host"] == F.col("r_host"),
+        "left",
+    ).select("url_id", "host", "path", "robots_txt")
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.robots import (
+            evaluate,
+            parse_robots,
+        )
+
+        cols = [f.name for f in out_schema.fields]
+        cache: dict[str, dict] = {}
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for uid, host, path, txt in zip(
+                pdf["url_id"], pdf["host"], pdf["path"], pdf["robots_txt"]
+            ):
+                out["url_id"].append(uid)
+                out["host"].append(host)
+                out["path"].append(path)
+                if txt is None:
+                    out["has_robots"].append(False)
+                    out["allowed"].append(True)
+                    out["matched_rule"].append(None)
+                    out["crawl_delay"].append(None)
+                    continue
+                parsed = cache.get(txt)
+                if parsed is None:
+                    parsed = parse_robots(txt)
+                    cache[txt] = parsed
+                verdict = evaluate(parsed, agent, path)
+                out["has_robots"].append(True)
+                out["allowed"].append(verdict["allowed"])
+                out["matched_rule"].append(verdict["matched"])
+                out["crawl_delay"].append(verdict["crawl_delay"])
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,161 @@
+"""robots.txt (RFC 9309): group parsing, agent selection,
+longest-match rule evaluation with wildcards/anchors, and the Spark
+URL-gating operator."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bigdata_invoice_stream_analysis_spark.operators.robots import (
+    _pattern_matches,
+    evaluate,
+    parse_robots,
+    robots_url_gate,
+    select_group,
+)
+
+SAMPLE = """\
+# global comment
+Sitemap: https://example.com/sitemap.xml
+
+User-agent: googlebot
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: corpusbot
+User-agent: otherbot
+Disallow: /
+
+User-agent: *
+Disallow: /tmp/*.log$
+Disallow: /cgi-bin
+Allow: /cgi-bin/public
+"""
+
+
+def test_parse_groups_and_sitemaps():
+    r = parse_robots(SAMPLE)
+    assert r["sitemaps"] == ["https://example.com/sitemap.xml"]
+    assert [g["agents"] for g in r["groups"]] == [
+        ["googlebot"], ["corpusbot", "otherbot"], ["*"],
+    ]
+    assert r["groups"][0]["crawl_delay"] == 2.5
+    assert r["groups"][0]["rules"] == [
+        (False, "/private/"), (True, "/private/ok"),
+    ]
+
+
+def test_group_selection_longest_match_then_star():
+    r = parse_robots(SAMPLE)
+    assert select_group(r, "Googlebot/2.1")["agents"] == ["googlebot"]
+    assert select_group(r, "CorpusBot")["agents"] == [
+        "corpusbot", "otherbot",
+    ]
+    assert select_group(r, "unknown-agent")["agents"] == ["*"]
+    # Longest token wins among several substring matches.
+    r2 = parse_robots(
+        "User-agent: bot\nDisallow: /a\n\n"
+        "User-agent: corpusbot\nDisallow: /b\n"
+    )
+    g = select_group(r2, "corpusbot/1.0")
+    assert g["rules"] == [(False, "/b")]
+
+
+def test_rules_outside_group_ignored_and_empty_disallow():
+    r = parse_robots("Disallow: /orphan\nUser-agent: *\nDisallow:\n")
+    assert r["groups"][0]["rules"] == []
+    assert evaluate(r, "any", "/anything")["allowed"] is True
+
+
+def test_no_groups_means_allowed():
+    v = evaluate(parse_robots("# empty\n"), "bot", "/x")
+    assert v == {"allowed": True, "matched": None, "crawl_delay": None}
+
+
+def test_longest_match_wins_allow_beats_equal_disallow():
+    r = parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    )
+    assert evaluate(r, "b", "/private/secret")["allowed"] is False
+    assert evaluate(r, "b", "/private/ok/page")["allowed"] is True
+    assert evaluate(r, "b", "/public")["matched"] is None
+    # Equal-length allow vs disallow: allow wins (§2.2.2).
+    tie = parse_robots("User-agent: *\nDisallow: /abc\nAllow: /ab*\n")
+    assert evaluate(tie, "b", "/abc")["allowed"] is True
+
+
+def test_wildcards_and_anchors():
+    assert _pattern_matches("/tmp/*.log$", "/tmp/a/b.log")
+    assert not _pattern_matches("/tmp/*.log$", "/tmp/a/b.log.html")
+    assert _pattern_matches("/cgi-bin", "/cgi-bin/x")
+    assert _pattern_matches("*.gif$", "/a/b.gif")
+    assert not _pattern_matches("*.gif$", "/a/b.gifx")
+    assert _pattern_matches("/a*b*c", "/a__b__c__")
+    assert not _pattern_matches("/a*b*c", "/a__c__b")
+    assert _pattern_matches("/p$", "/p")
+    assert not _pattern_matches("/p$", "/pq")
+    assert _pattern_matches("/a*", "/a")
+    # The anchored last literal may not overlap the earlier parts.
+    assert not _pattern_matches("/ab*b$", "/ab")
+    assert _pattern_matches("/ab*b$", "/ab_b")
+
+
+@given(st.text(alphabet="/ab*", min_size=0, max_size=8),
+       st.text(alphabet="/ab", min_size=0, max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_pattern_matcher_agrees_with_regex_oracle(pattern, path):
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    rx = "^" + rx + ("$" if anchored else "")
+    assert _pattern_matches(pattern, path) == bool(_re.match(rx, path))
+
+
+def test_crawl_delay_and_bom_and_crlf():
+    r = parse_robots("﻿User-agent: *\r\nCrawl-delay: 10\r\n"
+                     "Disallow: /x\r\n")
+    v = evaluate(r, "bot", "/x/1")
+    assert v["allowed"] is False
+    assert v["crawl_delay"] == 10.0
+
+
+def test_robots_url_gate_operator(spark):
+    robots = spark.createDataFrame(
+        [("a.com", SAMPLE), ("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/private/secret"),
+            (2, "a.com", "/private/ok/x"),
+            (3, "a.com", "/tmp/x.log"),
+            (4, "b.com", "/anything"),
+            (5, "c.com", "/no-robots-here"),
+        ],
+        "url_id long, host string, path string",
+    )
+    rows = {r["url_id"]: r
+            for r in robots_url_gate(urls, robots, "CorpusBot").collect()}
+    # corpusbot group on a.com disallows everything.
+    assert rows[1]["allowed"] is False
+    assert rows[2]["allowed"] is False
+    assert rows[3]["allowed"] is False
+    assert rows[4]["allowed"] is False
+    assert rows[5]["allowed"] is True
+    assert rows[5]["has_robots"] is False
+    # A different agent falls through to the * group on a.com.
+    rows_g = {r["url_id"]: r
+              for r in robots_url_gate(urls, robots, "Googlebot").collect()}
+    assert rows_g[1]["allowed"] is False   # /private/
+    assert rows_g[2]["allowed"] is True    # /private/ok wins
+    assert rows_g[3]["allowed"] is True    # googlebot group has no /tmp rule
+    assert rows_g[1]["crawl_delay"] == 2.5
