@@ -911,8 +911,13 @@ def parse_audio_codec_profile(payload: bytes) -> dict:
     AOT). Emits BOTH the container claims and the ASC truth — like
     the video SPS cross-check, scraped corpora carry mp4a entries
     whose 16.16 samplerate disagrees with the ASC index the decoder
-    obeys — plus ``rate_match``. Non-mp4a entries (raw PCM fourccs)
-    return the container fields with the esds fields None."""
+    obeys — plus ``rate_match``. Opus entries (Opus-in-BMFF §4.3:
+    ``Opus`` + dOps) report the dOps channel count / informational
+    InputSampleRate and audit the spec's samplerate==48000
+    requirement; fLaC entries (FLAC-in-BMFF §3.3) report the dfLa
+    STREAMINFO truth and audit it against the container rate. Other
+    entries (raw PCM fourccs) return the container fields with the
+    config fields None."""
     data = bytes(payload)
     entry, size = _stsd_first_entry(data, handler=b"soun")
     codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
@@ -921,8 +926,46 @@ def parse_audio_codec_profile(payload: bytes) -> dict:
     container_rate = _u32(data, entry + 32) >> 16
     oti = aot = asc_rate = asc_channels = None
     codec_string = codec
+    rate_match = None
     if entry + 36 < entry + size:
         for t, b, e in walk_boxes(data, entry + 36, entry + size):
+            if t == b"dOps":
+                # Opus-in-BMFF §4.3.2: Version u8, OutputChannelCount
+                # u8, PreSkip u16, InputSampleRate u32, OutputGain s16,
+                # ChannelMappingFamily u8 (NOT a FullBox). The decoder
+                # always outputs 48 kHz, so the conformance audit is
+                # the sample entry's own rate claim: the spec REQUIRES
+                # samplerate == 48000 << 16 regardless of the
+                # informational InputSampleRate.
+                if e - b < 11:
+                    raise ValueError("dOps box truncated")
+                if data[b] != 0:
+                    raise ValueError(f"dOps version {data[b]} unsupported")
+                asc_channels = data[b + 1]
+                asc_rate = _u32(data, b + 4)  # InputSampleRate
+                codec_string = "opus"
+                rate_match = container_rate == 48000
+                continue
+            if t == b"dfLa":
+                # FLAC-in-BMFF §3.3.2: FullBox, then METADATA_BLOCKs;
+                # the first must be STREAMINFO (type 0, 34 bytes) —
+                # sample rate 20 bits, channels-1 3 bits, bps-1 5 bits
+                # at byte offset 10 of the block body.
+                i = b + 4  # FullBox version/flags
+                if e - i < 4 + 34:
+                    raise ValueError("dfLa/STREAMINFO truncated")
+                if data[i] & 0x7F != 0:
+                    raise ValueError("dfLa first block is not STREAMINFO")
+                blen = int.from_bytes(data[i + 1 : i + 4], "big")
+                if blen < 34:
+                    raise ValueError(f"STREAMINFO length {blen} < 34")
+                si = i + 4
+                packed = int.from_bytes(data[si + 10 : si + 13], "big")
+                asc_rate = packed >> 4
+                asc_channels = ((packed >> 1) & 0x7) + 1
+                codec_string = "fLaC"
+                rate_match = container_rate == asc_rate
+                continue
             if t != b"esds":
                 continue
             i = b + 4  # FullBox version/flags
@@ -980,7 +1023,8 @@ def parse_audio_codec_profile(payload: bytes) -> dict:
         "asc_channels": asc_channels,
         "codec_string": codec_string,
         "rate_match": (
-            asc_rate is None or container_rate == asc_rate
+            rate_match if rate_match is not None
+            else asc_rate is None or container_rate == asc_rate
         ),
     }
 
@@ -1096,6 +1140,89 @@ def _mp4a_sample_entry(
         + esds
     )
     return _box(b"mp4a", body)
+
+
+def _audio_entry(
+    fourcc: bytes, channels: int, samplerate: int, cfg: bytes,
+    sample_size: int = 16,
+) -> bytes:
+    """AudioSampleEntry skeleton (ISO 14496-12 §12.2.3) wrapping one
+    codec configuration child box. The samplerate field is 16.16
+    fixed-point — rates above 65535 Hz cannot be represented (real
+    muxers write 48000 for hi-res audio), which is exactly why the
+    codec-config cross-check exists."""
+    if not 0 <= samplerate <= 0xFFFF:
+        raise ValueError(
+            f"samplerate {samplerate} does not fit the 16.16 field"
+        )
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + b"\x00" * 8                        # reserved[2]
+        + struct.pack(">HH", channels, sample_size)
+        + struct.pack(">HH", 0, 0)           # pre_defined, reserved
+        + struct.pack(">I", samplerate << 16)
+        + cfg
+    )
+    return _box(fourcc, body)
+
+
+def _opus_sample_entry(
+    channels: int,
+    samplerate: int,
+    input_sample_rate: int,
+    pre_skip: int = 312,
+) -> bytes:
+    """Opus AudioSampleEntry (Opus-in-BMFF §4.3): ``Opus`` fourcc with
+    a dOps OpusSpecificBox — Version 0, OutputChannelCount, PreSkip,
+    InputSampleRate (informational original rate), OutputGain 0,
+    ChannelMappingFamily 0. ``samplerate`` is the container claim the
+    spec requires to be 48000; fixtures may deliberately violate it to
+    plant the conformance lie parse_audio_codec_profile audits."""
+    dops = _box(
+        b"dOps",
+        bytes([0, channels])
+        + struct.pack(">H", pre_skip)
+        + struct.pack(">I", input_sample_rate)
+        + struct.pack(">h", 0)
+        + bytes([0]),
+    )
+    return _audio_entry(b"Opus", channels, samplerate, dops)
+
+
+def _flac_sample_entry(
+    channels: int,
+    samplerate: int,
+    streaminfo_rate: int,
+    streaminfo_channels: int | None = None,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """FLAC AudioSampleEntry (FLAC-in-BMFF §3.3.2): ``fLaC`` fourcc
+    with a dfLa FullBox holding the mandatory STREAMINFO metadata
+    block (rate 20 bits / channels-1 3 bits / bps-1 5 bits packed at
+    byte 10). ``samplerate`` is the container claim; fixtures may set
+    it differently from the STREAMINFO truth to plant the lie."""
+    if streaminfo_channels is None:
+        streaminfo_channels = channels
+    packed = (
+        (streaminfo_rate << 44)
+        | ((streaminfo_channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | 48000  # total samples (arbitrary fixture constant)
+    )
+    streaminfo = (
+        struct.pack(">HH", 1024, 1024)       # min/max blocksize
+        + b"\x00\x00\x20" * 2                # min/max framesize (u24)
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16                       # md5
+    )
+    assert len(streaminfo) == 34
+    dfla = _box(
+        b"dfLa",
+        struct.pack(">I", 0)                 # FullBox version/flags
+        + bytes([0x80]) + (34).to_bytes(3, "big")  # last | STREAMINFO
+        + streaminfo,
+    )
+    return _audio_entry(b"fLaC", channels, samplerate, dfla)
 
 
 def _box(btype: bytes, body: bytes) -> bytes:
@@ -1262,6 +1389,8 @@ def encode_minimal_mp4(
     av01: tuple | None = None,
     vp09: tuple | None = None,
     mp4a: tuple | None = None,
+    opus: tuple | None = None,
+    flac: tuple | None = None,
 ) -> bytes:
     """Minimal but VALID ISO BMFF file (fixtures + tests): ftyp, one
     mdat holding the frame payloads back-to-back, and a
@@ -1286,7 +1415,10 @@ def encode_minimal_mp4(
     high_bitdepth, twelve_bit, monochrome) an av01+av1C entry.
     ``mp4a`` (channels, samplerate, aot, freq_index) makes
     the trak an AUDIO trak (hdlr ``soun``) with a real mp4a+esds
-    entry for parse_audio_codec_profile."""
+    entry for parse_audio_codec_profile; ``opus``
+    (channels, samplerate, input_sample_rate) an Opus+dOps entry and
+    ``flac`` (channels, samplerate, streaminfo_rate) an fLaC+dfLa
+    entry, the same way."""
     if frames is None:
         if frame_sizes is None:
             raise ValueError("need frame_sizes or frames")
@@ -1335,8 +1467,13 @@ def encode_minimal_mp4(
         )
     elif mp4a is not None:
         stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _mp4a_sample_entry(*mp4a))
+    elif opus is not None:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _opus_sample_entry(*opus))
+    elif flac is not None:
+        stsd = _box(b"stsd", struct.pack(">II", 0, 1) + _flac_sample_entry(*flac))
     else:
         stsd = _box(b"stsd", struct.pack(">II", 0, 0))  # 0 entries (raw fixture)
+    audio_entry = mp4a is not None or opus is not None or flac is not None
     stbl_body = stsd + stts + stsc + stsz + stco
     if keyframes is not None:
         stbl_body += _box(
@@ -1346,7 +1483,7 @@ def encode_minimal_mp4(
         )
     stbl = _box(b"stbl", stbl_body)
     minf = _box(b"minf", stbl)
-    handler = b"soun" if mp4a is not None else b"vide"
+    handler = b"soun" if audio_entry else b"vide"
     hdlr = _box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + handler + b"\x00" * 13)
     mdhd = _box(
         b"mdhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x55\xc4\x00\x00"

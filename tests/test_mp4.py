@@ -462,6 +462,70 @@ def test_audio_codec_profile_mp4a():
     assert M.parse_mp4(p)["sizes"] == [9, 9]
 
 
+def test_audio_codec_profile_opus():
+    """Opus/dOps (Opus-in-BMFF §4.3): channel count and the
+    informational InputSampleRate from the OpusSpecificBox; the audit
+    bit checks the spec's samplerate==48000 REQUIREMENT on the sample
+    entry, independent of the input rate."""
+    p = M.encode_minimal_mp4([7, 7], opus=(2, 48000, 44100))
+    r = M.parse_audio_codec_profile(p)
+    assert r == {
+        "codec": "Opus",
+        "container_channels": 2,
+        "sample_size": 16,
+        "container_sample_rate": 48000,
+        "oti": None,
+        "aot": None,
+        "asc_sample_rate": 44100,
+        "asc_channels": 2,
+        "codec_string": "opus",
+        "rate_match": True,
+    }
+    # a muxer that wrote the input rate into the entry is nonconformant
+    lie = M.parse_audio_codec_profile(
+        M.encode_minimal_mp4([7], opus=(1, 44100, 44100))
+    )
+    assert lie["rate_match"] is False
+    assert lie["container_sample_rate"] == 44100
+    # truncated dOps: loud failure
+    trunc = bytearray(p)
+    i = trunc.find(b"dOps")
+    trunc[i - 4 : i] = (9).to_bytes(4, "big")  # box shrunk below 11-byte body
+    with pytest.raises(ValueError, match="dOps"):
+        M.parse_audio_codec_profile(bytes(trunc))
+
+
+def test_audio_codec_profile_flac():
+    """fLaC/dfLa (FLAC-in-BMFF §3.3): STREAMINFO 20-bit rate / 3-bit
+    channels at byte 10, audited against the container claim."""
+    p = M.encode_minimal_mp4([5], flac=(2, 44100, 44100))
+    r = M.parse_audio_codec_profile(p)
+    assert (r["codec"], r["codec_string"]) == ("fLaC", "fLaC")
+    assert r["asc_sample_rate"] == 44100
+    assert r["asc_channels"] == 2
+    assert r["rate_match"] is True
+    # the 16.16 container field can't even hold 96 kHz (muxers write
+    # 48000 there for hi-res audio): STREAMINFO is the only truth and
+    # the audit flags the container claim
+    lie = M.parse_audio_codec_profile(
+        M.encode_minimal_mp4([5], flac=(2, 48000, 96000))
+    )
+    assert lie["rate_match"] is False
+    assert lie["asc_sample_rate"] == 96000
+    # surround channel count from STREAMINFO bits, not the container
+    six = M.parse_audio_codec_profile(
+        M.encode_minimal_mp4([5], flac=(2, 44100, 44100, 6))
+    )
+    assert six["asc_channels"] == 6
+    assert six["container_channels"] == 2
+    # non-STREAMINFO first block: loud failure
+    bad = bytearray(M.encode_minimal_mp4([5], flac=(2, 44100, 44100)))
+    i = bad.find(b"dfLa")
+    bad[i + 8] = 0x84  # last | block type 4 (VORBIS_COMMENT)
+    with pytest.raises(ValueError, match="STREAMINFO"):
+        M.parse_audio_codec_profile(bytes(bad))
+
+
 def test_box_walker_handles_largesize_and_to_end():
     body = b"\x01\x02\x03"
     large = (
