@@ -51,10 +51,14 @@ deferred so the closing invariant holds — register WITH a window slot):
 fragmented-init-segment codec metadata (encode_minimal_fmp4 now carries
 avc1/hev1/av01/vp09 stsd entries; all four metadata parsers verified on
 CMAF-shaped fixtures), the vp09/vpcC fourth codec family
-(test_h265.py pins both), and the EBML/Matroska/WebM demux
+(test_h265.py pins both), the EBML/Matroska/WebM demux
 (operators/ebml.py: webm_track_profile / webm_frame_index — the
 mixed-container corpus triage twins of the MP4 operators;
-test_ebml.py pins vints, cluster math and both operators). Round-8
+test_ebml.py pins vints, cluster math and both operators), the
+robots.txt URL gate (operators/robots.py, RFC 9309; test_robots.py
+property-pins the pattern matcher), and Opus/FLAC fixture variants
+to mix into the audio codec gate's codebook (dOps/dfLa branches
+landed r7, parity-green on the existing gate). Round-8
 mandatory freshness: the 27 remaining r03-era rows incl. the two
 batch reps displaced by the WARC pair (+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
