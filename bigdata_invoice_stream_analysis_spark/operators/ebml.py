@@ -234,6 +234,10 @@ def parse_webm(payload: bytes) -> dict:
     tracks: list[dict] = []
     blocks: list[dict] = []
 
+    # Info-before-Cluster is only a SHOULD (RFC 9559 §6): collect raw
+    # block ticks during the walk and scale to ms AFTER it, when the
+    # file's actual TimestampScale is known wherever Info appeared.
+    raw_blocks: list[tuple[dict, int]] = []
     for eid, s, e in walk_elements(payload, seg_s, seg_e):
         if eid == INFO:
             for ieid, is_, ie in walk_elements(payload, s, e):
@@ -251,11 +255,12 @@ def parse_webm(payload: bytes) -> dict:
                 if ceid == CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(payload, cs, ce)
                 elif ceid == SIMPLE_BLOCK:
-                    blocks.append(
-                        _parse_simple_block(
-                            payload, cs, ce, cluster_ts, timestamp_scale
-                        )
+                    raw_blocks.append(
+                        _parse_simple_block(payload, cs, ce, cluster_ts)
                     )
+    for block, ticks in raw_blocks:
+        block["pts_ms"] = ticks * timestamp_scale // 1_000_000
+        blocks.append(block)
 
     return {
         "doctype": doctype,
@@ -302,11 +307,13 @@ def _parse_track_entry(data: bytes, s: int, e: int) -> dict:
 
 
 def _parse_simple_block(
-    data: bytes, s: int, e: int, cluster_ts: int, scale: int
-) -> dict:
+    data: bytes, s: int, e: int, cluster_ts: int
+) -> tuple[dict, int]:
     """RFC 9559 §10.2: track vint, s16 relative timestamp (ticks),
     flags byte, then the (possibly laced — lacing rejected here, the
-    WebM muxers this targets don't lace keyframed video) payload."""
+    WebM muxers this targets don't lace keyframed video) payload.
+    Returns (block-without-pts, absolute ticks) — the caller scales to
+    ms once the file's TimestampScale is finally known."""
     track, p = read_vint(data, s, keep_marker=False)
     if p + 3 > e:
         raise ValueError("truncated SimpleBlock header")
@@ -314,12 +321,12 @@ def _parse_simple_block(
     flags = data[p + 2]
     if flags & 0x06:
         raise ValueError("laced SimpleBlock not supported")
-    return {
+    block = {
         "track": track,
-        "pts_ms": (cluster_ts + rel) * scale // 1_000_000,
         "keyframe": bool(flags & _SIMPLE_BLOCK_KEYFRAME),
         "size": e - (p + 3),
     }
+    return block, cluster_ts + rel
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +439,12 @@ def encode_minimal_webm(
             cluster_start = pts
             cluster_blocks = []
         rel = ticks(pts) - ticks(cluster_start)
+        if not -0x8000 <= rel <= 0x7FFF:
+            raise ValueError(
+                f"block offset {rel} ticks exceeds the s16 relative-"
+                f"timestamp range; lower cluster_every_ms for scale "
+                f"{timestamp_scale}"
+            )
         flags = _SIMPLE_BLOCK_KEYFRAME if key else 0
         cluster_blocks.append(
             _bin_element(

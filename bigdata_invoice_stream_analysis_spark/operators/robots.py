@@ -60,7 +60,8 @@ def parse_robots(text: str) -> dict:
                 current = {"agents": [], "rules": [], "crawl_delay": None}
                 groups.append(current)
                 in_agent_run = True
-            current["agents"].append(value.lower())
+            if value:  # an empty token would substring-match everything
+                current["agents"].append(value.lower())
             continue
         in_agent_run = False
         if field == "sitemap":
@@ -83,20 +84,40 @@ def parse_robots(text: str) -> dict:
 
 
 def select_group(robots: dict, agent: str) -> dict | None:
-    """§2.2.1: longest case-insensitive user-agent match, else the
-    ``*`` group, else None (no group = everything allowed)."""
+    """§2.2.1: the groups whose user-agent token is the LONGEST
+    case-insensitive match win; ALL groups at that specificity are
+    MERGED (the RFC requires combining groups that match the same
+    product token — 'User-agent: *' appearing twice is the classic
+    real-world layout). Falls back to the merged ``*`` groups, else
+    None (no group = everything allowed). The first non-None
+    crawl-delay among the merged groups is kept."""
     agent = agent.lower()
-    best: dict | None = None
     best_len = -1
-    star: dict | None = None
+    named: list[dict] = []
+    star: list[dict] = []
     for g in robots["groups"]:
+        g_len = -1
         for a in g["agents"]:
             if a == "*":
-                if star is None:
-                    star = g
-            elif a in agent and len(a) > best_len:
-                best, best_len = g, len(a)
-    return best if best is not None else star
+                star.append(g)
+            elif a in agent and len(a) > g_len:
+                g_len = len(a)
+        if g_len > best_len:
+            named, best_len = [g], g_len
+        elif g_len == best_len and g_len >= 0:
+            named.append(g)
+    chosen = named if named else star
+    if not chosen:
+        return None
+    if len(chosen) == 1:
+        return chosen[0]
+    merged = {"agents": [], "rules": [], "crawl_delay": None}
+    for g in chosen:
+        merged["agents"].extend(g["agents"])
+        merged["rules"].extend(g["rules"])
+        if merged["crawl_delay"] is None:
+            merged["crawl_delay"] = g["crawl_delay"]
+    return merged
 
 
 def _pattern_matches(pattern: str, path: str) -> bool:
@@ -191,8 +212,11 @@ def robots_url_gate(urls, robots, agent: str):
         )
 
         cols = [f.name for f in out_schema.fields]
-        cache: dict[str, dict] = {}
         for pdf in it:
+            # Per-batch cache: bounded by the batch's distinct hosts,
+            # so executor memory cannot grow with the partition's
+            # total distinct-host count at 100 TB.
+            cache: dict[str, dict] = {}
             out = {k: [] for k in cols}
             for uid, host, path, txt in zip(
                 pdf["url_id"], pdf["host"], pdf["path"], pdf["robots_txt"]

@@ -279,8 +279,12 @@ def parse_http_response(block: bytes) -> dict:
     if "chunked" in te:
         body = decode_chunked(body)
     else:
-        cl = _hget(headers, "content-length")
-        if cl is not None:
+        # Liberal like the header loop: real crawls carry merged
+        # duplicates ("123, 123") and garbage values — an unusable
+        # Content-Length means "keep the WARC-framed body", never a
+        # task-killing exception or a negative-index slice.
+        cl = (_hget(headers, "content-length") or "").strip()
+        if cl.isdigit():
             body = body[: int(cl)]
     ctype = _hget(headers, "content-type", "") or ""
     mime = ctype.split(";", 1)[0].strip().lower()
@@ -359,7 +363,7 @@ def html_to_text(html: str) -> dict:
     tm = _TITLE_RE.search(stripped)
     title = _WS_RE.sub(" ", decode_entities(tm.group(1))).strip() if tm else ""
     links = [
-        next(g for g in m.groups() if g is not None)
+        decode_entities(next(g for g in m.groups() if g is not None))
         for m in _HREF_RE.finditer(stripped)
     ]
     text = _TAG_RE.sub(" ", stripped)
@@ -464,7 +468,9 @@ def registered_domain(host: str) -> str:
     past the public suffix, with the common two-label suffixes listed
     explicitly (a vendored full PSL would go here in production; the
     heuristic is deterministic and documented)."""
-    host = host.lower().rstrip(".").partition(":")[0]
+    # Accept a full authority: strip userinfo and port before the
+    # label arithmetic (a crawl's URLs do carry credentials).
+    host = host.rpartition("@")[2].lower().rstrip(".").partition(":")[0]
     labels = host.split(".")
     if len(labels) <= 2:
         return host

@@ -141,6 +141,44 @@ def test_webm_nondefault_timestamp_scale():
     assert info["duration_ms"] == 500
 
 
+def test_cluster_before_info_uses_final_scale():
+    """Info-before-Cluster is only a SHOULD (RFC 9559 §6): block
+    timestamps must be scaled by the file's actual TimestampScale
+    even when Info arrives after the Clusters."""
+    payload = encode_minimal_webm(
+        [(0, True, 10), (500, False, 11)], timestamp_scale=100_000,
+        cluster_every_ms=10_000,
+    )
+    # Reorder the Segment children: [Info, Tracks, Cluster] →
+    # [Cluster, Info, Tracks] by splicing the raw element ranges.
+    seg = None
+    for eid, s, e in walk_elements(payload, 0, len(payload)):
+        if eid == SEGMENT:
+            seg = (s, e)
+    parts = {
+        eid: payload[s - _id_size(eid) - 1 : e]
+        for eid, s, e in walk_elements(payload, *seg)
+    }
+    reordered = (
+        payload[: seg[0]]
+        + parts[CLUSTER] + parts[0x1549A966] + parts[0x1654AE6B]
+    )
+    info = parse_webm(reordered)
+    assert [b["pts_ms"] for b in info["blocks"]] == [0, 500]
+    assert info["duration_ms"] == 500
+
+
+def _id_size(eid):
+    return (eid.bit_length() + 7) // 8
+
+
+def test_encoder_rejects_s16_tick_overflow():
+    with pytest.raises(ValueError, match="s16"):
+        encode_minimal_webm(
+            [(0, True, 8), (400, False, 8)], timestamp_scale=10_000,
+        )
+
+
 def test_matroska_doctype_passthrough():
     payload = encode_minimal_webm([], doctype="matroska",
                                   codec_id="V_MPEG4/ISO/AVC")

@@ -161,6 +161,18 @@ def test_http_status_without_reason():
     assert (resp["status"], resp["reason"]) == (204, "")
 
 
+def test_http_malformed_content_length_is_ignored():
+    """Real crawls carry merged duplicates and garbage CL values; an
+    unusable Content-Length keeps the WARC-framed body instead of
+    crashing the task or slicing negatively."""
+    for bad in ("123, 123", "abc", "-5", ""):
+        msg = (
+            f"HTTP/1.1 200 OK\r\nContent-Length: {bad}\r\n"
+            f"Content-Type: text/plain\r\n\r\nhello"
+        ).encode()
+        assert parse_http_response(msg)["body"] == b"hello"
+
+
 # ---------------------------------------------------------------------------
 # HTML → text
 # ---------------------------------------------------------------------------
@@ -185,6 +197,11 @@ def test_html_to_text_strips_script_style_comments():
 def test_html_href_quote_styles():
     html = "<a href='s'>1</a><a href=\"d\">2</a><a href=u>3</a>"
     assert html_to_text(html)["links"] == ["s", "d", "u"]
+
+
+def test_html_links_are_entity_decoded():
+    html = '<a href="/p?a=1&amp;b=2">x</a>'
+    assert html_to_text(html)["links"] == ["/p?a=1&b=2"]
 
 
 def test_decode_entities_numeric_and_unknown():
@@ -230,6 +247,8 @@ def test_normalize_url_idempotent():
 
 
 def test_registered_domain():
+    assert registered_domain("user:pw@www.example.com") == "example.com"
+    assert registered_domain("u@sub.ex.co.uk:8080") == "ex.co.uk"
     assert registered_domain("www.example.com") == "example.com"
     assert registered_domain("news.bbc.co.uk") == "bbc.co.uk"
     assert registered_domain("a.b.c.example.com.au") == "example.com.au"
