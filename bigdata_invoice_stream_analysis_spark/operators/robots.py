@@ -174,6 +174,97 @@ def evaluate(robots: dict, agent: str, path: str) -> dict:
     }
 
 
+def parse_sitemap(data: bytes) -> dict:
+    """Parse one sitemap document (sitemaps.org protocol 0.9): either
+    a ``<urlset>`` of ``<url>`` entries (loc, lastmod, changefreq,
+    priority) or a ``<sitemapindex>`` of child sitemap locs. Returns
+    ``{kind: 'urlset'|'sitemapindex', entries: [...]}`` where each
+    entry is ``{loc, lastmod, changefreq, priority}`` (index children
+    carry loc/lastmod only). Namespace-agnostic: real sitemaps mix the
+    0.9 namespace, no namespace, and typo'd variants, so tags are
+    matched by local name. Raises ValueError on non-XML or an
+    unexpected root element."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError as exc:
+        raise ValueError(f"not a sitemap: {exc}") from None
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"unexpected sitemap root <{kind}>")
+    child_tag = "url" if kind == "urlset" else "sitemap"
+    entries = []
+    for el in root:
+        if local(el.tag) != child_tag:
+            continue
+        entry = {"loc": None, "lastmod": None, "changefreq": None,
+                 "priority": None}
+        for f in el:
+            name = local(f.tag)
+            if name in entry:
+                entry[name] = (f.text or "").strip() or None
+        if entry["loc"] is None:
+            continue  # loc is the one mandatory field
+        if entry["priority"] is not None:
+            try:
+                entry["priority"] = float(entry["priority"])
+            except ValueError:
+                entry["priority"] = None
+        entries.append(entry)
+    return {"kind": kind, "entries": entries}
+
+
+def sitemap_urls(sitemaps):
+    """Explode (sitemap_id, payload) sitemap XML documents into one
+    row per entry — urlset rows carry the full per-URL metadata, index
+    rows the child-sitemap pointers (is_index=true) a frontier builder
+    fetches next. Arrow mapInPandas, map-side only; gzip-wrapped
+    sitemaps (the protocol allows .xml.gz) are decompressed inline."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("sitemap_id", T.LongType(), False),
+        T.StructField("is_index", T.BooleanType(), False),
+        T.StructField("loc", T.StringType(), False),
+        T.StructField("lastmod", T.StringType(), True),
+        T.StructField("changefreq", T.StringType(), True),
+        T.StructField("priority", T.DoubleType(), True),
+    ])
+
+    def batches(it):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.robots import (
+            parse_sitemap,
+        )
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for sid, payload in zip(pdf["sitemap_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gzip.decompress(raw)
+                doc = parse_sitemap(raw)
+                for entry in doc["entries"]:
+                    out["sitemap_id"].append(sid)
+                    out["is_index"].append(doc["kind"] == "sitemapindex")
+                    out["loc"].append(entry["loc"])
+                    out["lastmod"].append(entry["lastmod"])
+                    out["changefreq"].append(entry["changefreq"])
+                    out["priority"].append(entry["priority"])
+            yield pd.DataFrame(out)
+
+    return sitemaps.mapInPandas(batches, schema=out_schema)
+
+
 def robots_url_gate(urls, robots, agent: str):
     """Gate a URL table against per-host robots.txt documents:
     ``urls`` (url_id, host, path) ⋈ ``robots`` (host, robots_txt) →

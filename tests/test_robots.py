@@ -16,8 +16,10 @@ from bigdata_invoice_stream_analysis_spark.operators.robots import (
     _pattern_matches,
     evaluate,
     parse_robots,
+    parse_sitemap,
     robots_url_gate,
     select_group,
+    sitemap_urls,
 )
 
 SAMPLE = """\
@@ -155,6 +157,73 @@ def test_crawl_delay_and_bom_and_crlf():
     v = evaluate(r, "bot", "/x/1")
     assert v["allowed"] is False
     assert v["crawl_delay"] == 10.0
+
+
+URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://ex.com/a</loc><lastmod>2026-01-02</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://ex.com/b</loc></url>
+  <url><priority>0.5</priority></url><!-- no loc: dropped -->
+</urlset>"""
+
+INDEX = b"""<sitemapindex>
+  <sitemap><loc>https://ex.com/s1.xml</loc>
+           <lastmod>2026-02-03</lastmod></sitemap>
+  <sitemap><loc>https://ex.com/s2.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_urlset_and_index():
+    u = parse_sitemap(URLSET)
+    assert u["kind"] == "urlset"
+    assert u["entries"] == [
+        {"loc": "https://ex.com/a", "lastmod": "2026-01-02",
+         "changefreq": "daily", "priority": 0.8},
+        {"loc": "https://ex.com/b", "lastmod": None,
+         "changefreq": None, "priority": None},
+    ]
+    i = parse_sitemap(INDEX)  # namespace-free variant parses too
+    assert i["kind"] == "sitemapindex"
+    assert [e["loc"] for e in i["entries"]] == [
+        "https://ex.com/s1.xml", "https://ex.com/s2.xml.gz",
+    ]
+
+
+def test_parse_sitemap_rejects_non_sitemap():
+    import pytest
+
+    with pytest.raises(ValueError, match="not a sitemap"):
+        parse_sitemap(b"not xml at all")
+    with pytest.raises(ValueError, match="unexpected sitemap root"):
+        parse_sitemap(b"<rss><channel/></rss>")
+    # bad priority degrades to None, not an exception
+    bad = parse_sitemap(
+        b"<urlset><url><loc>/x</loc><priority>high</priority>"
+        b"</url></urlset>"
+    )
+    assert bad["entries"][0]["priority"] is None
+
+
+def test_sitemap_urls_operator(spark):
+    import gzip
+
+    df = spark.createDataFrame(
+        [(1, bytearray(URLSET)), (2, bytearray(gzip.compress(INDEX)))],
+        "sitemap_id long, payload binary",
+    )
+    rows = sorted(
+        sitemap_urls(df).collect(),
+        key=lambda r: (r["sitemap_id"], r["loc"]),
+    )
+    assert [(r["sitemap_id"], r["is_index"], r["loc"], r["priority"])
+            for r in rows] == [
+        (1, False, "https://ex.com/a", 0.8),
+        (1, False, "https://ex.com/b", None),
+        (2, True, "https://ex.com/s1.xml", None),
+        (2, True, "https://ex.com/s2.xml.gz", None),
+    ]
+    assert rows[2]["lastmod"] == "2026-02-03"
 
 
 def test_robots_url_gate_operator(spark):
