@@ -329,3 +329,38 @@ def q_warc_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return warc_text_corpus(archives.select("archive_id", "payload"))
+
+
+def q_warc_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round-8 lead (not yet registered — plans/graded.py owns
+    the registration plan): the END-TO-END ingestion funnel a real
+    web-corpus build runs, composed entirely from graded pieces —
+    warc_text_corpus extraction → exact text dedup (first archive_id
+    per distinct text wins, the r02-graded exact_dedup_groups shape) →
+    per-domain corpus stats (survivors, dup rate, mean text length).
+    Shape: map-side extraction (zero shuffles) → ONE hash shuffle on
+    the text key → one partial-agg shuffle on domain; at 100 TB those
+    are the two shuffles a corpus build must pay and the only two this
+    plan contains. Oracle (for the r8 registration) recomputes the
+    funnel in SQL from the same codebook arithmetic as
+    warc_text_corpus."""
+    from pyspark.sql import Window
+
+    rows = q_warc_text_corpus(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("archive_id", "record_idx")
+    survivors = (
+        rows.withColumn("rank", F.row_number().over(w))
+        .withColumn("is_survivor", F.col("rank") == 1)
+    )
+    return (
+        survivors.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_survivor").cast("long")).alias("n_unique"),
+            F.sum("text_len").alias("total_text_len"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+    )

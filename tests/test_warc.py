@@ -338,6 +338,31 @@ def test_wet_text_operator(spark, gz):
     assert rows[0]["text_len"] == len("extracted text café\n")
 
 
+def test_warc_corpus_funnel_staged(spark, sf_dir):
+    """The staged end-to-end funnel: extraction → exact dedup →
+    per-domain stats. Every text in the fixture corpus is unique per
+    (k, j) but repeated across archives sharing k — dup_rate per
+    domain is determined by how many doc_ids map to each k."""
+    from bigdata_invoice_stream_analysis_spark.plans.webcorpus import (
+        q_warc_corpus_funnel,
+        q_warc_text_corpus,
+    )
+
+    rows = {r["domain"]: r
+            for r in q_warc_corpus_funnel(spark, sf_dir).collect()}
+    base = q_warc_text_corpus(spark, sf_dir)
+    n_total = base.count()
+    n_unique = base.select("text").distinct().count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_total
+    assert sum(r["n_unique"] for r in rows.values()) == n_unique
+    assert set(rows) <= {
+        "example.com", "bbc.co.uk",
+    }
+    for r in rows.values():
+        assert 0 <= r["dup_rate"] < 1
+        assert r["n_unique"] <= r["n_docs"]
+
+
 @pytest.mark.parametrize("gz", [False, True])
 def test_warc_text_corpus_operator(spark, gz):
     rows = warc_text_corpus(_archive_df(spark, gz)).collect()
