@@ -1,0 +1,309 @@
+"""MPEG audio elementary streams: ADTS (AAC) and MP3 frame headers,
+plus ID3v2 skip — the scraped-audio formats that arrive WITHOUT a
+container.
+
+A crawled audio corpus is mostly not MP4: podcast feeds and scraped
+archives ship raw ``.aac`` (ADTS transport, ISO 14496-3 §1.A.2.2) and
+``.mp3`` (MPEG-1/2 audio layer III, ISO 11172-3 / 13818-3 frame
+headers, usually prefixed with an ID3v2 tag). The metadata a curation
+pipeline filters on — codec, sample rate, channels, duration, bitrate
+mode — lives entirely in the fixed-bit frame headers, so it parses at
+scan speed with no decoder. Same honest boundary as the video work:
+frame PAYLOAD decode (Huffman spectral data) needs a codec library
+and stays out of scope; the header walk below is complete.
+
+Scale posture: one Arrow mapInPandas pass (operators/mp4.py sets the
+pattern); the per-file work is linear in frame count with zero
+allocation per frame beyond the summary counters.
+
+Reference: n/a (extension surface; staged for round-8 registration —
+see plans/graded.py docstring).
+"""
+
+from __future__ import annotations
+
+# ISO 14496-3 §1.6.3.4 samplingFrequencyIndex table (shared with the
+# AudioSpecificConfig parser in operators/mp4.py).
+ADTS_RATES = [
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+]
+
+# ISO 11172-3 / 13818-3 tables for Layer III.
+_MP3_BITRATES_V1L3 = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_BITRATES_V2L3 = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def parse_id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if absent): 'ID3',
+    version u16, flags u8, then a 28-bit SYNCHSAFE size (7 bits per
+    byte, high bit zero) that EXCLUDES the 10-byte header itself."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size bytes must be synchsafe")
+        size = (size << 7) | b
+    # Footer flag adds 10 more bytes after the tag body.
+    return 10 + size + (10 if data[5] & 0x10 else 0)
+
+
+def parse_adts(data: bytes) -> dict:
+    """Walk an ADTS stream: per ISO 14496-3 §1.A.2.2 each frame opens
+    with a 12-bit 0xFFF syncword; profile (AOT-1), the sampling
+    frequency index, channel configuration and the 13-bit frame length
+    (header included) are fixed-position bits in the 7-/9-byte header.
+    Returns the stream summary a corpus filter needs: codec string
+    (the SAME RFC 6381 ``mp4a.40.A`` form the MP4 path renders),
+    rate/channels, frame count, duration, mean bitrate. Raises
+    ValueError on sync loss — a corrupted stream should be visible,
+    not silently truncated."""
+    data = bytes(data)
+    pos = 0
+    n_frames = 0
+    total_samples = 0
+    aot = rate = channels = None
+    while pos < len(data):
+        if pos + 7 > len(data):
+            raise ValueError("truncated ADTS header")
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
+            raise ValueError(f"ADTS sync lost at offset {pos}")
+        protection_absent = data[pos + 1] & 0x01
+        profile = (data[pos + 2] >> 6) & 0x3          # AOT - 1
+        freq_idx = (data[pos + 2] >> 2) & 0xF
+        chan_cfg = ((data[pos + 2] & 0x1) << 2) | (data[pos + 3] >> 6)
+        frame_len = (
+            ((data[pos + 3] & 0x03) << 11)
+            | (data[pos + 4] << 3)
+            | (data[pos + 5] >> 5)
+        )
+        n_blocks = (data[pos + 6] & 0x03) + 1
+        header_len = 7 if protection_absent else 9
+        if frame_len < header_len:
+            raise ValueError(f"ADTS frame length {frame_len} too small")
+        if pos + frame_len > len(data):
+            raise ValueError("ADTS frame overruns stream")
+        if freq_idx >= len(ADTS_RATES):
+            raise ValueError(f"reserved ADTS frequency index {freq_idx}")
+        this = (profile + 1, ADTS_RATES[freq_idx], chan_cfg)
+        if aot is None:
+            aot, rate, channels = this
+        elif this != (aot, rate, channels):
+            raise ValueError("ADTS stream parameters changed mid-stream")
+        n_frames += 1
+        total_samples += 1024 * n_blocks
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no ADTS frames")
+    duration_ms = total_samples * 1000 // rate
+    return {
+        "container": "adts",
+        "codec_string": f"mp4a.40.{aot}",
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+        "bitrate_kbps": (
+            round(len(data) * 8 * rate / (total_samples * 1000), 1)
+        ),
+    }
+
+
+def _mp3_frame_params(h: int) -> tuple[int, int, int, int, int]:
+    """Decode one 32-bit Layer III header into (version_bits,
+    bitrate_kbps, sample_rate, samples_per_frame, frame_bytes)."""
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("MP3 sync lost")
+    version = (h >> 19) & 0x3          # 3=V1, 2=V2, 0=V2.5, 1=reserved
+    layer = (h >> 17) & 0x3            # 1 = Layer III
+    if version == 1 or layer != 1:
+        raise ValueError("not an MPEG Layer III frame")
+    bitrate_idx = (h >> 12) & 0xF
+    rate_idx = (h >> 10) & 0x3
+    padding = (h >> 9) & 0x1
+    if bitrate_idx in (0, 0xF) or rate_idx == 3:
+        raise ValueError("free-format/reserved MP3 header fields")
+    if version == 3:                   # MPEG-1
+        bitrate = _MP3_BITRATES_V1L3[bitrate_idx]
+        rate = _MP3_RATES_V1[rate_idx]
+        samples = 1152
+        frame = 144 * bitrate * 1000 // rate + padding
+    else:                              # MPEG-2 (2) / MPEG-2.5 (0)
+        bitrate = _MP3_BITRATES_V2L3[bitrate_idx]
+        rate = _MP3_RATES_V1[rate_idx] // (2 if version == 2 else 4)
+        samples = 576
+        frame = 72 * bitrate * 1000 // rate + padding
+    return version, bitrate, rate, samples, frame
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Walk an MP3 stream (leading ID3v2 tag skipped): version/layer,
+    rate/channels from the first frame, frame count and duration from
+    the walk, CBR/VBR detection from the per-frame bitrate set. Frame
+    PAYLOADS are untouched. Raises ValueError on sync loss."""
+    data = bytes(data)
+    pos = parse_id3v2_size(data)
+    n_frames = 0
+    total_samples = 0
+    first = None
+    bitrates = set()
+    bitrate_sum = 0
+    stereo = None
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise ValueError("truncated MP3 header")
+        h = int.from_bytes(data[pos : pos + 4], "big")
+        version, bitrate, rate, samples, frame = _mp3_frame_params(h)
+        mode = (h >> 6) & 0x3
+        if first is None:
+            first = (version, rate)
+            stereo = mode != 3
+        elif (version, rate) != first:
+            raise ValueError("MP3 stream parameters changed mid-stream")
+        if pos + frame > len(data):
+            raise ValueError("MP3 frame overruns stream")
+        bitrates.add(bitrate)
+        bitrate_sum += bitrate
+        n_frames += 1
+        total_samples += samples
+        pos += frame
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    version, rate = first
+    mean_kbps = bitrate_sum / n_frames  # frame-weighted (VBR-honest)
+    return {
+        "container": "mp3",
+        "codec_string": {3: "mp4a.6b", 2: "mp4a.69", 0: "mp4a.69"}[
+            version
+        ],  # RFC 6381 OTIs: 0x6B MPEG-1 audio, 0x69 MPEG-2 audio
+        "sample_rate": rate,
+        "channels": 2 if stereo else 1,
+        "n_frames": n_frames,
+        "duration_ms": total_samples * 1000 // rate,
+        "bitrate_kbps": float(round(mean_kbps, 1)),
+        "cbr": len(bitrates) == 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoders
+# ---------------------------------------------------------------------------
+
+
+def encode_adts(
+    n_frames: int,
+    aot: int = 2,
+    freq_index: int = 4,
+    channels: int = 2,
+    payload_len: int = 64,
+) -> bytes:
+    """Deterministic ADTS stream: n_frames headers (protection
+    absent), each followed by ``payload_len`` fill bytes."""
+    out = bytearray()
+    frame_len = 7 + payload_len
+    for i in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # sync + MPEG-4 + layer 00 + protection_absent
+        h[2] = ((aot - 1) << 6) | (freq_index << 2) | (channels >> 2)
+        h[3] = ((channels & 0x3) << 6) | (frame_len >> 11)
+        h[4] = (frame_len >> 3) & 0xFF
+        h[5] = ((frame_len & 0x7) << 5) | 0x1F
+        h[6] = 0xFC  # buffer fullness tail + 1 raw data block
+        out += h + bytes([(0x30 + i) & 0xFF] * payload_len)
+    return bytes(out)
+
+
+def encode_mp3(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    rate_idx: int = 0,
+    mpeg1: bool = True,
+    stereo: bool = True,
+    id3_size: int = 0,
+    vbr_alternate_idx: int | None = None,
+) -> bytes:
+    """Deterministic MP3 stream, optionally ID3v2-prefixed and
+    optionally alternating two bitrate indices (a VBR stand-in)."""
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> s) & 0x7F for s in (21, 14, 7, 0)]
+        )
+        out += bytes(id3_size)
+    for i in range(n_frames):
+        bi = bitrate_idx
+        if vbr_alternate_idx is not None and i % 2 == 1:
+            bi = vbr_alternate_idx
+        h = 0x7FF << 21
+        h |= (3 if mpeg1 else 2) << 19
+        h |= 1 << 17                    # layer III
+        h |= 1 << 16                    # no CRC
+        h |= bi << 12
+        h |= rate_idx << 10
+        h |= (0 if stereo else 3) << 6
+        _, _, _, _, frame = _mp3_frame_params(h)
+        out += h.to_bytes(4, "big")
+        out += bytes([(0x40 + i) & 0xFF] * (frame - 4))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def audio_stream_profile(media):
+    """Elementary-stream audio metadata over (media_id, payload)
+    inside Arrow mapInPandas — sniffs ADTS vs (ID3v2-prefixed) MP3 per
+    payload and emits one summary row per file, with codec strings in
+    the same RFC 6381 family as the MP4 path so ONE filter expression
+    covers containerized and raw audio corpora alike."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("codec_string", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("bitrate_kbps", T.DoubleType(), False),
+        T.StructField("cbr", T.BooleanType(), True),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+            parse_adts,
+            parse_mp3,
+        )
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                if raw[:3] == b"ID3" or (
+                    len(raw) >= 2
+                    and raw[0] == 0xFF
+                    and (raw[1] & 0xF6) in (0xF2, 0xE2)
+                ):
+                    row = parse_mp3(raw)
+                else:
+                    row = parse_adts(raw)
+                    row = {**row, "cbr": None}
+                out["media_id"].append(mid)
+                for k in cols[1:]:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)

@@ -1,0 +1,168 @@
+"""ADTS/MP3 elementary-stream headers: bit layouts, ID3v2 synchsafe
+skip, frame walks, CBR/VBR detection, sync-loss errors, the Spark
+sniffing operator, and hypothesis roundtrips over the parameter
+lattice."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+    ADTS_RATES,
+    audio_stream_profile,
+    encode_adts,
+    encode_mp3,
+    parse_adts,
+    parse_id3v2_size,
+    parse_mp3,
+)
+
+# ---------------------------------------------------------------------------
+# ADTS
+# ---------------------------------------------------------------------------
+
+
+def test_adts_roundtrip():
+    s = parse_adts(encode_adts(25, aot=2, freq_index=4, channels=2))
+    assert s == {
+        "container": "adts",
+        "codec_string": "mp4a.40.2",
+        "sample_rate": 44100,
+        "channels": 2,
+        "n_frames": 25,
+        "duration_ms": 25 * 1024 * 1000 // 44100,
+        "bitrate_kbps": s["bitrate_kbps"],
+    }
+    assert s["bitrate_kbps"] > 0
+
+
+def test_adts_errors():
+    good = encode_adts(3)
+    with pytest.raises(ValueError, match="sync lost"):
+        parse_adts(b"\x00" + good)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_adts(good[:-10])
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        parse_adts(encode_adts(2, freq_index=4) + encode_adts(1, freq_index=3))
+    with pytest.raises(ValueError, match="no ADTS frames"):
+        parse_adts(b"")
+    bad_freq = bytearray(encode_adts(1))
+    bad_freq[2] = (bad_freq[2] & 0xC3) | (14 << 2)  # reserved index
+    with pytest.raises(ValueError, match="reserved"):
+        parse_adts(bytes(bad_freq))
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=12),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=1, max_value=300),
+)
+@settings(max_examples=100, deadline=None)
+def test_adts_roundtrip_property(n, aot, freq_index, channels, payload_len):
+    s = parse_adts(encode_adts(n, aot, freq_index, channels, payload_len))
+    assert s["codec_string"] == f"mp4a.40.{aot}"
+    assert s["sample_rate"] == ADTS_RATES[freq_index]
+    assert (s["channels"], s["n_frames"]) == (channels, n)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 + MP3
+# ---------------------------------------------------------------------------
+
+
+def test_id3v2_synchsafe_size():
+    tag = b"ID3\x04\x00\x00\x00\x00\x02\x01" + bytes(0x101)
+    assert parse_id3v2_size(tag) == 10 + 0x101
+    assert parse_id3v2_size(b"notid3....") == 0
+    with pytest.raises(ValueError, match="synchsafe"):
+        parse_id3v2_size(b"ID3\x04\x00\x00\x00\x00\x80\x00")
+    # footer flag adds 10 bytes
+    foot = b"ID3\x04\x00\x10\x00\x00\x00\x05"
+    assert parse_id3v2_size(foot) == 10 + 5 + 10
+
+
+def test_mp3_cbr_roundtrip():
+    s = parse_mp3(encode_mp3(30, bitrate_idx=9, rate_idx=0))
+    assert s["container"] == "mp3"
+    assert s["codec_string"] == "mp4a.6b"  # MPEG-1 audio OTI 0x6B
+    assert s["sample_rate"] == 44100
+    assert s["channels"] == 2
+    assert s["n_frames"] == 30
+    assert s["cbr"] is True
+    assert s["bitrate_kbps"] == 128.0
+    assert s["duration_ms"] == 30 * 1152 * 1000 // 44100
+
+
+def test_mp3_vbr_id3_mono_mpeg2():
+    s = parse_mp3(
+        encode_mp3(20, bitrate_idx=9, vbr_alternate_idx=11,
+                   id3_size=200, mpeg1=False, stereo=False, rate_idx=1)
+    )
+    assert s["codec_string"] == "mp4a.69"  # MPEG-2 audio OTI 0x69
+    assert s["sample_rate"] == 24000       # 48000 // 2
+    assert s["channels"] == 1
+    assert s["cbr"] is False
+    # frame-weighted mean of alternating 80/112 kbps (V2L3 idx 9/11)
+    assert s["bitrate_kbps"] == pytest.approx((80 + 112) / 2)
+    assert s["duration_ms"] == 20 * 576 * 1000 // 24000
+
+
+def test_mp3_errors():
+    good = encode_mp3(3)
+    with pytest.raises(ValueError, match="sync lost"):
+        parse_mp3(b"\x00\x00" + good)
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp3(good[:-8])
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+
+
+@given(
+    st.integers(min_value=1, max_value=15),
+    st.integers(min_value=1, max_value=14),
+    st.integers(min_value=0, max_value=2),
+    st.booleans(),
+    st.booleans(),
+    st.integers(min_value=0, max_value=64),
+)
+@settings(max_examples=100, deadline=None)
+def test_mp3_roundtrip_property(n, bi, ri, mpeg1, stereo, id3):
+    s = parse_mp3(encode_mp3(n, bi, ri, mpeg1, stereo, id3_size=id3))
+    assert s["n_frames"] == n
+    assert s["channels"] == (2 if stereo else 1)
+    base = [44100, 48000, 32000][ri]
+    assert s["sample_rate"] == (base if mpeg1 else base // 2)
+    assert s["cbr"] is True
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def test_audio_stream_profile_operator(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_adts(10, aot=2, freq_index=3))),
+            (2, bytearray(encode_mp3(8, id3_size=64))),
+            (3, bytearray(encode_mp3(4, mpeg1=False, stereo=False))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_stream_profile(df).collect()}
+    assert rows[1]["container"] == "adts"
+    assert rows[1]["codec_string"] == "mp4a.40.2"
+    assert rows[1]["sample_rate"] == 48000
+    assert rows[1]["cbr"] is None
+    assert rows[2]["container"] == "mp3"
+    assert rows[2]["n_frames"] == 8
+    assert rows[3]["channels"] == 1
