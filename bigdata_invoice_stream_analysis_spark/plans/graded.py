@@ -55,10 +55,14 @@ CMAF-shaped fixtures), the vp09/vpcC fourth codec family
 (operators/ebml.py: webm_track_profile / webm_frame_index — the
 mixed-container corpus triage twins of the MP4 operators;
 test_ebml.py pins vints, cluster math and both operators), the
-robots.txt URL gate (operators/robots.py, RFC 9309; test_robots.py
-property-pins the pattern matcher), and Opus/FLAC fixture variants
-to mix into the audio codec gate's codebook (dOps/dfLa branches
-landed r7, parity-green on the existing gate). Round-8
+robots.txt URL gate + sitemaps (operators/robots.py, RFC 9309 +
+sitemaps.org; test_robots.py property-pins the pattern matcher),
+Opus/FLAC fixture variants to mix into the audio codec gate's
+codebook (dOps/dfLa branches landed r7, parity-green on the existing
+gate), ADTS/MP3 elementary-stream profiling
+(operators/mpegaudio.py), the WET text sidecar + the composed
+warc_corpus_funnel (plans/webcorpus.py), and SRT/WebVTT cue
+explosion (operators/subtitles.py) for video-text alignment. Round-8
 mandatory freshness: the 27 remaining r03-era rows incl. the two
 batch reps displaced by the WARC pair (+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
