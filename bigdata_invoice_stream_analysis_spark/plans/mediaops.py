@@ -1132,3 +1132,83 @@ def q_media_fmp4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return decode_video_frames(media.select("media_id", "payload"), every_n=2)
+
+
+def q_media_cue_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED round-8 lead (not yet registered — plans/graded.py owns
+    the registration plan): VIDEO-TEXT ALIGNMENT, the join that turns
+    a scraped video corpus into training pairs — each subtitle cue
+    matched to the sync samples (keyframes) inside its time window,
+    because only sync samples decode without inter-frame context, so
+    "one frame per caption" sampling must pick from them. Composes two
+    graded/staged operators: mp4.frame_index(keyframes_only=True) over
+    a k-keyed MP4 codebook (timescale 1000 → pts IS ms; stss marks
+    every 3rd sample) and subtitles.subtitle_cues over a matching VTT
+    codebook (cue j spans [80j, 80j+60) ms). Plan: both sides are
+    map-side explosions off bounded broadcasts; the alignment is ONE
+    equi-join shuffle on media_id with the range predicate evaluated
+    post-join — at 100 TB the same shape co-partitions both sides on
+    media_id once. The closed-form oracle (for r8 registration)
+    recomputes keyframe hits per window from k."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+        frame_index,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.subtitles import (
+        subtitle_cues,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+
+    def mp4_payload(k: int) -> bytes:
+        n = k + 3
+        return encode_minimal_mp4(
+            [(k + i) % 17 + 4 for i in range(n)],
+            timescale=1000, frame_delta=40,
+            keyframes=list(range(0, n, 3)),
+        )
+
+    def vtt_payload(k: int) -> bytes:
+        cues = "\n\n".join(
+            f"00:00:{(80 * j) // 1000:02d}.{(80 * j) % 1000:03d} --> "
+            f"00:00:{(80 * j + 60) // 1000:02d}.{(80 * j + 60) % 1000:03d}\n"
+            f"cue {k} {j}"
+            for j in range(2 + k % 2)
+        )
+        return f"WEBVTT\n\n{cues}\n".encode()
+
+    mp4_book = spark.createDataFrame(
+        [(k, bytearray(mp4_payload(k))) for k in range(8)],
+        "k int, payload binary",
+    )
+    vtt_book = spark.createDataFrame(
+        [(k, bytearray(vtt_payload(k))) for k in range(8)],
+        "k int, payload binary",
+    )
+    keyed = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 8).cast("int").alias("k"),
+    )
+    kf = frame_index(
+        keyed.join(F.broadcast(mp4_book), "k")
+        .select("media_id", "payload"),
+        keyframes_only=True,
+    )
+    cues = subtitle_cues(
+        keyed.join(F.broadcast(vtt_book), "k")
+        .select("media_id", "payload"),
+    )
+    hits = cues.join(kf, "media_id").where(
+        (F.col("pts") >= F.col("start_ms")) & (F.col("pts") < F.col("end_ms"))
+    )
+    return (
+        hits.groupBy("media_id", "cue_idx", "start_ms", "end_ms", "text")
+        .agg(
+            F.count(F.lit(1)).alias("n_keyframes"),
+            F.min("pts").alias("first_kf_pts"),
+        )
+    )

@@ -325,3 +325,34 @@ def test_audio_sample_stats_matches_driver_decode(spark):
             assert r["sample_sum"] == sum(ch)
             assert r["peak"] == max(abs(x) for x in devs)
             assert r["sq_dev_sum"] == sum(x * x for x in devs)
+
+
+def test_media_cue_alignment_staged(spark, sf_dir):
+    """Staged video-text alignment: each cue window [80j, 80j+60) must
+    capture exactly the keyframes (every 3rd sample at 40 ms = pts
+    120i) that land inside it — recomputed here in plain Python for
+    every k in the codebook."""
+    from bigdata_invoice_stream_analysis_spark.plans.mediaops import (
+        q_media_cue_alignment,
+    )
+
+    rows = q_media_cue_alignment(spark, sf_dir).collect()
+    assert rows, "alignment produced no pairs"
+    # Expected hits per (k, cue j): keyframe pts are 120*i for
+    # i < ceil((k+3)/3); window is [80j, 80j+60).
+    def expected(k, j):
+        kfs = [120 * i for i in range((k + 3 + 2) // 3)]
+        return [p for p in kfs if 80 * j <= p < 80 * j + 60]
+
+    for r in rows:
+        k = r["media_id"] % 8
+        exp = expected(k, r["cue_idx"])
+        assert exp, f"row for empty window k={k} j={r['cue_idx']}"
+        assert r["n_keyframes"] == len(exp)
+        assert r["first_kf_pts"] == exp[0]
+        assert r["text"] == f"cue {k} {r['cue_idx']}"
+    # Windows with no keyframe must NOT appear (inner join semantics):
+    got = {(r["media_id"] % 8, r["cue_idx"]) for r in rows}
+    for k in range(8):
+        for j in range(2 + k % 2):
+            assert ((k, j) in got) == bool(expected(k, j))
