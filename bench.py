@@ -237,7 +237,13 @@ def main() -> None:
 
     # Prior round's per-query map, read BEFORE this run overwrites the
     # file: the drift re-timing rules below compare against it.
-    detail_path = os.path.join(_HERE, "BENCH_DETAIL.json")
+    # SPARK_GRAFT_DETAIL_PATH redirects the detail artifact so smoke
+    # runs at other SFs don't clobber the committed sf0.1 map (the
+    # drift comparison already ignores SF-mismatched priors; this
+    # keeps the FILE itself intact too).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH", os.path.join(_HERE, "BENCH_DETAIL.json")
+    )
     prior_detail: dict[str, float] = {}
     prior_diet_keep = None
     prior_drain_mode = None
@@ -504,7 +510,7 @@ def main() -> None:
                 ),
                 "streaming": stream_brief,
                 "sf": sf_val,
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
             }
         )
     )
