@@ -61,8 +61,10 @@ Opus/FLAC fixture variants to mix into the audio codec gate's
 codebook (dOps/dfLa branches landed r7, parity-green on the existing
 gate), ADTS/MP3 elementary-stream profiling
 (operators/mpegaudio.py), the WET text sidecar + the composed
-warc_corpus_funnel (plans/webcorpus.py), and SRT/WebVTT cue
-explosion (operators/subtitles.py) for video-text alignment. Round-8
+warc_corpus_funnel (plans/webcorpus.py), SRT/WebVTT cue explosion
+(operators/subtitles.py) with the staged q_media_cue_alignment
+video-text join (plans/mediaops.py), and TAR/WebDataset shard
+walking (operators/wds.py: wds_components / wds_samples). Round-8
 mandatory freshness: the 27 remaining r03-era rows incl. the two
 batch reps displaced by the WARC pair (+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
