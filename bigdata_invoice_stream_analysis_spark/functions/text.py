@@ -395,3 +395,176 @@ def sql_ordered_shingle_hashes(col: str, n: int = 3) -> str:
         f"CASE WHEN len({th}) >= {n} THEN {grams} "
         f"ELSE [" + compose.format(sub=th) + "] END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1.2 — the published
+# repetition-free heuristic set every web-corpus curation stack since
+# has reused; public knowledge, reimplemented as Column algebra)
+# ---------------------------------------------------------------------------
+
+# The paper's "must contain 2 of these English stop words" gate.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that",
+                         "have", "with")
+
+
+def _ws_words(text: Column) -> Column:
+    """Whitespace-delimited words (the paper counts words this way,
+    unlike tokenize()'s alphanumeric runs)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """The Gopher document-level quality rules as deterministic
+    Column expressions — each rule its own boolean column plus the
+    conjunction ``gopher_pass``, so a curation funnel can report WHY
+    documents fail, not just how many:
+
+      * 50 ≤ word count ≤ 100,000
+      * 3 ≤ mean word length ≤ 10
+      * symbol-to-word ratio (# and … / ...) ≤ 0.1
+      * ≤ 90% of lines start with a bullet ( • / - / * )
+      * ≤ 30% of lines end with an ellipsis
+      * ≥ 80% of words contain at least one alphabetic character
+      * contains ≥ 2 of the 8 required English stop words
+
+    Ratios are exact integer numerators over integer denominators
+    (identical doubles in both engines); everything stays inside
+    WholeStageCodegen."""
+    words = _ws_words(text)
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[#…]", ""))
+        + F.size(F.split(text, r"\.\.\.")) - 1
+    )
+    lines = F.filter(
+        F.split(text, r"\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*]")
+    ))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")
+    ))
+    n_alpha_words = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]")
+    ))
+    toks = tokenize(text)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_required = F.size(F.filter(
+        req, lambda w: F.array_contains(toks, w)
+    ))
+    flags = {
+        "word_count_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (
+            (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        ),
+        "symbol_ratio_ok": F.when(
+            n_words > 0,
+            n_symbols.cast("double") / n_words <= 0.1,
+        ).otherwise(F.lit(False)),
+        "bullet_ratio_ok": F.when(
+            n_lines > 0,
+            n_bullet.cast("double") / n_lines <= 0.9,
+        ).otherwise(F.lit(True)),
+        "ellipsis_ratio_ok": F.when(
+            n_lines > 0,
+            n_ellipsis.cast("double") / n_lines <= 0.3,
+        ).otherwise(F.lit(True)),
+        "alpha_word_ratio_ok": F.when(
+            n_words > 0,
+            n_alpha_words.cast("double") / n_words >= 0.8,
+        ).otherwise(F.lit(False)),
+        "required_words_ok": n_required >= 2,
+    }
+    acc = F.lit(True)
+    for c in flags.values():
+        acc = acc & c
+    return {**flags, "gopher_pass": acc}
+
+
+def sql_gopher_quality_flags(col: str) -> dict[str, str]:
+    """DuckDB twins of gopher_quality_flags (same integer-exact
+    arithmetic) for the closed-form oracles."""
+    words = (
+        f"list_filter(string_split_regex(trim({col}), '\\s+'),"
+        f" w -> w != '')"
+    )
+    toks = SQL_TOKENIZE.format(col=col)
+    req = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS)
+    lines = (
+        f"list_filter(string_split({col}, chr(10)),"
+        f" ln -> trim(ln) != '')"
+    )
+    n_words = f"len({words})"
+    mean_wl = (
+        f"CASE WHEN {n_words} > 0 THEN "
+        f"CAST(list_sum(list_transform({words},"
+        f" w -> CAST(length(w) AS BIGINT))) AS BIGINT)"
+        f" / CAST({n_words} AS DOUBLE) ELSE 0.0 END"
+    )
+    n_symbols = (
+        f"(length({col}) - length(regexp_replace({col}, '[#…]', '', 'g'))"
+        f" + len(string_split_regex({col}, '\\.\\.\\.')) - 1)"
+    )
+    n_lines = f"len({lines})"
+    n_bullet = (
+        f"len(list_filter({lines},"
+        f" ln -> regexp_matches(trim(ln), '^[•\\-\\*]')))"
+    )
+    n_ellipsis = (
+        f"len(list_filter({lines},"
+        f" ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))"
+    )
+    n_alpha = (
+        f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+    )
+    n_required = (
+        f"len(list_filter([{req}], w -> list_contains({toks}, w)))"
+    )
+    flags = {
+        "word_count_ok": f"({n_words} >= 50 AND {n_words} <= 100000)",
+        "mean_word_len_ok": (
+            f"(({mean_wl}) >= 3.0 AND ({mean_wl}) <= 10.0)"
+        ),
+        "symbol_ratio_ok": (
+            f"CASE WHEN {n_words} > 0 THEN "
+            f"CAST({n_symbols} AS DOUBLE) / {n_words} <= 0.1 "
+            f"ELSE FALSE END"
+        ),
+        "bullet_ratio_ok": (
+            f"CASE WHEN {n_lines} > 0 THEN "
+            f"CAST({n_bullet} AS DOUBLE) / {n_lines} <= 0.9 "
+            f"ELSE TRUE END"
+        ),
+        "ellipsis_ratio_ok": (
+            f"CASE WHEN {n_lines} > 0 THEN "
+            f"CAST({n_ellipsis} AS DOUBLE) / {n_lines} <= 0.3 "
+            f"ELSE TRUE END"
+        ),
+        "alpha_word_ratio_ok": (
+            f"CASE WHEN {n_words} > 0 THEN "
+            f"CAST({n_alpha} AS DOUBLE) / {n_words} >= 0.8 "
+            f"ELSE FALSE END"
+        ),
+        "required_words_ok": f"({n_required} >= 2)",
+    }
+    flags["gopher_pass"] = "(" + " AND ".join(
+        flags[k] for k in (
+            "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+            "bullet_ratio_ok", "ellipsis_ratio_ok",
+            "alpha_word_ratio_ok", "required_words_ok",
+        )
+    ) + ")"
+    return flags

@@ -63,8 +63,12 @@ gate), ADTS/MP3 elementary-stream profiling
 (operators/mpegaudio.py), the WET text sidecar + the composed
 warc_corpus_funnel (plans/webcorpus.py), SRT/WebVTT cue explosion
 (operators/subtitles.py) with the staged q_media_cue_alignment
-video-text join (plans/mediaops.py), and TAR/WebDataset shard
-walking (operators/wds.py: wds_components / wds_samples). Round-8
+video-text join (plans/mediaops.py), TAR/WebDataset shard
+walking (operators/wds.py: wds_components / wds_samples), GIF
+animation metadata (operators/gif.py), EXIF/GPS privacy audit
+(operators/exif.py), and the Gopher quality rule set with exact
+DuckDB twins (functions/text.py::gopher_quality_flags — register as
+a gopher_quality_audit oracle row). Round-8
 mandatory freshness: the 27 remaining r03-era rows incl. the two
 batch reps displaced by the WARC pair (+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
