@@ -66,11 +66,20 @@ warc_corpus_funnel (plans/webcorpus.py), SRT/WebVTT cue explosion
 video-text join (plans/mediaops.py), TAR/WebDataset shard
 walking (operators/wds.py: wds_components / wds_samples), GIF
 animation metadata (operators/gif.py), EXIF/GPS privacy audit
-(operators/exif.py), and the Gopher quality rule set with exact
-DuckDB twins (functions/text.py::gopher_quality_flags — register as
-a gopher_quality_audit oracle row). Round-8
-mandatory freshness: the 27 remaining r03-era rows incl. the two
-batch reps displaced by the WARC pair (+ pins + new code). Rotate per round: queries
+(operators/exif.py), WebP triage (operators/webp.py), and the Gopher
+quality rule set with exact DuckDB twins
+(functions/text.py::gopher_quality_flags — register as a
+gopher_quality_audit oracle row). The leads now EXCEED round-8's
+~10 free slots (50 − 11 pins − 29 mandatory r03 rows); suggested
+priority: (1) gopher_quality_audit (pure Column algebra, twin ready),
+(2) webm_track_profile, (3) warc_corpus_funnel, (4) wds_samples,
+(5) media_cue_alignment, (6) robots_url_gate, (7) vp09 + CMAF-init
+variants MIXED INTO the existing codec gate's codebook (re-pin, no
+new slot), (8) exif/gif/webp/mpegaudio/subtitle/sitemap/wet rows as
+slots allow — the rest roll to r9 with their unit/property tests
+standing guard. Round-8 mandatory freshness: the 27 remaining
+r03-era rows incl. the two batch reps displaced by the WARC pair
+(+ pins + new code). Rotate per round: queries
 displaced this round keep their green rows from CORRECTNESS_r01-r06
 and remain locally parity-gated by tests/test_oracle_parity.py over
 ALL registered oracles. tests/test_graded_window.py asserts the window
