@@ -104,24 +104,35 @@ def parse_exif(payload: bytes) -> dict:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     tiff = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
-        marker = data[pos + 1]
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — the marker is the first non-FF byte of the run.
+        m = pos + 1
+        while m < len(data) and data[m] == 0xFF:
+            m += 1
+        if m >= len(data):
+            break
+        marker = data[m]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
+            pos = m + 1
             continue
         if marker == 0xDA:  # SOS: entropy data follows; EXIF precedes
             break
-        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        seg = data[pos + 4 : pos + 2 + seglen]
+        if m + 3 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", data[m + 1 : m + 3])
+        seg = data[m + 3 : m + 1 + seglen]
         if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
             tiff = seg[6:]
             break
-        pos += 2 + seglen
+        pos = m + 1 + seglen
     if tiff is None:
         return out
     out["has_exif"] = True
+    if len(tiff) < 8:
+        raise ValueError("EXIF TIFF payload shorter than its header")
     if tiff[:2] == b"II":
         end = "<"
     elif tiff[:2] == b"MM":
@@ -176,6 +187,8 @@ def encode_exif_jpeg(
     ``body`` (e.g. a real scan from operators/jpeg.encode_jpeg,
     SOI-stripped) or a bare EOI."""
     end = "<" if byte_order == "II" else ">"
+    if pixel_x is not None and pixel_y is None:
+        pixel_y = pixel_x
 
     def entry(tag, typ, count, raw4):
         return struct.pack(end + "HHI", tag, typ, count) + raw4

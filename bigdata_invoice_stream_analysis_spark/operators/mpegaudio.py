@@ -22,12 +22,12 @@ see plans/graded.py docstring).
 
 from __future__ import annotations
 
-# ISO 14496-3 §1.6.3.4 samplingFrequencyIndex table (shared with the
-# AudioSpecificConfig parser in operators/mp4.py).
-ADTS_RATES = [
-    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
-    16000, 12000, 11025, 8000, 7350,
-]
+# ISO 14496-3 §1.6.3.4 samplingFrequencyIndex table — genuinely
+# shared with the AudioSpecificConfig parser in operators/mp4.py (one
+# definition; a correction there cannot diverge this path).
+from bigdata_invoice_stream_analysis_spark.operators.mp4 import (  # noqa: E402
+    _ASC_RATES as ADTS_RATES,
+)
 
 # ISO 11172-3 / 13818-3 tables for Layer III.
 _MP3_BITRATES_V1L3 = [
@@ -54,6 +54,16 @@ def parse_id3v2_size(data: bytes) -> int:
     return 10 + size + (10 if data[5] & 0x10 else 0)
 
 
+def _is_trailer_tag(data: bytes, pos: int) -> bool:
+    """Metadata TRAILERS valid after the last audio frame: the ID3v1
+    128-byte 'TAG' block and APEv2 'APETAGEX' tags — both written by
+    mainstream encoders, neither part of the frame stream."""
+    rest = data[pos:]
+    if rest[:3] == b"TAG" and len(rest) == 128:
+        return True
+    return rest[:8] == b"APETAGEX"
+
+
 def parse_adts(data: bytes) -> dict:
     """Walk an ADTS stream: per ISO 14496-3 §1.A.2.2 each frame opens
     with a 12-bit 0xFFF syncword; profile (AOT-1), the sampling
@@ -65,11 +75,13 @@ def parse_adts(data: bytes) -> dict:
     ValueError on sync loss — a corrupted stream should be visible,
     not silently truncated."""
     data = bytes(data)
-    pos = 0
+    pos = parse_id3v2_size(data)  # podcast encoders tag .aac files too
     n_frames = 0
     total_samples = 0
     aot = rate = channels = None
     while pos < len(data):
+        if _is_trailer_tag(data, pos):
+            break
         if pos + 7 > len(data):
             raise ValueError("truncated ADTS header")
         if data[pos] != 0xFF or (data[pos + 1] & 0xF0) != 0xF0:
@@ -156,6 +168,8 @@ def parse_mp3(data: bytes) -> dict:
     bitrate_sum = 0
     stereo = None
     while pos < len(data):
+        if _is_trailer_tag(data, pos):
+            break
         if pos + 4 > len(data):
             raise ValueError("truncated MP3 header")
         h = int.from_bytes(data[pos : pos + 4], "big")
@@ -284,6 +298,7 @@ def audio_stream_profile(media):
 
         from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
             parse_adts,
+            parse_id3v2_size,
             parse_mp3,
         )
 
@@ -292,10 +307,15 @@ def audio_stream_profile(media):
             out = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p)
-                if raw[:3] == b"ID3" or (
-                    len(raw) >= 2
-                    and raw[0] == 0xFF
-                    and (raw[1] & 0xF6) in (0xF2, 0xE2)
+                # Sniff on the first AUDIO byte — an ID3v2 tag can
+                # prefix either format (podcast .aac files carry them
+                # too), so skip it before reading the layer bits:
+                # MPEG layer III = 01 at bits 1-2, ADTS layer = 00.
+                audio = raw[parse_id3v2_size(raw) :]
+                if (
+                    len(audio) >= 2
+                    and audio[0] == 0xFF
+                    and (audio[1] & 0xF6) in (0xF2, 0xE2)
                 ):
                     row = parse_mp3(raw)
                 else:

@@ -72,7 +72,8 @@ def parse_srt(text: str) -> list[dict]:
     ``[{start_ms, end_ms, settings: None, raw, text}]``. Malformed
     timing lines raise (a corrupt sidecar should be visible)."""
     cues = []
-    for block in re.split(r"\n\s*\n", text.replace("\r\n", "\n").strip()):
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    for block in re.split(r"\n\s*\n", text.strip()):
         lines = [ln for ln in block.split("\n")]
         if not lines or not any(ln.strip() for ln in lines):
             continue
@@ -101,7 +102,8 @@ def parse_vtt(text: str) -> list[dict]:
     NOTE / STYLE / REGION blocks. Cue identifiers (any non-arrow
     first line) are tolerated and dropped; cue settings after the
     arrow are kept verbatim in ``settings``."""
-    text = text.replace("\r\n", "\n").lstrip("﻿")
+    # WebVTT §4: CRLF, LF and bare CR are all valid line terminators.
+    text = text.replace("\r\n", "\n").replace("\r", "\n").lstrip("﻿")
     if not text.startswith("WEBVTT"):
         raise ValueError("missing WEBVTT magic")
     blocks = re.split(r"\n\s*\n", text.strip())

@@ -71,8 +71,14 @@ def parse_tar(data: bytes) -> list[dict]:
             raise ValueError(f"tar header checksum mismatch at {pos}")
         size = _octal(header[124:136])
         typeflag = header[156:157]
-        name = header[0:100].split(b"\x00", 1)[0].decode("utf-8")
-        prefix = header[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        # errors="replace": real-world shards carry Latin-1/arbitrary
+        # byte names; a mojibake name keeps the walk (and the Arrow
+        # string conversion downstream) alive where strict UTF-8 would
+        # kill the whole task for one member.
+        name = header[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        prefix = header[345:500].split(b"\x00", 1)[0].decode(
+            "utf-8", "replace"
+        )
         if prefix:
             name = f"{prefix}/{name}"
         body_start = pos + _BLOCK
@@ -82,7 +88,7 @@ def parse_tar(data: bytes) -> list[dict]:
         if typeflag == b"L":  # GNU longname: body is the next name
             pending_name = (
                 data[body_start:body_end].split(b"\x00", 1)[0]
-                .decode("utf-8")
+                .decode("utf-8", "replace")
             )
         elif typeflag == b"x":  # pax extended header
             pending_name = _pax_path(
@@ -116,7 +122,7 @@ def _pax_path(body: bytes) -> str | None:
         record = body[pos + (sp - pos) + 1 : pos + reclen]
         key, _, value = record.rstrip(b"\n").partition(b"=")
         if key == b"path":
-            path = value.decode("utf-8")
+            path = value.decode("utf-8", "replace")
         pos += reclen
     return path
 

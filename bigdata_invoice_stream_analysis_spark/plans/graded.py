@@ -70,7 +70,9 @@ animation metadata (operators/gif.py), EXIF/GPS privacy audit
 quality rule set with exact DuckDB twins
 (functions/text.py::gopher_quality_flags — register as a
 gopher_quality_audit oracle row). The leads now EXCEED round-8's
-~10 free slots (50 − 11 pins − 29 mandatory r03 rows); suggested
+~12 free slots (50 − 11 pins − 27 mandatory r03 rows, the count the
+freshness sentence below states incl. the two displaced batch reps);
+suggested
 priority: (1) gopher_quality_audit (pure Column algebra, twin ready),
 (2) webm_track_profile, (3) warc_corpus_funnel, (4) wds_samples,
 (5) media_cue_alignment, (6) robots_url_gate, (7) vp09 + CMAF-init

@@ -124,3 +124,23 @@ def test_exif_profile_operator(spark):
     assert rows[1]["orientation"] == 8
     assert rows[2]["has_gps"] is False
     assert rows[2]["byte_order"] == "MM"
+
+
+def test_fill_bytes_before_marker():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker — the GPS
+    audit must still find the APP1 segment behind them."""
+    jpeg = encode_exif_jpeg(gps=True)
+    padded = jpeg[:2] + b"\xff\xff\xff" + jpeg[2:]
+    assert parse_exif(padded)["has_gps"] is True
+
+
+def test_short_tiff_payload_raises_valueerror():
+    seg = b"Exif\x00\x00II"
+    app1 = b"\xff\xe1" + (len(seg) + 2).to_bytes(2, "big") + seg
+    with pytest.raises(ValueError, match="TIFF payload"):
+        parse_exif(b"\xff\xd8" + app1 + b"\xff\xd9")
+
+
+def test_pixel_y_defaults_to_pixel_x():
+    p = parse_exif(encode_exif_jpeg(pixel_x=640))
+    assert (p["pixel_x"], p["pixel_y"]) == (640, 640)

@@ -166,3 +166,45 @@ def test_audio_stream_profile_operator(spark):
     assert rows[2]["container"] == "mp3"
     assert rows[2]["n_frames"] == 8
     assert rows[3]["channels"] == 1
+
+
+def test_mp3_id3v1_and_ape_trailers():
+    """ID3v1 'TAG' (128 bytes) and APETAGEX trailers follow the last
+    frame in files from mainstream encoders — they end the walk, they
+    don't break it."""
+    base = encode_mp3(3)
+    s = parse_mp3(base + b"TAG" + bytes(125))
+    assert s["n_frames"] == 3
+    s = parse_mp3(base + b"APETAGEX" + bytes(24))
+    assert s["n_frames"] == 3
+    # ADTS accepts the same trailers
+    a = parse_adts(encode_adts(2) + b"TAG" + bytes(125))
+    assert a["n_frames"] == 2
+
+
+def test_adts_with_id3v2_prefix():
+    """Podcast encoders tag .aac files with ID3v2: the parser skips
+    the tag and the operator sniff must still route to ADTS."""
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    s = parse_adts(id3 + encode_adts(4, freq_index=3))
+    assert (s["n_frames"], s["sample_rate"]) == (4, 48000)
+
+
+def test_rate_table_shared_with_mp4():
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        _ASC_RATES,
+    )
+
+    assert ADTS_RATES is _ASC_RATES
+
+
+def test_sniff_routes_id3_prefixed_adts(spark):
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    df = spark.createDataFrame(
+        [(1, bytearray(id3 + encode_adts(3))),
+         (2, bytearray(encode_mp3(3, id3_size=10)))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r["container"]
+            for r in audio_stream_profile(df).collect()}
+    assert rows == {1: "adts", 2: "mp3"}

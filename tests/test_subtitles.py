@@ -146,3 +146,15 @@ def test_subtitle_cues_operator(spark):
     assert rows[0]["duration_ms"] == 1500
     assert rows[2]["settings"] == "align:start line:0"
     assert rows[3]["n_chars"] == len("Second cue")
+
+
+def test_cr_only_line_terminators():
+    """WebVTT §4 allows bare CR as a line terminator; SRT files from
+    old Mac tooling use it too."""
+    fmt, cues = parse_subtitles(
+        "WEBVTT\r\r00:00:01.000 --> 00:00:02.000\rhello\r"
+    )
+    assert fmt == "vtt"
+    assert [(c["start_ms"], c["text"]) for c in cues] == [(1000, "hello")]
+    cues = parse_srt("1\r00:00:01,000 --> 00:00:02,000\rhi\r\r")
+    assert cues[0]["text"] == "hi"

@@ -153,3 +153,16 @@ def test_wds_samples_operator(spark):
     assert rows[(1, "000000")]["exts"] == ["jpg", "json", "txt"]
     assert rows[(1, "000001")]["exts"] == ["jpg", "txt"]
     assert rows[(2, "000000")]["total_bytes"] == len(b"\xff\xd8 s2") + 3
+
+
+def test_non_utf8_member_names_survive():
+    """Latin-1 names in old archives must not kill the walk (nor the
+    Arrow string conversion downstream) — mojibake beats a dead task."""
+    blob = bytearray(encode_tar([("caf_.jpg", b"x")]))
+    blob[3] = 0xE9  # caf<e9>.jpg, not valid UTF-8
+    h = blob[0:512]
+    blanked = bytes(h[:148]) + b" " * 8 + bytes(h[156:])
+    blob[148:156] = f"{sum(blanked):06o}".encode() + b"\x00 "
+    members = parse_tar(bytes(blob))
+    assert members[0]["name"] == "caf�.jpg"
+    assert members[0]["size"] == 1
