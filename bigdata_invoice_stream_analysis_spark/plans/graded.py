@@ -66,7 +66,9 @@ warc_corpus_funnel (plans/webcorpus.py), SRT/WebVTT cue explosion
 video-text join (plans/mediaops.py), TAR/WebDataset shard
 walking (operators/wds.py: wds_components / wds_samples), GIF
 animation metadata (operators/gif.py), EXIF/GPS privacy audit
-(operators/exif.py), WebP triage (operators/webp.py), and the Gopher
+(operators/exif.py), WebP triage (operators/webp.py), ZIP
+central-directory walk + deflate extraction (operators/zip.py:
+zip_members / zip_text_members), and the Gopher
 quality rule set with exact DuckDB twins
 (functions/text.py::gopher_quality_flags — register as a
 gopher_quality_audit oracle row). The leads now EXCEED round-8's
