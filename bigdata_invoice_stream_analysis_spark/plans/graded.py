@@ -68,7 +68,10 @@ walking (operators/wds.py: wds_components / wds_samples), GIF
 animation metadata (operators/gif.py), EXIF/GPS privacy audit
 (operators/exif.py), WebP triage (operators/webp.py), ZIP
 central-directory walk + deflate extraction (operators/zip.py:
-zip_members / zip_text_members), and the Gopher
+zip_members / zip_text_members), the unified content-triage
+dispatcher (operators/sniff.py::content_triage — a strong graded
+candidate: one mixed-format codebook, closed-form oracle over the
+uniform row), and the Gopher
 quality rule set with exact DuckDB twins
 (functions/text.py::gopher_quality_flags — register as a
 gopher_quality_audit oracle row). The leads now EXCEED round-8's
