@@ -43,6 +43,41 @@ TAG_PIXEL_Y = 0xA003
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
 
 
+def iter_jpeg_segments(data: bytes):
+    """The fill-byte-tolerant JPEG marker walk (T.81 B.1.1.2: any
+    number of 0xFF fill bytes may precede a marker), shared by the
+    EXIF extractor and the triage dimension scan so the segment
+    grammar lives in ONE place. Yields (marker, body_start, body_end)
+    for each sized segment, stopping at SOS (entropy-coded data
+    follows; all metadata precedes it). Raises ValueError on broken
+    marker alignment or a truncated segment header."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        m = pos + 1
+        while m < len(data) and data[m] == 0xFF:
+            m += 1
+        if m >= len(data):
+            return
+        marker = data[m]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos = m + 1
+            continue
+        if marker == 0xDA:
+            return
+        if m + 3 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", data[m + 1 : m + 3])
+        body_end = m + 1 + seglen
+        if body_end > len(data):
+            raise ValueError("JPEG segment overruns payload")
+        yield marker, m + 3, body_end
+        pos = body_end
+
+
 def _parse_ifd(data: bytes, off: int, end: str) -> dict[int, tuple]:
     """One IFD: entry count u16, then 12-byte entries
     (tag u16, type u16, count u32, value-or-offset u32). Returns
@@ -100,34 +135,13 @@ def parse_exif(payload: bytes) -> dict:
         "pixel_y": None, "has_gps": False, "byte_order": None,
     }
     data = bytes(payload)
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    pos = 2
     tiff = None
-    while pos + 2 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError(f"bad JPEG marker alignment at {pos}")
-        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
-        # marker — the marker is the first non-FF byte of the run.
-        m = pos + 1
-        while m < len(data) and data[m] == 0xFF:
-            m += 1
-        if m >= len(data):
+    for marker, seg_start, seg_end in iter_jpeg_segments(data):
+        if marker == 0xE1 and data[seg_start : seg_start + 6] == (
+            b"Exif\x00\x00"
+        ):
+            tiff = data[seg_start + 6 : seg_end]
             break
-        marker = data[m]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos = m + 1
-            continue
-        if marker == 0xDA:  # SOS: entropy data follows; EXIF precedes
-            break
-        if m + 3 > len(data):
-            raise ValueError("truncated JPEG segment header")
-        (seglen,) = struct.unpack(">H", data[m + 1 : m + 3])
-        seg = data[m + 3 : m + 1 + seglen]
-        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
-            tiff = seg[6:]
-            break
-        pos = m + 1 + seglen
     if tiff is None:
         return out
     out["has_exif"] = True

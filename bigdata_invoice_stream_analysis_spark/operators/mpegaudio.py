@@ -57,11 +57,12 @@ def parse_id3v2_size(data: bytes) -> int:
 def _is_trailer_tag(data: bytes, pos: int) -> bool:
     """Metadata TRAILERS valid after the last audio frame: the ID3v1
     128-byte 'TAG' block and APEv2 'APETAGEX' tags — both written by
-    mainstream encoders, neither part of the frame stream."""
-    rest = data[pos:]
-    if rest[:3] == b"TAG" and len(rest) == 128:
+    mainstream encoders, neither part of the frame stream. Called
+    once per frame, so it compares slices in place (no tail copy —
+    the O(n²) memcpy the review caught)."""
+    if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
         return True
-    return rest[:8] == b"APETAGEX"
+    return data[pos : pos + 8] == b"APETAGEX"
 
 
 def parse_adts(data: bytes) -> dict:
@@ -76,6 +77,7 @@ def parse_adts(data: bytes) -> dict:
     not silently truncated."""
     data = bytes(data)
     pos = parse_id3v2_size(data)  # podcast encoders tag .aac files too
+    audio_start = pos
     n_frames = 0
     total_samples = 0
     aot = rate = channels = None
@@ -114,6 +116,10 @@ def parse_adts(data: bytes) -> dict:
     if n_frames == 0:
         raise ValueError("no ADTS frames")
     duration_ms = total_samples * 1000 // rate
+    # Bitrate over the FRAME bytes only — ID3v2 prefixes (album art
+    # makes them tens of KB) and ID3v1/APE trailers are metadata, not
+    # audio, and must not inflate the rate a corpus filters on.
+    audio_bytes = pos - audio_start
     return {
         "container": "adts",
         "codec_string": f"mp4a.40.{aot}",
@@ -122,7 +128,7 @@ def parse_adts(data: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": duration_ms,
         "bitrate_kbps": (
-            round(len(data) * 8 * rate / (total_samples * 1000), 1)
+            round(audio_bytes * 8 * rate / (total_samples * 1000), 1)
         ),
     }
 

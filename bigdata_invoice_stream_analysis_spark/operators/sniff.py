@@ -48,8 +48,13 @@ def sniff_format(data: bytes) -> str:
         return "webp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
-    if data[4:8] in (b"ftyp", b"styp", b"moov", b"moof"):
+    if data[4:8] in (b"ftyp", b"moov"):
         return "mp4"
+    if data[4:8] in (b"styp", b"moof"):
+        # A DASH/CMAF MEDIA segment: valid, but its metadata lives in
+        # the separate init segment — a distinct category, not an
+        # error and not a full mp4.
+        return "mp4_segment"
     if data[:4] == b"\x1a\x45\xdf\xa3":
         return "webm"
     if data[:9] == b"WARC/1.0\r" or data[:9] == b"WARC/1.1\r":
@@ -60,7 +65,9 @@ def sniff_format(data: bytes) -> str:
         return "gzip"
     if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
         return "zip"
-    if len(data) >= 512 and data[257:263] == b"ustar\x00":
+    if len(data) >= 512 and data[257:262] == b"ustar":
+        # covers POSIX (b"ustar\x00") AND GNU (b"ustar  \x00") magic —
+        # default GNU tar output must not route to quarantine.
         return "tar"
     if data[:6] == b"WEBVTT" or data.lstrip(b"\xef\xbb\xbf")[:6] == b"WEBVTT":
         return "vtt"
@@ -90,33 +97,22 @@ _SOF_MARKERS = frozenset(
 
 
 def _jpeg_dims(data: bytes) -> tuple[int, int]:
-    """Width/height from the SOFn segment — a marker walk, not a
-    decode (T.81 B.2.2: height u16 at segment offset 3, width at 5).
-    Fill bytes before markers are tolerated like operators/exif.py."""
+    """Width/height from the SOFn segment (T.81 B.2.2: height u16 at
+    body offset 1, width at 3) via the SAME marker walk parse_exif
+    uses (operators/exif.iter_jpeg_segments) — one segment grammar,
+    not two."""
     import struct
 
-    pos = 2
-    while pos + 2 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError(f"bad JPEG marker alignment at {pos}")
-        m = pos + 1
-        while m < len(data) and data[m] == 0xFF:
-            m += 1
-        if m >= len(data):
-            break
-        marker = data[m]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos = m + 1
-            continue
-        if m + 3 > len(data):
-            break
-        (seglen,) = struct.unpack(">H", data[m + 1 : m + 3])
+    from bigdata_invoice_stream_analysis_spark.operators.exif import (
+        iter_jpeg_segments,
+    )
+
+    for marker, start, end in iter_jpeg_segments(data):
         if marker in _SOF_MARKERS:
-            h, w = struct.unpack(">HH", data[m + 4 : m + 8])
+            if end - start < 5:
+                raise ValueError("truncated SOF segment")
+            h, w = struct.unpack(">HH", data[start + 1 : start + 5])
             return w, h
-        if marker == 0xDA:
-            break
-        pos = m + 1 + seglen
     raise ValueError("JPEG has no SOF segment")
 
 
@@ -133,11 +129,21 @@ def triage(data: bytes) -> dict:
     row["format"] = fmt
     if fmt == "unknown":
         return row
+    import struct
+    import zlib
+
     try:
         _fill(row, fmt, data)
-    except ValueError as exc:
+    except (
+        ValueError, struct.error, zlib.error, ZeroDivisionError,
+        IndexError, OverflowError,
+    ) as exc:
+        # Parsers raise ValueError by contract, but adversarial bytes
+        # can surface the lower-level types before a parser's own
+        # validation runs — at corpus scale ALL of them mean the same
+        # thing: quarantine the blob, keep the task alive.
         row["format"] = f"{fmt}!error"
-        row["detail"] = str(exc)[:120]
+        row["detail"] = str(exc)[:120] or type(exc).__name__
     return row
 
 
@@ -198,6 +204,8 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         )
 
         a = decode_wav(data)
+        if a["sample_rate"] <= 0:
+            raise ValueError("WAV declares a zero sample rate")
         row.update(
             kind="audio", codec="pcm",
             duration_ms=a["n_samples"] * 1000 // a["sample_rate"],
@@ -210,6 +218,8 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         )
 
         info = parse_mp4(data)
+        if info["timescale"] <= 0:
+            raise ValueError("mdhd declares a zero timescale")
         row.update(
             kind="video", n_items=info["n_samples"],
             duration_ms=info["duration"] * 1000 // info["timescale"],
@@ -220,6 +230,11 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
                        codec=prof["codec_string"])
         except ValueError:
             row["codec"] = "mp4/unindexed"  # raw-stsd fixtures etc.
+    elif fmt == "mp4_segment":
+        # Valid DASH/CMAF media segment: codec metadata lives in the
+        # init segment, so the row records the category and nothing
+        # more — pairing with its init is the downstream join's job.
+        row.update(kind="video", codec="mp4/segment")
     elif fmt == "webm":
         from bigdata_invoice_stream_analysis_spark.operators.ebml import (
             parse_webm,
@@ -229,12 +244,19 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         video = next(
             (t for t in info["tracks"] if t["type"] == "video"), None,
         )
+        audio = next(
+            (t for t in info["tracks"] if t["type"] == "audio"), None,
+        )
+        # kind follows the TRACKS: .weba audio-only WebM is an audio
+        # blob and must route to the audio pipeline, not the video one.
+        lead = video or audio
         row.update(
-            kind="video", duration_ms=info["duration_ms"],
+            kind="video" if video else ("audio" if audio else "video"),
+            duration_ms=info["duration_ms"],
             n_items=len(info["blocks"]),
             width=video["width"] if video else None,
             height=video["height"] if video else None,
-            codec=video["codec_id"] if video else None,
+            codec=lead["codec_id"] if lead else None,
         )
     elif fmt in ("warc", "gzip"):
         from bigdata_invoice_stream_analysis_spark.operators.warc import (

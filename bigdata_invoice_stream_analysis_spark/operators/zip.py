@@ -40,12 +40,22 @@ DEFLATED = 8
 
 def _find_eocd(data: bytes) -> int:
     """Backward scan for the EOCD signature (the archive comment may
-    be up to 64 KiB, so the record is not at a fixed offset)."""
+    be up to 64 KiB, so the record is not at a fixed offset). A
+    candidate only counts if its comment-length field matches the
+    bytes actually remaining — the stdlib's guard against the
+    signature bytes appearing INSIDE a comment."""
     floor = max(0, len(data) - 22 - 65536)
-    pos = data.rfind(_EOCD_SIG, floor)
-    if pos < 0:
-        raise ValueError("not a ZIP archive (no EOCD record)")
-    return pos
+    pos = len(data)
+    while True:
+        pos = data.rfind(_EOCD_SIG, floor, pos)
+        if pos < 0:
+            raise ValueError("not a ZIP archive (no EOCD record)")
+        if pos + 22 <= len(data):
+            (comment_len,) = struct.unpack(
+                "<H", data[pos + 20 : pos + 22]
+            )
+            if pos + 22 + comment_len == len(data):
+                return pos
 
 
 def parse_zip(data: bytes) -> list[dict]:
@@ -65,9 +75,11 @@ def parse_zip(data: bytes) -> list[dict]:
         or cd_size == 0xFFFFFFFF
     ):
         loc = data.rfind(_EOCD64_LOC_SIG, 0, eocd)
-        if loc < 0:
+        if loc < 0 or loc + 20 > len(data):
             raise ValueError("ZIP64 markers without a ZIP64 EOCD locator")
         (eocd64_off,) = struct.unpack("<Q", data[loc + 8 : loc + 16])
+        if eocd64_off + 56 > len(data):
+            raise ValueError("ZIP64 EOCD out of range")
         if data[eocd64_off : eocd64_off + 4] != _EOCD64_SIG:
             raise ValueError("bad ZIP64 EOCD signature")
         n_entries, = struct.unpack(
@@ -79,6 +91,8 @@ def parse_zip(data: bytes) -> list[dict]:
     members = []
     pos = cd_off
     for _ in range(n_entries):
+        if pos + 46 > len(data):
+            raise ValueError("central directory truncated")
         if data[pos : pos + 4] != _CDH_SIG:
             raise ValueError(f"bad central-directory signature at {pos}")
         (
@@ -123,6 +137,10 @@ def _zip64_extra(
             for sat in (usize == 0xFFFFFFFF, csize == 0xFFFFFFFF,
                         header_off == 0xFFFFFFFF):
                 if sat:
+                    if len(body) < 8:
+                        raise ValueError(
+                            "ZIP64 extra shorter than its saturated fields"
+                        )
                     fields.append(
                         struct.unpack("<Q", body[:8])[0]
                     )

@@ -208,3 +208,14 @@ def test_sniff_routes_id3_prefixed_adts(spark):
     rows = {r["media_id"]: r["container"]
             for r in audio_stream_profile(df).collect()}
     assert rows == {1: "adts", 2: "mp3"}
+
+
+def test_adts_bitrate_excludes_tags():
+    """ID3v2 prefixes and ID3v1 trailers are metadata, not audio —
+    the reported bitrate must not change when tags are attached."""
+    bare = parse_adts(encode_adts(5))["bitrate_kbps"]
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [(15000 >> s) & 0x7F for s in (21, 14, 7, 0)]
+    ) + bytes(15000)
+    tagged = parse_adts(id3 + encode_adts(5) + b"TAG" + bytes(125))
+    assert tagged["bitrate_kbps"] == bare

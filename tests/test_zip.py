@@ -166,3 +166,19 @@ def test_zip_text_members_operator(spark):
     ]
     assert rows[1]["text"] == "café text"
     assert rows[2]["text"] == "two"
+
+
+def test_eocd_signature_inside_comment():
+    """A comment containing the EOCD signature bytes must not hijack
+    the backward scan (the comment-length validation rule)."""
+    blob = encode_zip(ENTRIES[:2], comment=b"see PK\x05\x06 marker")
+    members = parse_zip(blob)
+    assert [m["name"] for m in members] == [n for n, _ in ENTRIES[:2]]
+
+
+def test_truncated_structures_raise_valueerror():
+    with pytest.raises(ValueError):
+        parse_zip(b"PK\x05\x06")
+    with pytest.raises(ValueError, match="ZIP64 extra"):
+        _zip64_extra(struct.pack("<HHI", 0x0001, 4, 7),
+                     0xFFFFFFFF, 1, 1)
