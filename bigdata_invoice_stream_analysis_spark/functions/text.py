@@ -424,7 +424,10 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
 
       * 50 ≤ word count ≤ 100,000
       * 3 ≤ mean word length ≤ 10
-      * symbol-to-word ratio (# and … / ...) ≤ 0.1
+      * symbol-to-word ratio ≤ 0.1 for EACH symbol family separately —
+        hash marks, and ellipses (… / ...) — per the paper's rule
+        (pooling them wrongly rejects documents at e.g. 0.06 + 0.06,
+        ADVICE r7)
       * ≤ 90% of lines start with a bullet ( • / - / * )
       * ≤ 30% of lines end with an ellipsis
       * ≥ 80% of words contain at least one alphabetic character
@@ -443,8 +446,9 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     mean_word_len = F.when(
         n_words > 0, sum_word_len / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    n_symbols = (
-        F.length(text) - F.length(F.regexp_replace(text, r"[#…]", ""))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis_sym = (
+        F.length(text) - F.length(F.regexp_replace(text, r"…", ""))
         + F.size(F.split(text, r"\.\.\.")) - 1
     )
     lines = F.filter(
@@ -472,7 +476,8 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
         ),
         "symbol_ratio_ok": F.when(
             n_words > 0,
-            n_symbols.cast("double") / n_words <= 0.1,
+            (n_hash.cast("double") / n_words <= 0.1)
+            & (n_ellipsis_sym.cast("double") / n_words <= 0.1),
         ).otherwise(F.lit(False)),
         "bullet_ratio_ok": F.when(
             n_lines > 0,
@@ -514,8 +519,11 @@ def sql_gopher_quality_flags(col: str) -> dict[str, str]:
         f" w -> CAST(length(w) AS BIGINT))) AS BIGINT)"
         f" / CAST({n_words} AS DOUBLE) ELSE 0.0 END"
     )
-    n_symbols = (
-        f"(length({col}) - length(regexp_replace({col}, '[#…]', '', 'g'))"
+    n_hash = (
+        f"(length({col}) - length(regexp_replace({col}, '#', '', 'g')))"
+    )
+    n_ellipsis_sym = (
+        f"(length({col}) - length(regexp_replace({col}, '…', '', 'g'))"
         f" + len(string_split_regex({col}, '\\.\\.\\.')) - 1)"
     )
     n_lines = f"len({lines})"
@@ -540,7 +548,8 @@ def sql_gopher_quality_flags(col: str) -> dict[str, str]:
         ),
         "symbol_ratio_ok": (
             f"CASE WHEN {n_words} > 0 THEN "
-            f"CAST({n_symbols} AS DOUBLE) / {n_words} <= 0.1 "
+            f"CAST({n_hash} AS DOUBLE) / {n_words} <= 0.1 "
+            f"AND CAST({n_ellipsis_sym} AS DOUBLE) / {n_words} <= 0.1 "
             f"ELSE FALSE END"
         ),
         "bullet_ratio_ok": (

@@ -255,7 +255,7 @@ def parse_webm(payload: bytes) -> dict:
                 if ceid == CLUSTER_TIMESTAMP:
                     cluster_ts = _uint(payload, cs, ce)
                 elif ceid == SIMPLE_BLOCK:
-                    raw_blocks.append(
+                    raw_blocks.extend(
                         _parse_simple_block(payload, cs, ce, cluster_ts)
                     )
     for block, ticks in raw_blocks:
@@ -308,30 +308,142 @@ def _parse_track_entry(data: bytes, s: int, e: int) -> dict:
 
 def _parse_simple_block(
     data: bytes, s: int, e: int, cluster_ts: int
-) -> tuple[dict, int]:
+) -> list[tuple[dict, int]]:
     """RFC 9559 §10.2: track vint, s16 relative timestamp (ticks),
-    flags byte, then the (possibly laced — lacing rejected here, the
-    WebM muxers this targets don't lace keyframed video) payload.
-    Returns (block-without-pts, absolute ticks) — the caller scales to
-    ms once the file's TimestampScale is finally known."""
+    flags byte, then the frame payload — possibly LACED (§10.4: one
+    block carrying several frames, routine for Vorbis/Opus audio in
+    real-world WebM, so it must parse rather than quarantine the file
+    — ADVICE r7). Returns one (block-without-pts, absolute ticks)
+    tuple per FRAME; laced frames share the block's timestamp and
+    keyframe flag (Matroska has no per-lace timing). The caller scales
+    ticks to ms once the file's TimestampScale is finally known."""
     track, p = read_vint(data, s, keep_marker=False)
     if p + 3 > e:
         raise ValueError("truncated SimpleBlock header")
     rel = struct.unpack(">h", data[p : p + 2])[0]
     flags = data[p + 2]
-    if flags & 0x06:
-        raise ValueError("laced SimpleBlock not supported")
-    block = {
-        "track": track,
-        "keyframe": bool(flags & _SIMPLE_BLOCK_KEYFRAME),
-        "size": e - (p + 3),
-    }
-    return block, cluster_ts + rel
+    p += 3
+    keyframe = bool(flags & _SIMPLE_BLOCK_KEYFRAME)
+    lacing = (flags >> 1) & 0x3  # 0=none, 1=Xiph, 2=fixed, 3=EBML
+    if lacing == 0:
+        sizes = [e - p]
+    else:
+        if p >= e:
+            raise ValueError("laced SimpleBlock missing frame count")
+        n_frames = data[p] + 1
+        p += 1
+        sizes, p = _lace_sizes(data, p, e, n_frames, lacing)
+    out = []
+    ticks = cluster_ts + rel
+    for size in sizes:
+        out.append((
+            {"track": track, "keyframe": keyframe, "size": size},
+            ticks,
+        ))
+    return out
+
+
+def _lace_sizes(
+    data: bytes, p: int, e: int, n_frames: int, lacing: int
+) -> tuple[list[int], int]:
+    """Decode a lace-size header (RFC 9559 §10.4) starting at ``p``:
+    Xiph (1) — each size but the last as 255-run bytes; fixed (2) —
+    the remaining payload split evenly; EBML (3) — first size as an
+    unsigned vint, the rest as signed-vint deltas. Returns (sizes,
+    payload_start); sizes that don't fit the block raise."""
+    sizes: list[int] = []
+    if lacing == 1:  # Xiph
+        for _ in range(n_frames - 1):
+            size = 0
+            while True:
+                if p >= e:
+                    raise ValueError("truncated Xiph lace sizes")
+                size += data[p]
+                stop = data[p] < 255
+                p += 1
+                if stop:
+                    break
+            sizes.append(size)
+    elif lacing == 2:  # fixed-size
+        remaining = e - p
+        if n_frames <= 0 or remaining % n_frames:
+            raise ValueError(
+                f"fixed lacing: {remaining} bytes not divisible by "
+                f"{n_frames} frames"
+            )
+        return [remaining // n_frames] * n_frames, p
+    else:  # EBML
+        size, p = read_vint(data, p, keep_marker=False)
+        sizes.append(size)
+        for _ in range(n_frames - 2):
+            first = data[p] if p < len(data) else 0
+            length = 9 - first.bit_length() if first else 1
+            delta, p = read_vint(data, p, keep_marker=False)
+            # signed vint: stored value minus the range midpoint
+            size += delta - ((1 << (7 * length - 1)) - 1)
+            if size < 0:
+                raise ValueError("EBML lace size went negative")
+            sizes.append(size)
+    last = (e - p) - sum(sizes)
+    if last < 0:
+        raise ValueError("lace sizes overrun SimpleBlock payload")
+    sizes.append(last)
+    if len(sizes) != n_frames:
+        raise ValueError("lace frame count mismatch")
+    return sizes, p
 
 
 # ---------------------------------------------------------------------------
 # Fixture encoder
 # ---------------------------------------------------------------------------
+
+
+def encode_laced_simple_block(
+    track: int,
+    rel_ticks: int,
+    frame_payloads: list[bytes],
+    *,
+    lacing: int = 1,
+    keyframe: bool = True,
+) -> bytes:
+    """One laced SimpleBlock element (RFC 9559 §10.4) for fixtures:
+    ``lacing`` 1=Xiph, 2=fixed-size (all payloads must be equal
+    length), 3=EBML. The graded WebM codebook uses this for the
+    Vorbis/Opus-style laced audio blocks real corpora contain."""
+    if not frame_payloads:
+        raise ValueError("laced block needs at least one frame")
+    flags = (_SIMPLE_BLOCK_KEYFRAME if keyframe else 0) | (lacing << 1)
+    head = (
+        encode_vint(track)
+        + struct.pack(">h", rel_ticks)
+        + bytes([flags, len(frame_payloads) - 1])
+    )
+    sizes = b""
+    if lacing == 1:
+        for f in frame_payloads[:-1]:
+            n = len(f)
+            sizes += b"\xff" * (n // 255) + bytes([n % 255])
+    elif lacing == 2:
+        if len({len(f) for f in frame_payloads}) != 1:
+            raise ValueError("fixed lacing needs equal frame sizes")
+    elif lacing == 3:
+        sizes += encode_vint(len(frame_payloads[0]))
+        prev = len(frame_payloads[0])
+        for f in frame_payloads[1:-1]:
+            delta = len(f) - prev
+            prev = len(f)
+            for length in range(1, 9):
+                stored = delta + (1 << (7 * length - 1)) - 1
+                if 0 <= stored < (1 << (7 * length)) - 1:
+                    sizes += encode_vint(stored, min_length=length)
+                    break
+            else:
+                raise ValueError(f"EBML lace delta {delta} out of range")
+    else:
+        raise ValueError(f"bad lacing mode {lacing}")
+    return _bin_element(
+        SIMPLE_BLOCK, head + sizes + b"".join(frame_payloads)
+    )
 
 
 def encode_minimal_webm(
@@ -341,16 +453,22 @@ def encode_minimal_webm(
     width: int = 640,
     height: int = 360,
     audio: tuple[str, int, int] | None = None,
+    audio_frames: list[tuple[int, list[int]]] | None = None,
+    audio_lacing: int = 1,
     timestamp_scale: int = 1_000_000,
     duration_ms: float | None = None,
     cluster_every_ms: int = 1000,
     doctype: str = "webm",
 ) -> bytes:
     """A minimal, deterministic WebM: EBML header, one Segment with
-    Info + Tracks (+ optional audio track carrying no blocks) and
-    Clusters split every ``cluster_every_ms``. ``video_frames`` is a
-    list of (pts_ms, keyframe, payload_len); payload bytes are a
-    deterministic (0x50 + i) fill so oracles can recompute sizes."""
+    Info + Tracks (+ optional audio track) and Clusters split every
+    ``cluster_every_ms``. ``video_frames`` is a list of
+    (pts_ms, keyframe, payload_len); payload bytes are a deterministic
+    (0x50 + i) fill so oracles can recompute sizes. ``audio_frames``
+    (requires ``audio``) is a list of (pts_ms, [frame sizes]) — each
+    entry becomes one LACED SimpleBlock on track 2 (lacing mode
+    ``audio_lacing``, payload fill 0xA0 + j), the shape real
+    Vorbis/Opus muxing produces."""
     video_frames = video_frames if video_frames is not None else []
     ebml = _master(
         EBML_HEADER,
@@ -463,6 +581,24 @@ def encode_minimal_webm(
                 *cluster_blocks,
             )
         )
+    if audio_frames:
+        if audio is None:
+            raise ValueError("audio_frames requires an audio track")
+        for a_idx, (pts, sizes) in enumerate(audio_frames):
+            payloads = [
+                bytes([(0xA0 + a_idx + j) & 0xFF]) * sz
+                for j, sz in enumerate(sizes)
+            ]
+            clusters.append(
+                _master(
+                    CLUSTER,
+                    _uint_element(CLUSTER_TIMESTAMP, ticks(pts)),
+                    encode_laced_simple_block(
+                        2, 0, payloads, lacing=audio_lacing,
+                        keyframe=True,
+                    ),
+                )
+            )
 
     out = io.BytesIO()
     out.write(ebml)

@@ -168,6 +168,12 @@ def parse_exif(payload: bytes) -> dict:
         out["datetime"] = _ascii(ifd0[TAG_DATETIME])
     if TAG_EXIF_IFD in ifd0:
         sub_off = _short(ifd0[TAG_EXIF_IFD], end)
+        if sub_off is None:
+            # A pointer tag with a non-integer TIFF type would feed
+            # None into _parse_ifd (TypeError) — outside this module's
+            # ValueError contract, so it would escape the triage
+            # quarantine and kill the whole Spark task (ADVICE r7).
+            raise ValueError("Exif IFD pointer tag has a non-offset type")
         sub = _parse_ifd(tiff, sub_off, end)
         if TAG_PIXEL_X in sub:
             out["pixel_x"] = _short(sub[TAG_PIXEL_X], end)
@@ -176,6 +182,8 @@ def parse_exif(payload: bytes) -> dict:
     if TAG_GPS_IFD in ifd0:
         # Presence + a non-empty IFD = coordinates were written.
         gps_off = _short(ifd0[TAG_GPS_IFD], end)
+        if gps_off is None:
+            raise ValueError("GPS IFD pointer tag has a non-offset type")
         out["has_gps"] = len(_parse_ifd(tiff, gps_off, end)) > 0
     return out
 

@@ -258,13 +258,33 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             height=video["height"] if video else None,
             codec=lead["codec_id"] if lead else None,
         )
-    elif fmt in ("warc", "gzip"):
+    elif fmt == "warc":
         from bigdata_invoice_stream_analysis_spark.operators.warc import (
             parse_warc,
         )
 
         recs = parse_warc(data)
         row.update(format="warc", kind="web", n_items=len(recs))
+    elif fmt == "gzip":
+        from bigdata_invoice_stream_analysis_spark.operators.warc import (
+            parse_warc,
+        )
+
+        import struct
+        import zlib
+
+        try:
+            recs = parse_warc(data)
+        except (ValueError, struct.error, zlib.error, EOFError,
+                OSError, IndexError, OverflowError):
+            # A .tar.gz / .json.gz corpus blob is a VALID gzip that
+            # simply isn't a WARC — quarantining it as 'gzip!error'
+            # systematically misclassifies intact files (ADVICE r7).
+            # The blob stays format='gzip', kind unknown; a pipeline
+            # that cares decompresses and re-triages downstream.
+            row.update(kind=None, detail="gzip but not a WARC")
+        else:
+            row.update(format="warc", kind="web", n_items=len(recs))
     elif fmt == "zip":
         from bigdata_invoice_stream_analysis_spark.operators.zip import (
             parse_zip,

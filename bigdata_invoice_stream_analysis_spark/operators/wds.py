@@ -61,6 +61,7 @@ def parse_tar(data: bytes) -> list[dict]:
     members = []
     pos = 0
     pending_name: str | None = None
+    pending_size: int | None = None
     while pos + _BLOCK <= len(data):
         header = data[pos : pos + _BLOCK]
         if header == b"\x00" * _BLOCK:
@@ -71,6 +72,13 @@ def parse_tar(data: bytes) -> list[dict]:
             raise ValueError(f"tar header checksum mismatch at {pos}")
         size = _octal(header[124:136])
         typeflag = header[156:157]
+        if typeflag in (b"0", b"\x00") and pending_size is not None:
+            # pax size= override (how non-GNU writers encode members
+            # >8 GiB): the ustar octal field is a placeholder and the
+            # pax record is authoritative — ignoring it desynchronizes
+            # the whole walk (ADVICE r7).
+            size = pending_size
+            pending_size = None
         # errors="replace": real-world shards carry Latin-1/arbitrary
         # byte names; a mojibake name keeps the walk (and the Arrow
         # string conversion downstream) alive where strict UTF-8 would
@@ -91,9 +99,16 @@ def parse_tar(data: bytes) -> list[dict]:
                 .decode("utf-8", "replace")
             )
         elif typeflag == b"x":  # pax extended header
-            pending_name = _pax_path(
-                data[body_start:body_end]
-            ) or pending_name
+            overrides = _pax_records(data[body_start:body_end])
+            if "path" in overrides:
+                pending_name = overrides["path"]
+            if "size" in overrides:
+                try:
+                    pending_size = int(overrides["size"])
+                except ValueError:
+                    raise ValueError(
+                        f"bad pax size record {overrides['size']!r}"
+                    ) from None
         elif typeflag in (b"0", b"\x00"):
             resolved = pending_name or name
             pending_name = None
@@ -109,11 +124,13 @@ def parse_tar(data: bytes) -> list[dict]:
     return members
 
 
-def _pax_path(body: bytes) -> str | None:
+def _pax_records(body: bytes) -> dict[str, str]:
     """pax records: ``<decimal-len> <key>=<value>\\n`` where len
-    covers the whole record including itself."""
+    covers the whole record including itself. Returns every record as
+    a dict; the caller applies the overrides it understands (path,
+    size) to the next member."""
     pos = 0
-    path = None
+    records: dict[str, str] = {}
     while pos < len(body):
         sp = body.find(b" ", pos)
         if sp < 0:
@@ -121,10 +138,11 @@ def _pax_path(body: bytes) -> str | None:
         reclen = int(body[pos:sp])
         record = body[pos + (sp - pos) + 1 : pos + reclen]
         key, _, value = record.rstrip(b"\n").partition(b"=")
-        if key == b"path":
-            path = value.decode("utf-8", "replace")
+        records[key.decode("utf-8", "replace")] = value.decode(
+            "utf-8", "replace"
+        )
         pos += reclen
-    return path
+    return records
 
 
 def split_wds_key(name: str) -> tuple[str, str]:
@@ -137,11 +155,20 @@ def split_wds_key(name: str) -> tuple[str, str]:
     return key, ext
 
 
-def encode_tar(entries: list[tuple[str, bytes]], *, longname_via: str = "auto") -> bytes:
+def encode_tar(
+    entries: list[tuple[str, bytes]],
+    *,
+    longname_via: str = "auto",
+    pax_size: bool = False,
+) -> bytes:
     """Deterministic ustar writer for fixtures: mtime/uid/gid pinned
     to 0. Names over 100 bytes are emitted via a GNU ``L`` entry
     (``longname_via='gnu'``) or a pax ``x`` header (``'pax'``);
-    ``'auto'`` picks GNU."""
+    ``'auto'`` picks GNU. ``pax_size=True`` writes every member the
+    way non-GNU pax writers encode huge members: a pax ``x`` header
+    carrying the authoritative ``size=`` record while the member's
+    own octal size field holds a placeholder 0 — a walk that ignores
+    the record desynchronizes immediately."""
     out = io.BytesIO()
 
     def header(name: bytes, size: int, typeflag: bytes) -> bytes:
@@ -160,24 +187,34 @@ def encode_tar(entries: list[tuple[str, bytes]], *, longname_via: str = "auto") 
         h[148:156] = f"{chks:06o}".encode() + b"\x00 "
         return bytes(h)
 
-    def emit(name_b: bytes, body: bytes, typeflag: bytes = b"0"):
-        out.write(header(name_b, len(body), typeflag))
+    def emit(name_b: bytes, body: bytes, typeflag: bytes = b"0",
+             size_field: int | None = None):
+        out.write(header(
+            name_b, len(body) if size_field is None else size_field,
+            typeflag,
+        ))
         out.write(body)
         out.write(b"\x00" * (-len(body) % _BLOCK))
 
+    def pax_record(key: str, value: str) -> bytes:
+        rec_body = f"{key}={value}\n"
+        reclen = len(rec_body) + 2
+        while len(str(reclen)) + 1 + len(rec_body) != reclen:
+            reclen += 1
+        return f"{reclen} {rec_body}".encode()
+
     for name, body in entries:
+        if pax_size:
+            emit(b"pax_header", pax_record("size", str(len(body))), b"x")
+            emit(name.encode("utf-8"), body, size_field=0)
+            continue
         name_b = name.encode("utf-8")
         if len(name_b) > 100:
             mode = "gnu" if longname_via == "auto" else longname_via
             if mode == "gnu":
                 emit(b"././@LongLink", name_b + b"\x00", b"L")
             else:
-                rec_body = f"path={name}\n"
-                # record length covers its own decimal digits + space
-                reclen = len(rec_body) + 2
-                while len(str(reclen)) + 1 + len(rec_body) != reclen:
-                    reclen += 1
-                emit(b"pax_header", f"{reclen} {rec_body}".encode(), b"x")
+                emit(b"pax_header", pax_record("path", name), b"x")
             emit(name_b[:100], body)
         else:
             emit(name_b, body)

@@ -203,15 +203,49 @@ def test_unknown_size_cluster_parses_to_end():
     assert [(b["pts_ms"], b["size"]) for b in info["blocks"]] == [(0, 8)]
 
 
-def test_laced_block_rejected():
-    payload = bytearray(encode_minimal_webm([(0, True, 8)]))
-    # SimpleBlock id, searched after the Cluster id (a bare 0xA3 also
-    # occurs inside the EBML header magic 0x1A45DFA3).
-    idx = payload.find(b"\xa3", payload.find(bytes.fromhex("1f43b675")) + 4)
-    # header: id(1) size(1) track-vint(1) s16(2) flags(1)
-    flags_pos = idx + 2 + 1 + 2
-    payload[flags_pos] |= 0x02  # Xiph lacing
-    with pytest.raises(ValueError, match="laced"):
+@pytest.mark.parametrize("lacing", [1, 2, 3])
+def test_laced_block_frames_parsed(lacing):
+    """ADVICE r7: lacing is routine for Vorbis/Opus audio — laced
+    SimpleBlocks must parse into per-frame entries, not quarantine the
+    file. All three lace modes (Xiph/fixed/EBML) roundtrip."""
+    sizes = [12, 12, 12] if lacing == 2 else [5, 300, 0, 17]
+    payload = encode_minimal_webm(
+        [(0, True, 8)],
+        audio=("A_OPUS", 48000, 2),
+        audio_frames=[(40, sizes)],
+        audio_lacing=lacing,
+    )
+    info = parse_webm(payload)
+    audio_blocks = [b for b in info["blocks"] if b["track"] == 2]
+    assert [b["size"] for b in audio_blocks] == sizes
+    assert all(b["pts_ms"] == 40 for b in audio_blocks)
+    # the video block is untouched by the lacing path
+    assert [b["size"] for b in info["blocks"] if b["track"] == 1] == [8]
+
+
+def test_lace_sizes_overrun_raises():
+    """Xiph lace sizes claiming more bytes than the block holds must
+    raise, not emit a negative last-frame size."""
+    from bigdata_invoice_stream_analysis_spark.operators.ebml import (
+        encode_laced_simple_block,
+    )
+
+    payload = bytearray(encode_minimal_webm(
+        [],
+        audio=("A_VORBIS", 48000, 2),
+        audio_frames=[(0, [6, 6])],
+        audio_lacing=1,
+    ))
+    # the fixture encoder fills audio frame j with byte 0xA0 + j
+    block = encode_laced_simple_block(
+        2, 0, [b"\xa0" * 6, b"\xa1" * 6], lacing=1
+    )
+    idx = bytes(payload).find(block)
+    assert idx > 0
+    # Xiph size byte for frame 0 sits after id(1) size(1) track(1)
+    # s16(2) flags(1) count(1); inflate it past the payload.
+    payload[idx + 7] = 200
+    with pytest.raises(ValueError, match="overrun"):
         parse_webm(bytes(payload))
 
 

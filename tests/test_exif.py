@@ -144,3 +144,27 @@ def test_short_tiff_payload_raises_valueerror():
 def test_pixel_y_defaults_to_pixel_x():
     p = parse_exif(encode_exif_jpeg(pixel_x=640))
     assert (p["pixel_x"], p["pixel_y"]) == (640, 640)
+
+
+def test_wrong_type_ifd_pointer_raises_valueerror_not_typeerror():
+    """ADVICE r7: an Exif/GPS IFD pointer tag with a non-offset TIFF
+    type (e.g. ASCII) must raise ValueError — the module's contract —
+    not TypeError, which would escape sniff.triage's quarantine catch
+    and kill the whole Spark task for one corrupt blob."""
+    import struct
+
+    jpeg = bytearray(encode_exif_jpeg(gps=True))
+    # Locate the GPS IFD pointer entry (tag 0x8825) inside the TIFF
+    # payload and corrupt its type field from LONG (4) to ASCII (2).
+    tiff_start = jpeg.find(b"Exif\x00\x00") + 6
+    tag = struct.pack("<H", 0x8825)
+    entry = jpeg.find(tag, tiff_start)
+    assert entry > 0
+    jpeg[entry + 2 : entry + 4] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="pointer tag"):
+        parse_exif(bytes(jpeg))
+    # And through the triage dispatcher: quarantine row, not a crash.
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import triage
+
+    row = triage(bytes(jpeg))
+    assert row["format"] == "jpeg!error"

@@ -38,6 +38,11 @@ CASES = {
         for i in range(10)
     ),
     "numeric": GOOD + " " + " ".join(str(i) for i in range(60)),
+    # ADVICE r7: 0.06 hash ratio + 0.06 ellipsis ratio — each under
+    # the 0.1 threshold separately, so the doc must PASS even though
+    # the pooled sum (0.12) would wrongly fail it.
+    "split_symbols": GOOD + " " + "# " * 5 + "then… " * 5
+                     + "the of and that be to have with " * 2,
     "no_required": " ".join("zorp" + str(i) for i in range(60)),
     "long_words": " ".join("x" * 15 for _ in range(60))
                   + " the of and that be to have with",
@@ -49,6 +54,7 @@ EXPECT_FAIL = {
     "too_short": {"word_count_ok"},
     # the 30 bare '#' words are also non-alphabetic words
     "symbols": {"symbol_ratio_ok", "alpha_word_ratio_ok"},
+    "split_symbols": set(),
     "ellipses": {"ellipsis_ratio_ok"},
     # 'zorpN' words ARE alphabetic; only the stop-word gate fires
     "no_required": {"required_words_ok"},

@@ -191,3 +191,32 @@ def test_gnu_tar_and_cmaf_segment_and_weba_routing():
     # video by relying on kind derivation over tracks present:
     row = triage(weba)
     assert row["kind"] == "video"  # video track present → video
+
+
+def test_non_warc_gzip_is_valid_not_quarantined():
+    """ADVICE r7: a .tar.gz / .json.gz blob is a VALID gzip that is
+    not a WARC — triage must report format='gzip' (unknown kind), not
+    the 'gzip!error' quarantine category."""
+    import gzip
+
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import triage
+
+    for blob in (
+        gzip.compress(b'{"k": 1}\n' * 10),
+        gzip.compress(encode_tar([("x.txt", b"hello")])),
+    ):
+        row = triage(blob)
+        assert row["format"] == "gzip"
+        assert row["kind"] is None
+        assert row["detail"] == "gzip but not a WARC"
+    # a real member-per-record .warc.gz still routes to warc
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        encode_warc,
+    )
+
+    recs = [("warcinfo", {"WARC-Date": "2026-01-01T00:00:00Z",
+                          "WARC-Record-ID": "<urn:uuid:1>",
+                          "Content-Type": "application/warc-fields"},
+             b"x: 1\r\n")]
+    row = triage(encode_warc(recs, gzip_members=True))
+    assert row["format"] == "warc" and row["n_items"] == 1

@@ -166,3 +166,32 @@ def test_non_utf8_member_names_survive():
     members = parse_tar(bytes(blob))
     assert members[0]["name"] == "caf�.jpg"
     assert members[0]["size"] == 1
+
+
+def test_pax_size_override_keeps_walk_synchronized():
+    """ADVICE r7: a pax ``size=`` record (how non-GNU writers encode
+    members >8 GiB) is authoritative; the member's octal field may be
+    a placeholder. The walk must honor it or it desynchronizes."""
+    entries = [
+        ("a.txt", b"alpha" * 20),
+        ("b.bin", b"\x01\x02\x03" * 333),
+        ("c.txt", b"gamma"),
+    ]
+    data = encode_tar(entries, pax_size=True)
+    members = parse_tar(data)
+    assert [(m["name"], m["size"]) for m in members] == [
+        (n, len(b)) for n, b in entries
+    ]
+    for m, (_, body) in zip(members, entries):
+        assert data[m["offset"] : m["offset"] + m["size"]] == body
+
+
+def test_pax_bad_size_record_raises_valueerror():
+    data = bytearray(encode_tar([("a.txt", b"x" * 7)], pax_size=True))
+    idx = data.find(b"size=7\n")
+    assert idx > 0
+    data[idx + 5 : idx + 6] = b"q"  # size=q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pax size"):
+        parse_tar(bytes(data))
