@@ -88,6 +88,11 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # (docs_neardup / docs_exactdup, commit 602104c) predates BENCH_r01.
 WORKLOAD_CHANGED_SINCE_R01: dict[str, int] = {
     "embedding_dup_pairs": 2,
+    # r8 codebook widenings (changed-code re-pins): media_codec_profile
+    # 18→24 payloads (+vp09, +fragmented CMAF), media_audio_codec_profile
+    # 12→16 (+Opus, +FLAC) — earlier rows timed smaller codebooks.
+    "media_codec_profile": 8,
+    "media_audio_codec_profile": 8,
 }
 
 

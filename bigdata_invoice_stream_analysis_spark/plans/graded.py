@@ -8,90 +8,60 @@ layout — so the graded window is instead curated here as a deliberate,
 checked-in artifact and the entry point reorders the registry to put
 it first.
 
-Composition (round 7 — the registry closed in r6; from here the window
-is pins + new code + changed code + a freshness rotation that keeps
-every row's newest driver grade ≤ 4 rounds old, the invariant
-tests/test_graded_window.py enforces):
-  * 11 §2 pins (S1, P1-P9, P11, A1-A4, A6, T1, W1, M3, M4 keep driver
-    rows; the three iterative-ML rows-only pins stay rotated out per
-    the round-5 rationale — their scoring logic is hash-gated through
-    centroid_anomalies and r04's elbow_selection_table).
-  * 7 NEW this round (new code is always graded):
-    media_sps_cross_check (H.264 SPS Exp-Golomb bitstream truth vs
-    stsd container claims, deliberate planted lies),
-    media_hevc_sps_cross_check (the H.265 twin, plus the hvcC-head
-    record_match audit), media_audio_codec_profile (mp4a/esds
-    AudioSpecificConfig + RFC 6381 strings, container-rate lies),
-    media_av1_codec_profile (av1C → AV1 codecs parameter string —
-    the codec matrix now covers AVC/HEVC/AV1), and
-    streaming_full_pipeline_router (the shared-scan foreachBatch
-    anomaly-fanout topology, pinned against the same oracle as the
-    4-query shape — output equivalence proof), and the WARC
-    web-corpus ingestion pair warc_record_stats / warc_text_corpus
-    (ISO 28500 record framing + per-record gzip members + RFC 7230
-    chunked HTTP + HTML text extraction + RFC 3986 URL
-    normalization, closed-form oracles over bounded codebooks).
+Composition (round 8 — slot arithmetic recomputed per VERDICT r7
+item 2 from the CORRECTNESS_r01–r07 newest-grade union, replacing the
+r7 prose's undercount):
+  * 33 MANDATORY freshness rows — every query whose newest driver
+    grade is r03 (the full judge-recomputed set: the 27 batch rows
+    plus streaming_centroid_anomalies / streaming_dedup_fingerprints /
+    streaming_heavy_hitters / streaming_sessions /
+    streaming_user_totals / media_decoded_pixels) hits the >4-rounds
+    invariant this round and must re-grade.
+  * 5 §2 pins, thinned for ONE round per the r7 VERDICT to fund the
+    staged-operator registrations: invoice_features, parse_purchases,
+    topk_threshold, centroid_anomalies, streaming_full_pipeline. The
+    other §2 rows keep their green r07 grades and stay locally
+    parity-gated (tests/test_oracle_parity.py); they return r09.
+  * 10 NEW registrations (new code is always graded) — the staged
+    ingestion layer converts to driver evidence: content_triage (one
+    mixed 20-format codebook row grading the whole dispatch surface
+    incl. the gzip-quarantine and lacing ADVICE fixes),
+    gopher_quality_audit (pure Column algebra, per-symbol-family
+    thresholds per ADVICE), webm_track_profile (EBML/Matroska demux
+    with all three lace modes), warc_corpus_funnel (the end-to-end
+    extract→dedup→domain-stats composition), wds_samples (TAR/
+    WebDataset walk incl. the pax size= ADVICE fix and GNU longnames),
+    media_cue_alignment (the video-text keyframe⋈cue join),
+    media_exif_audit (GPS privacy gate, both byte orders, fill-byte
+    adversarial case), robots_url_gate (RFC 9309 closed-form verdicts
+    incl. group merge and $/* patterns), zip_text_members (central
+    directory + real inflate/CRC), media_audio_stream_profile
+    (raw ADTS/MP3 header walk).
   * 2 changed-code re-pins (the standing rule): media_codec_profile
-    (compat_flags IntegerType→LongType, ADVICE r6) and
-    streaming_full_pipeline (gate body refactored into the shared
-    _run_full_pipeline_gate; idempotent sink write extracted to
-    overwrite_batch).
-  * 30 freshness refreshes: ALL 28 rows whose newest driver grade is
-    r02 (they hit the >4-rounds-stale invariant this round), then 2
-    stalest-family r03 streaming drains incl. the bench-anchored
-    error_purchase_join (2 batch slots ceded to the late-round
-    HEVC/AV1 queries, 2 more to the WARC pair; the displaced r03
-    batch rows age into round-8's mandatory set).
+    (codebook widened 18→24 with vp09/vpcC and fragmented CMAF
+    init-segment variants) and media_audio_codec_profile (widened
+    12→16 with Opus/dOps and FLAC/dfLa conformance-lie variants;
+    oti/aot renamed esds_oti/esds_aot).
+  33 + 5 + 10 + 2 = 50, exactly.
 
-Ever-graded: 183/183 registered before this round; the 7 new queries
-make 190, all graded by this window.
+Ever-graded: 190/190 registered before this round; the 10 new
+queries make 200, all with driver rows after this window grades.
 
-Round-8 rotation leads (code + unit tests landed late r7, registration
-deferred so the closing invariant holds — register WITH a window slot):
-fragmented-init-segment codec metadata (encode_minimal_fmp4 now carries
-avc1/hev1/av01/vp09 stsd entries; all four metadata parsers verified on
-CMAF-shaped fixtures), the vp09/vpcC fourth codec family
-(test_h265.py pins both), the EBML/Matroska/WebM demux
-(operators/ebml.py: webm_track_profile / webm_frame_index — the
-mixed-container corpus triage twins of the MP4 operators;
-test_ebml.py pins vints, cluster math and both operators), the
-robots.txt URL gate + sitemaps (operators/robots.py, RFC 9309 +
-sitemaps.org; test_robots.py property-pins the pattern matcher),
-Opus/FLAC fixture variants to mix into the audio codec gate's
-codebook (dOps/dfLa branches landed r7, parity-green on the existing
-gate), ADTS/MP3 elementary-stream profiling
-(operators/mpegaudio.py), the WET text sidecar + the composed
-warc_corpus_funnel (plans/webcorpus.py), SRT/WebVTT cue explosion
-(operators/subtitles.py) with the staged q_media_cue_alignment
-video-text join (plans/mediaops.py), TAR/WebDataset shard
-walking (operators/wds.py: wds_components / wds_samples), GIF
-animation metadata (operators/gif.py), EXIF/GPS privacy audit
-(operators/exif.py), WebP triage (operators/webp.py), ZIP
-central-directory walk + deflate extraction (operators/zip.py:
-zip_members / zip_text_members), the unified content-triage
-dispatcher (operators/sniff.py::content_triage — a strong graded
-candidate: one mixed-format codebook, closed-form oracle over the
-uniform row), and the Gopher
-quality rule set with exact DuckDB twins
-(functions/text.py::gopher_quality_flags — register as a
-gopher_quality_audit oracle row). The leads now EXCEED round-8's
-~12 free slots (50 − 11 pins − 27 mandatory r03 rows, the count the
-freshness sentence below states incl. the two displaced batch reps);
-suggested
-priority: (1) gopher_quality_audit (pure Column algebra, twin ready),
-(2) webm_track_profile, (3) warc_corpus_funnel, (4) wds_samples,
-(5) media_cue_alignment, (6) robots_url_gate, (7) vp09 + CMAF-init
-variants MIXED INTO the existing codec gate's codebook (re-pin, no
-new slot), (8) exif/gif/webp/mpegaudio/subtitle/sitemap/wet rows as
-slots allow — the rest roll to r9 with their unit/property tests
-standing guard. Round-8 mandatory freshness: the 27 remaining
-r03-era rows incl. the two batch reps displaced by the WARC pair
-(+ pins + new code). Rotate per round: queries
-displaced this round keep their green rows from CORRECTNESS_r01-r06
-and remain locally parity-gated by tests/test_oracle_parity.py over
-ALL registered oracles. tests/test_graded_window.py asserts the window
-matches this list so slot changes are deliberate diffs, not
-import-order accidents.
+Round-9 leads (staged, unit-tested, NOT registered — register WITH a
+window slot): gif_profile (operators/gif.py), webp_profile
+(operators/webp.py), sitemap_urls (operators/robots.py), wet_text
+(operators/warc.py), subtitle_cues standalone (operators/subtitles.py
+— the cue explosion is partially graded through media_cue_alignment),
+zip_members / wds_components (the offsets-only triage twins of the
+graded extraction rows), webm_frame_index (operators/ebml.py). After
+r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
+accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
+thinned §2 pins first, then register the leads above as slots allow.
+Rotate per round: queries displaced this round keep their green rows
+from CORRECTNESS_r01-r07 and remain locally parity-gated by
+tests/test_oracle_parity.py over ALL registered oracles.
+tests/test_graded_window.py asserts the window matches this list so
+slot changes are deliberate diffs, not import-order accidents.
 """
 
 from __future__ import annotations
@@ -104,69 +74,65 @@ from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
 
 # The round this window was curated FOR: freshness checks compare the
 # window against driver rows from rounds strictly before this one.
-GRADED_ROUND = 7
+GRADED_ROUND = 8
 
 GRADED_50: list[str] = [
-    # --- §2 operator pins (reference operators keep green rows) ---
+    # --- §2 operator pins (thinned to 5 for r8 per VERDICT r7) ---
     "invoice_features",          # S1 P6 P7 P8 P9 A1 (flagship)
-    "invalid_lines",             # P1
-    "route_counts",              # P2 P3
     "parse_purchases",           # P4 P9
-    "cancelled_invoices",        # P2 A2
     "topk_threshold",            # T1 M4
-    "hourly_event_stats",        # P5-as-F.hour P6
-    "weighted_invoice_features", # A4
-    "approx_distinct_users",     # A3 (HLL + exact)
-    "sliding_window_errors",     # A3 W1
     "centroid_anomalies",        # P11 M3 M4
-    # --- NEW this round (new code is always graded) ---
-    "media_sps_cross_check",     # H.264 SPS Exp-Golomb vs stsd claims
-    "media_hevc_sps_cross_check",  # H.265 SPS + hvcC-head cross-check
-    "media_audio_codec_profile", # mp4a/esds ASC + RFC 6381
-    "media_av1_codec_profile",   # av1C + AV1 codecs parameter string
-    "streaming_full_pipeline_router",  # shared-scan topology twin
-    # --- changed-code re-pins ---
-    "media_codec_profile",       # compat_flags → LongType (ADVICE r6)
-    "streaming_full_pipeline",   # gate body refactor + overwrite_batch
-    # --- freshness: ALL 28 rows whose newest grade is r02 ---
-    "token_counts",
-    "order_priority_rollup",
-    "pricing_summary",
-    "top_suppliers",
-    "price_percentiles",
-    "segment_order_gap",
-    "unordered_parts",
-    "user_sessions",
-    "text_quality",
-    "ngram_jaccard_dedup",
-    "simhash_fingerprints",
-    "simhash_dedup_pairs",
-    "ann_ivf_topk",
-    "media_byte_stats",
-    "term_doc_frequency",
-    "media_frame_samples",
-    "stratified_split",
-    "tfidf_top_terms",
-    "split_contamination",
-    "label_embedding_centroids",
-    "minhash_lsh_dedup_arrow",
-    "ivf_cells_literal",
-    "doc_repetition",
-    "dedup_survivors",
-    "ann_sq8_topk",
-    "knn_label_vote",
-    "embedding_norm_stats",
-    "entity_hash_sample",
-    # --- NEW: WARC web-corpus ingestion (never-graded must hold a
-    # slot the round it registers; the two batch r03 slots ceded —
-    # copurchase_pagerank / pii_redaction age into round-8's mandatory
-    # set either way) ---
-    "warc_record_stats",
-    "warc_text_corpus",
-    # --- freshness: 2 stalest-family r03 streaming drains (incl. the
-    # bench-anchored error_purchase_join) ---
-    "streaming_error_windows",
-    "streaming_error_purchase_join",
+    "streaming_full_pipeline",   # S4 W3 W4 (one composed gate)
+    # --- NEW this round: the staged ingestion layer converts to
+    # driver evidence (new code is always graded) ---
+    "content_triage",
+    "gopher_quality_audit",
+    "webm_track_profile",
+    "warc_corpus_funnel",
+    "wds_samples",
+    "media_cue_alignment",
+    "media_exif_audit",
+    "robots_url_gate",
+    "zip_text_members",
+    "media_audio_stream_profile",
+    # --- changed-code re-pins: widened codec-gate codebooks ---
+    "media_codec_profile",       # + vp09/vpcC + CMAF init segments
+    "media_audio_codec_profile", # + Opus/dOps + FLAC/dfLa
+    # --- mandatory freshness: ALL 33 rows whose newest grade is r03
+    # (they hit the >4-rounds-stale invariant this round) ---
+    "ann_pq_topk",
+    "balance_quartiles_bucketed",
+    "bm25_lite_search",
+    "bucketed_join_revenue",
+    "chunk_dedup_stats",
+    "copurchase_pagerank",
+    "copurchase_triangles",
+    "customer_balance_quartiles",
+    "decontaminated_train_docs",
+    "dedup_components_star",
+    "embedding_top_pc",
+    "group_aware_split",
+    "heavy_hitters_cms",
+    "jaccard_prefix_filter",
+    "maxsim_topk",
+    "media_decoded_pixels",
+    "order_value_histogram",
+    "orders_profile",
+    "partitioned_write_prune",
+    "pii_redaction",
+    "region_revenue_sql",
+    "salted_event_totals",
+    "scd2_user_segments",
+    "schema_evolution_merge",
+    "semdedup_drop",
+    "sequence_packing",
+    "streaming_centroid_anomalies",
+    "streaming_dedup_fingerprints",
+    "streaming_heavy_hitters",
+    "streaming_sessions",
+    "streaming_user_totals",
+    "udaf_segment_weighted_balance",
+    "user_value_trend",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

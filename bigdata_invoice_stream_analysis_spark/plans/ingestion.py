@@ -188,7 +188,7 @@ def _triage_payload(k: int) -> bytes:
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS media_id, CAST(doc_id % 20 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 20 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -215,7 +215,7 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
    'truncated JPEG segment header'),
   (19, 'unknown',     NULL,      NULL, NULL, NULL, NULL,            NULL, FALSE, NULL)
 )
-SELECT media_id, format, kind,
+SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
        CAST(duration_ms AS BIGINT) AS duration_ms, codec,
        CAST(n_items AS BIGINT) AS n_items, has_metadata_risk, detail
@@ -256,7 +256,12 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % _TRIAGE_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
-    return content_triage(media.select("media_id", "payload"))
+    # blob_id (alphabetically first + unique) keeps the driver's
+    # order-insensitive sorted-row compare from ever ordering the
+    # nullable columns against each other.
+    return content_triage(
+        media.select("media_id", "payload")
+    ).withColumnRenamed("media_id", "blob_id")
 
 
 # ---------------------------------------------------------------------------
@@ -346,15 +351,16 @@ def _webm_payload(k: int) -> bytes:
     "webm_track_profile",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS media_id, CAST(doc_id % 12 AS INT) AS k FROM documents
+  SELECT doc_id AS asset_id, CAST(doc_id % 12 AS INT) AS k FROM documents
 ),
 v AS (
-  SELECT media_id, k,
+  SELECT asset_id, k,
          CASE WHEN k % 4 = 2 THEN 'matroska' ELSE 'webm' END AS doctype,
          CAST(40 * k AS BIGINT) AS duration_ms
   FROM media
 )
-SELECT media_id, doctype, CAST(1 AS INT) AS track, 'video' AS track_type,
+SELECT asset_id, doctype, CAST(1 AS INT) AS asset_track,
+       'video' AS track_type,
        CASE k % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9'
             ELSE 'V_AV1' END AS codec_id,
        CAST(128 + 16 * k AS INT) AS width,
@@ -365,7 +371,7 @@ SELECT media_id, doctype, CAST(1 AS INT) AS track, 'video' AS track_type,
        CAST(k // 3 + 1 AS BIGINT) AS n_keyframes
 FROM v
 UNION ALL
-SELECT media_id, doctype, 2, 'audio', 'A_OPUS', NULL, NULL, 48000, 2,
+SELECT asset_id, doctype, 2, 'audio', 'A_OPUS', NULL, NULL, 48000, 2,
        duration_ms, 2, 2
 FROM v WHERE k % 2 = 1
 """,
@@ -405,7 +411,14 @@ def q_webm_track_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % _WEBM_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
-    return webm_track_profile(media.select("media_id", "payload"))
+    # (asset_id, asset_track) sort alphabetically ahead of every
+    # nullable column AND uniquely key each row, so the driver's
+    # sorted-row compare never orders nulls against values.
+    return (
+        webm_track_profile(media.select("media_id", "payload"))
+        .withColumnRenamed("media_id", "asset_id")
+        .withColumnRenamed("track", "asset_track")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -586,14 +599,14 @@ def _exif_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT doc_id AS media_id, CAST(doc_id % {_EXIF_K} AS INT) AS k
+  SELECT doc_id AS asset_id, CAST(doc_id % {_EXIF_K} AS INT) AS k
   FROM documents
 ),
 cb(k, has_exif, orientation, make, model, dt, pixel_x, pixel_y,
    has_gps, byte_order) AS (
   VALUES {values}
 )
-SELECT media_id, has_exif, CAST(orientation AS INT) AS orientation,
+SELECT asset_id, has_exif, CAST(orientation AS INT) AS orientation,
        CAST(make AS VARCHAR) AS make, CAST(model AS VARCHAR) AS model,
        dt AS datetime,
        CAST(pixel_x AS INT) AS pixel_x, CAST(pixel_y AS INT) AS pixel_y,
@@ -636,7 +649,10 @@ def q_media_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         (F.col("doc_id") % _EXIF_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
-    return exif_profile(media.select("media_id", "payload"))
+    # asset_id sorts first and is unique — see content_triage note.
+    return exif_profile(
+        media.select("media_id", "payload")
+    ).withColumnRenamed("media_id", "asset_id")
 
 
 # ---------------------------------------------------------------------------
@@ -705,7 +721,7 @@ _ROBOTS_DOCS = {
     "robots_url_gate",
     oracle="""
 WITH u AS (
-  SELECT doc_id AS url_id, CAST(doc_id % 6 AS INT) AS h,
+  SELECT doc_id AS address_id, CAST(doc_id % 6 AS INT) AS h,
          CAST((doc_id // 6) % 8 AS INT) AS p
   FROM documents
 ),
@@ -714,7 +730,7 @@ paths(p, path) AS (VALUES
   (3, '/private/'), (4, '/media/x.mp4'), (5, '/tmp/y'),
   (6, '/docs/guide.pdf'), (7, '/exact/path')
 )
-SELECT url_id,
+SELECT address_id,
   'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
   path,
   h <> 0 AS has_robots,
@@ -772,7 +788,10 @@ def q_robots_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = spark.createDataFrame(
         sorted(_ROBOTS_DOCS.items()), "host string, robots_txt string"
     )
-    return robots_url_gate(urls, robots, "trainbot/1.0")
+    # address_id sorts first and is unique — see content_triage note.
+    return robots_url_gate(
+        urls, robots, "trainbot/1.0"
+    ).withColumnRenamed("url_id", "address_id")
 
 
 # ---------------------------------------------------------------------------

@@ -577,7 +577,7 @@ def q_media_keyframe_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_codec_profile",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS media_id, CAST(doc_id % 18 AS INT) AS k FROM documents
+  SELECT doc_id AS media_id, CAST(doc_id % 24 AS INT) AS k FROM documents
 ),
 v AS (
   SELECT media_id, k, k % 2 AS hevc,
@@ -588,7 +588,16 @@ v AS (
          1 + ((k // 2) % 2) AS hp,
          CASE k % 5 WHEN 0 THEN 90 WHEN 1 THEN 93 WHEN 2 THEN 120
                     WHEN 3 THEN 123 ELSE 150 END AS hl
-  FROM media
+  FROM media WHERE k < 18
+),
+nb(k, codec, width, height, profile_idc, compat_flags, level_idc,
+   codec_string, n_samples, duration_ms) AS (VALUES
+  (18, 'vp09', 352, 48, 0,   NULL,      10,  'vp09.00.10.08', 19, 760),
+  (19, 'avc1', 368, 64, 100, 0,         41,  'avc1.640029',   20, 0),
+  (20, 'vp09', 384, 80, 1,   NULL,      20,  'vp09.01.20.08', 21, 840),
+  (21, 'hev1', 400, 48, 2,   805306368, 123, 'hev1.2.c.L123', 22, 0),
+  (22, 'vp09', 416, 64, 2,   NULL,      31,  'vp09.02.31.10', 23, 920),
+  (23, 'av01', 432, 80, 1,   NULL,      13,  'av01.1.13M.10', 24, 0)
 )
 SELECT media_id,
        CASE WHEN hevc = 1 THEN 'hev1' ELSE 'avc1' END AS codec,
@@ -606,6 +615,12 @@ SELECT media_id,
        CAST(k + 1 AS BIGINT) AS n_samples,
        CAST(40 * (k + 1) AS BIGINT) AS duration_ms
 FROM v
+UNION ALL
+SELECT media_id, codec, CAST(width AS INT), CAST(height AS INT),
+       CAST(profile_idc AS INT), CAST(compat_flags AS BIGINT),
+       CAST(level_idc AS INT), codec_string,
+       CAST(n_samples AS BIGINT), CAST(duration_ms AS BIGINT)
+FROM (SELECT media_id, k FROM media WHERE k >= 18) m JOIN nb USING (k)
 """,
 )
 def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,21 +637,32 @@ def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry (profile_idc 1+((k//2)%2) = Main/Main10, compat flags with
     the two profile bits set, Main tier, level_idc
     {90,93,120,123,150}[k%5]); all with width 64+16k, height
-    48+16(k%3) and k+1 fake samples. Executors parse the
-    VisualSampleEntry + config-record head and render the RFC 6381
-    codec string — ``avc1.PPCCLL`` hex, or Annex-E ``hev1.P.C.Lnnn``
-    with the 32 compatibility bits BIT-REVERSED and zero constraint
-    bytes trimmed (operators/mp4.parse_codec_profile) — joined with
-    the demuxed sample count and mdhd duration. The closed-form oracle
-    recomputes all of it from k, so a drift anywhere in the
-    entry-offset arithmetic (the §12.1.3 fixed layout), the hvcC bit
-    unpacking, or the string rendering flips the hash. Plan: 18-row
-    broadcast join + map-side parse, zero data shuffle."""
+    48+16(k%3) and k+1 fake samples. Round 8 widens the codebook to
+    24 variants (re-pin): k=18/20/22 carry REAL vp09+vpcC entries
+    (VP Codec ISO binding §2.2.2 — profiles 0/1/2, 10-bit on profile
+    2, ``vp09.PP.LL.DD`` strings) and k=19/21/23 are FRAGMENTED
+    CMAF-shaped files (encode_minimal_fmp4: empty moov tables +
+    mvex/trex + moof/traf/trun fragments) whose avc1/hev1/av01 stsd
+    entries live in the INIT-segment moov — proving the same
+    moov-only pass audits DASH/HLS corpora, with n_samples demuxed
+    from the fragment runs and the mdhd duration honestly 0.
+    Executors parse the VisualSampleEntry + config-record head and
+    render the RFC 6381 codec string — ``avc1.PPCCLL`` hex, Annex-E
+    ``hev1.P.C.Lnnn`` with the 32 compatibility bits BIT-REVERSED and
+    zero constraint bytes trimmed, ``vp09``/``av01`` short forms
+    (operators/mp4.parse_codec_profile) — joined with the demuxed
+    sample count and mdhd duration. The closed-form oracle recomputes
+    all of it from k, so a drift anywhere in the entry-offset
+    arithmetic (the §12.1.3 fixed layout), the hvcC/vpcC/av1C bit
+    unpacking, the fragment-run expansion, or the string rendering
+    flips the hash. Plan: 24-row broadcast join + map-side parse,
+    zero data shuffle."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,
     )
     from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
         codec_profile,
+        encode_minimal_fmp4,
         encode_minimal_mp4,
     )
 
@@ -657,20 +683,39 @@ def q_media_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             hp, 0b11 << (30 - hp), 0, hevc_levels[k % 5],
         )}
 
+    def payload(k: int) -> bytes:
+        sizes = [(k * 5 + i) % 30 + 1 for i in range(k + 1)]
+        w, h = 64 + 16 * k, 48 + 16 * (k % 3)
+        if k < 18:
+            return encode_minimal_mp4(
+                sizes, timescale=1000, frame_delta=40, **entry_kw(k),
+            )
+        if k in (18, 20, 22):  # vp09 — profile 0/1/2, 10-bit on 2
+            pr = (k - 18) // 2
+            lv = [10, 20, 31][pr]
+            bd = 8 if pr < 2 else 10
+            return encode_minimal_mp4(
+                sizes, timescale=1000, frame_delta=40,
+                vp09=(w, h, pr, lv, bd, 1, 0),
+            )
+        # CMAF-shaped fragmented init+segments, one codec family each
+        entry: dict = {
+            19: {"avc1": (w, h, 100, 0, 41)},
+            21: {"hev1": (w, h, 2, 0b11 << 28, 0, 123)},
+            23: {"av01": (w, h, 1, 13, 0, 1, 0, 0)},
+        }[k]
+        return encode_minimal_fmp4(
+            sizes, timescale=1000, frame_delta=40,
+            frames_per_fragment=3, **entry,
+        )
+
     codebook = spark.createDataFrame(
-        [
-            (k, bytearray(encode_minimal_mp4(
-                [(k * 5 + i) % 30 + 1 for i in range(k + 1)],
-                timescale=1000, frame_delta=40,
-                **entry_kw(k),
-            )))
-            for k in range(18)
-        ],
+        [(k, bytearray(payload(k))) for k in range(24)],
         "k int, payload binary",
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 18).cast("int").alias("k"),
+        (F.col("doc_id") % 24).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return codec_profile(media.select("media_id", "payload"))
 
@@ -778,7 +823,7 @@ def q_media_sps_cross_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_audio_codec_profile",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS media_id, CAST(doc_id % 12 AS INT) AS k FROM documents
+  SELECT doc_id AS media_id, CAST(doc_id % 16 AS INT) AS k FROM documents
 ),
 v AS (
   SELECT media_id, k,
@@ -786,20 +831,34 @@ v AS (
          CASE 3 + (k % 5) WHEN 3 THEN 48000 WHEN 4 THEN 44100
               WHEN 5 THEN 32000 WHEN 6 THEN 24000 ELSE 22050 END AS rate,
          CASE k % 3 WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 29 END AS aot
-  FROM media
+  FROM media WHERE k < 12
+),
+nb(k, codec, container_channels, container_sample_rate, asc_sample_rate,
+   asc_channels, codec_string, rate_match) AS (VALUES
+  (12, 'Opus', 2, 48000, 48000, 2, 'opus', TRUE),
+  (13, 'Opus', 1, 24000, 16000, 1, 'opus', FALSE),
+  (14, 'fLaC', 2, 44100, 44100, 2, 'fLaC', TRUE),
+  (15, 'fLaC', 2, 44100, 22050, 2, 'fLaC', FALSE)
 )
-SELECT media_id, 'mp4a' AS codec,
+SELECT media_id AS asset_id, 'mp4a' AS codec,
        CAST(ch AS INT) AS container_channels,
        CAST(16 AS INT) AS sample_size,
        CAST(CASE WHEN k % 4 = 1 THEN rate // 2 ELSE rate END AS INT)
          AS container_sample_rate,
-       CAST(64 AS INT) AS oti,
-       CAST(aot AS INT) AS aot,
+       CAST(64 AS INT) AS esds_oti,
+       CAST(aot AS INT) AS esds_aot,
        CAST(rate AS INT) AS asc_sample_rate,
        CAST(ch AS INT) AS asc_channels,
        'mp4a.40.' || CAST(aot AS VARCHAR) AS codec_string,
        k % 4 <> 1 AS rate_match
 FROM v
+UNION ALL
+SELECT media_id, codec, CAST(container_channels AS INT),
+       CAST(16 AS INT), CAST(container_sample_rate AS INT),
+       CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(asc_sample_rate AS INT), CAST(asc_channels AS INT),
+       codec_string, rate_match
+FROM (SELECT media_id, k FROM media WHERE k >= 12) m JOIN nb USING (k)
 """,
 )
 def q_media_audio_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,18 +871,25 @@ def q_media_audio_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     AudioSpecificConfig: 5-bit audioObjectType, 4-bit
     samplingFrequencyIndex, 4-bit channelConfiguration), rendered as
     RFC 6381 ``mp4a.40.A``. Every doc maps to a valid audio MP4 from a
-    bounded 12-payload broadcast codebook keyed by doc_id % 12 —
-    variant k: 1+(k%2) channels, ASC freq index 3+(k%5)
+    bounded 16-payload broadcast codebook keyed by doc_id % 16 —
+    variant k<12: 1+(k%2) channels, ASC freq index 3+(k%5)
     ({48000,44100,32000,24000,22050} Hz), AOT {2,5,29}[k%3]
     (AAC-LC / HE-AAC / HE-AACv2); odd k writes the PADDED 4-byte
     0x80-prefixed descriptor lengths real muxers emit. The container
     samplerate DELIBERATELY LIES (half the ASC truth) for k%4 == 1 —
     ``rate_match`` is the audit bit, mirroring the video SPS
-    cross-check. The closed-form oracle recomputes everything from k,
-    so a drift in the descriptor walk, the expandable-length decode,
-    or the ASC bit unpacking flips the hash. Plan: 12-row broadcast
-    join + moov-only map-side parse, zero data shuffle. Reference:
-    n/a (extension surface — the reference has no media path)."""
+    cross-check. Round 8 widens the codebook (re-pin): k=12/13 are
+    Opus+dOps entries (Opus-in-BMFF §4.3 — k=13 violates the spec's
+    samplerate==48000 requirement, rate_match=false) and k=14/15
+    fLaC+dfLa entries (FLAC-in-BMFF §3.3 — STREAMINFO truth vs the
+    container claim, k=15 lies), so ONE pass covers the whole
+    audio-codec matrix AAC/HE-AAC/Opus/FLAC. The closed-form oracle
+    recomputes everything from k, so a drift in the descriptor walk,
+    the expandable-length decode, the ASC bit unpacking, the dOps
+    fields, or the STREAMINFO bit packing flips the hash. Plan:
+    16-row broadcast join + moov-only map-side parse, zero data
+    shuffle. Reference: n/a (extension surface — the reference has no
+    media path)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,
     )
@@ -838,11 +904,20 @@ def q_media_audio_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_invoice_stream_analysis_spark.operators.mp4 import _ASC_RATES
 
     def payload(k: int) -> bytes:
+        sizes = [(k * 9 + i) % 25 + 1 for i in range(k + 1)]
+        if k == 12:      # conformant Opus (container rate 48000)
+            return encode_minimal_mp4(sizes, opus=(2, 48000, 48000))
+        if k == 13:      # Opus violating samplerate==48000
+            return encode_minimal_mp4(sizes, opus=(1, 24000, 16000))
+        if k == 14:      # FLAC, STREAMINFO agrees with container
+            return encode_minimal_mp4(sizes, flac=(2, 44100, 44100))
+        if k == 15:      # FLAC, container lies vs STREAMINFO
+            return encode_minimal_mp4(sizes, flac=(2, 44100, 22050))
         rate = _ASC_RATES[3 + (k % 5)]
         # the lie must fit the u16-integral 16.16 field, so halve
         claimed = rate // 2 if k % 4 == 1 else rate
         return encode_minimal_mp4(
-            [(k * 9 + i) % 25 + 1 for i in range(k + 1)],
+            sizes,
             mp4a=(
                 1 + (k % 2), claimed, aots[k % 3], 3 + (k % 5),
                 None, k % 2 == 1,
@@ -850,14 +925,23 @@ def q_media_audio_codec_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     codebook = spark.createDataFrame(
-        [(k, bytearray(payload(k))) for k in range(12)],
+        [(k, bytearray(payload(k))) for k in range(16)],
         "k int, payload binary",
     )
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 12).cast("int").alias("k"),
+        (F.col("doc_id") % 16).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
-    return audio_codec_profile(media.select("media_id", "payload"))
+    # oti/aot are esds-specific and NULL for Opus/FLAC entries; the
+    # esds_ prefix (with asset_id) makes the alphabetically-first
+    # columns of the driver's sorted-row compare non-null with a
+    # unique prefix, so nulls are never ordered against values.
+    return (
+        audio_codec_profile(media.select("media_id", "payload"))
+        .withColumnRenamed("media_id", "asset_id")
+        .withColumnRenamed("oti", "esds_oti")
+        .withColumnRenamed("aot", "esds_aot")
+    )
 
 
 @query(
@@ -1134,9 +1218,35 @@ def q_media_fmp4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_video_frames(media.select("media_id", "payload"), every_n=2)
 
 
+@query(
+    "media_cue_alignment",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 8 AS INT) AS k FROM documents
+),
+cues AS (
+  SELECT media_id, k, CAST(s.i AS INT) AS j
+  FROM media, UNNEST(generate_series(0, k % 2 + 1)) AS s(i)
+),
+h AS (
+  SELECT media_id, k, j,
+    CASE WHEN (2 * j) % 3 = 0 AND 2 * j < k + 3 THEN 1 ELSE 0 END AS c1,
+    CASE WHEN (2 * j + 1) % 3 = 0 AND 2 * j + 1 < k + 3
+         THEN 1 ELSE 0 END AS c2
+  FROM cues
+)
+SELECT media_id, j AS cue_idx,
+  CAST(80 * j AS BIGINT) AS start_ms,
+  CAST(80 * j + 60 AS BIGINT) AS end_ms,
+  'cue ' || CAST(k AS VARCHAR) || ' ' || CAST(j AS VARCHAR) AS text,
+  CAST(c1 + c2 AS BIGINT) AS n_keyframes,
+  CAST(40 * CASE WHEN c1 = 1 THEN 2 * j ELSE 2 * j + 1 END AS BIGINT)
+    AS first_kf_pts
+FROM h WHERE c1 + c2 > 0
+""",
+)
 def q_media_cue_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round-8 lead (not yet registered — plans/graded.py owns
-    the registration plan): VIDEO-TEXT ALIGNMENT, the join that turns
+    """VIDEO-TEXT ALIGNMENT, the join that turns
     a scraped video corpus into training pairs — each subtitle cue
     matched to the sync samples (keyframes) inside its time window,
     because only sync samples decode without inter-frame context, so
@@ -1148,8 +1258,12 @@ def q_media_cue_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side explosions off bounded broadcasts; the alignment is ONE
     equi-join shuffle on media_id with the range predicate evaluated
     post-join — at 100 TB the same shape co-partitions both sides on
-    media_id once. The closed-form oracle (for r8 registration)
-    recomputes keyframe hits per window from k."""
+    media_id once. The closed-form oracle recomputes keyframe hits per
+    window from k (pts 40i, stss every 3rd sample → the hits in cue
+    window [80j, 80j+60) are exactly i ∈ {2j, 2j+1} with i%3==0 and
+    i<k+3); cues with zero sync samples drop out of the inner join —
+    a drift in the stss parse, the cue timing math, or the join
+    predicate flips the hash."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,
     )

@@ -1592,6 +1592,7 @@ def _drain_input_diet(stream: DataFrame) -> DataFrame:
 from bigdata_invoice_stream_analysis_spark.plans import extensions  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import mediaops  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import webcorpus  # noqa: E402,F401
+from bigdata_invoice_stream_analysis_spark.plans import ingestion  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import relational  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import warehouse  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import eventlog  # noqa: E402,F401

@@ -331,19 +331,59 @@ def q_warc_text_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_text_corpus(archives.select("archive_id", "payload"))
 
 
+@query(
+    "warc_corpus_funnel",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % 10 AS INT) AS k FROM documents
+),
+recs AS (
+  SELECT archive_id, k, CAST(unnest(range(1 + k % 2)) AS INT) AS j
+  FROM media
+),
+v AS (
+  SELECT archive_id, k, j,
+    CASE WHEN k % 4 = 3 THEN 'bbc.co.uk' ELSE 'example.com' END AS dom
+  FROM recs
+),
+t AS (
+  SELECT *,
+    'Site ' || CAST(k AS VARCHAR) || ' & page ' || CAST(j AS VARCHAR)
+      || ' Header ' || CAST(k AS VARCHAR)
+      || ' Linked to c ' || CAST(j AS VARCHAR) || ' and d . Café '
+      || CAST(k AS VARCHAR) || ' <net> élève.' AS text
+  FROM v
+),
+ranked AS (
+  SELECT archive_id, 2 + j AS record_idx, dom AS domain, text,
+         length(text) AS text_len,
+         row_number() OVER (
+           PARTITION BY text ORDER BY archive_id, 2 + j
+         ) AS rnk
+  FROM t
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(SUM(text_len) AS BIGINT) AS total_text_len,
+  ROUND(1 - CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*), 6) AS dup_rate
+FROM ranked GROUP BY domain
+""",
+)
 def q_warc_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED round-8 lead (not yet registered — plans/graded.py owns
-    the registration plan): the END-TO-END ingestion funnel a real
-    web-corpus build runs, composed entirely from graded pieces —
-    warc_text_corpus extraction → exact text dedup (first archive_id
-    per distinct text wins, the r02-graded exact_dedup_groups shape) →
-    per-domain corpus stats (survivors, dup rate, mean text length).
-    Shape: map-side extraction (zero shuffles) → ONE hash shuffle on
+    """The END-TO-END ingestion funnel a real web-corpus build runs,
+    composed entirely from graded pieces — warc_text_corpus extraction
+    → exact text dedup (first (archive_id, record_idx) per distinct
+    text wins, the r02-graded exact_dedup_groups shape) → per-domain
+    corpus stats (docs, survivors, dup rate, total text bytes).
+    Shape: map-side extraction (zero shuffles) → ONE window shuffle on
     the text key → one partial-agg shuffle on domain; at 100 TB those
     are the two shuffles a corpus build must pay and the only two this
-    plan contains. Oracle (for the r8 registration) recomputes the
-    funnel in SQL from the same codebook arithmetic as
-    warc_text_corpus."""
+    plan contains. The closed-form oracle recomputes the funnel in SQL
+    from the same codebook arithmetic as warc_text_corpus (the
+    extracted text is a pure function of (k, j)), so a drift in the
+    extraction, the survivor rule, or the per-domain rollup flips the
+    hash."""
     from pyspark.sql import Window
 
     rows = q_warc_text_corpus(spark, sf_dir)
