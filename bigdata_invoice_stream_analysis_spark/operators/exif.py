@@ -31,6 +31,8 @@ from __future__ import annotations
 import struct
 
 # Curation-relevant IFD0 / Exif-IFD tags.
+TAG_IMAGE_WIDTH = 0x0100   # baseline TIFF files (not JPEG EXIF)
+TAG_IMAGE_LENGTH = 0x0101
 TAG_ORIENTATION = 0x0112
 TAG_MAKE = 0x010F
 TAG_MODEL = 0x0110
@@ -144,7 +146,23 @@ def parse_exif(payload: bytes) -> dict:
             break
     if tiff is None:
         return out
-    out["has_exif"] = True
+    out.update(parse_tiff(tiff))
+    return out
+
+
+def parse_tiff(tiff: bytes) -> dict:
+    """The bare TIFF/IFD walk behind parse_exif, shared with the PNG
+    ``eXIf`` chunk (operators/pngmeta.py) — same container, different
+    wrapper. Returns the same field dict with ``has_exif=True``."""
+    out = {
+        "has_exif": True, "orientation": None, "make": None,
+        "model": None, "datetime": None, "pixel_x": None,
+        "pixel_y": None, "has_gps": False, "byte_order": None,
+        # baseline-TIFF geometry (tags 0x0100/0x0101) — None for JPEG
+        # EXIF payloads, set for standalone .tif files and PNG eXIf
+        # written from them.
+        "image_width": None, "image_height": None,
+    }
     if len(tiff) < 8:
         raise ValueError("EXIF TIFF payload shorter than its header")
     if tiff[:2] == b"II":
@@ -158,6 +176,10 @@ def parse_exif(payload: bytes) -> dict:
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
     ifd0 = _parse_ifd(tiff, ifd0_off, end)
+    if TAG_IMAGE_WIDTH in ifd0:
+        out["image_width"] = _short(ifd0[TAG_IMAGE_WIDTH], end)
+    if TAG_IMAGE_LENGTH in ifd0:
+        out["image_height"] = _short(ifd0[TAG_IMAGE_LENGTH], end)
     if TAG_ORIENTATION in ifd0:
         out["orientation"] = _short(ifd0[TAG_ORIENTATION], end)
     if TAG_MAKE in ifd0:
@@ -279,6 +301,54 @@ def encode_exif_jpeg(
     app1 = b"\xff\xe1" + struct.pack(">H", len(app1_body) + 2) + app1_body
     tail = body if body is not None else b"\xff\xd9"
     return b"\xff\xd8" + app1 + tail
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    *,
+    orientation: int = 1,
+    gps: bool = False,
+    byte_order: str = "II",
+) -> bytes:
+    """A minimal standalone baseline-TIFF fixture: header + IFD0 with
+    ImageWidth/ImageLength/Orientation (+ a GPS sub-IFD when asked) —
+    the .tif shape content_triage routes through the same parse_tiff
+    walk as JPEG EXIF and the PNG eXIf chunk."""
+    end = "<" if byte_order == "II" else ">"
+
+    def entry(tag, typ, count, raw4):
+        return struct.pack(end + "HHI", tag, typ, count) + raw4
+
+    def short4(v):
+        return struct.pack(end + "H", v) + b"\x00\x00"
+
+    n0 = 3 + (1 if gps else 0)
+    ifd0_size = 2 + 12 * n0 + 4
+    cursor = 8 + ifd0_size
+    entries = [
+        entry(TAG_IMAGE_WIDTH, 3, 1, short4(width)),
+        entry(TAG_IMAGE_LENGTH, 3, 1, short4(height)),
+        entry(TAG_ORIENTATION, 3, 1, short4(orientation)),
+    ]
+    sub = b""
+    if gps:
+        entries.append(
+            entry(TAG_GPS_IFD, 4, 1, struct.pack(end + "I", cursor))
+        )
+        sub = (
+            struct.pack(end + "H", 1)
+            + entry(0x0000, 1, 4, bytes([2, 3, 0, 0]))
+            + b"\x00\x00\x00\x00"
+        )
+    return (
+        byte_order.encode("ascii")
+        + struct.pack(end + "HI", 42, 8)
+        + struct.pack(end + "H", n0)
+        + b"".join(entries)
+        + b"\x00\x00\x00\x00"
+        + sub
+    )
 
 
 def exif_profile(media):

@@ -59,6 +59,10 @@ def sniff_format(data: bytes) -> str:
         return "webm"
     if data[:9] == b"WARC/1.0\r" or data[:9] == b"WARC/1.1\r":
         return "warc"
+    if data[:5] == b"%PDF-":
+        return "pdf"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if data[:2] == b"\x1f\x8b":
         # gzip: a .warc.gz is the only gzip this repo claims; deeper
         # sniffing would need a decompress, which triage avoids.
@@ -306,6 +310,27 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         row.update(
             kind="text", n_items=len(cues),
             duration_ms=max((c["end_ms"] for c in cues), default=0),
+        )
+    elif fmt == "tiff":
+        from bigdata_invoice_stream_analysis_spark.operators.exif import (
+            parse_tiff,
+        )
+
+        prof = parse_tiff(data)
+        row.update(
+            kind="image", codec="tiff", n_items=1,
+            width=prof["image_width"], height=prof["image_height"],
+            has_metadata_risk=prof["has_gps"],
+        )
+    elif fmt == "pdf":
+        from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+            parse_pdf,
+        )
+
+        info = parse_pdf(data)
+        row.update(
+            kind="document", n_items=info["n_pages"],
+            detail="encrypted" if info["encrypted"] else None,
         )
     elif fmt in ("mp3", "adts"):
         from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (

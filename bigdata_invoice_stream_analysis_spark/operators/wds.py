@@ -205,8 +205,14 @@ def encode_tar(
 
     for name, body in entries:
         if pax_size:
-            emit(b"pax_header", pax_record("size", str(len(body))), b"x")
-            emit(name.encode("utf-8"), body, size_field=0)
+            recs = pax_record("size", str(len(body)))
+            name_b = name.encode("utf-8")
+            if len(name_b) > 100:
+                # the pax header carries the full path too — the
+                # ustar name field holds only a truncated prefix
+                recs += pax_record("path", name)
+            emit(b"pax_header", recs, b"x")
+            emit(name_b[:100], body, size_field=0)
             continue
         name_b = name.encode("utf-8")
         if len(name_b) > 100:

@@ -48,7 +48,15 @@ Ever-graded: 190/190 registered before this round; the 10 new
 queries make 200, all with driver rows after this window grades.
 
 Round-9 leads (staged, unit-tested, NOT registered — register WITH a
-window slot): gif_profile (operators/gif.py), webp_profile
+window slot): pdf_text_pages (operators/pdf.py — the from-scratch
+ISO 32000-1 salvage walk + §7.5.7 ObjStm expansion + content-stream
+text extraction with ToUnicode CMaps, built late r8; its triage
+dispatch IS graded through content_triage's PDF rows),
+png_metadata_profile
+(operators/pngmeta.py — tEXt/zTXt/iTXt + XMP + the eXIf GPS bit
+through the shared parse_tiff walk), standalone-TIFF profiling
+(operators/exif.py::encode_tiff/parse_tiff image_width/height tags;
+triage-dispatched), gif_profile (operators/gif.py), webp_profile
 (operators/webp.py), sitemap_urls (operators/robots.py), wet_text
 (operators/warc.py), subtitle_cues standalone (operators/subtitles.py
 — the cue explosion is partially graded through media_cue_alignment),

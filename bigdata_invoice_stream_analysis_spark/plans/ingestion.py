@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over a 20-format mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 20
+_TRIAGE_K = 22
 
 
 def _triage_payload(k: int) -> bytes:
@@ -181,14 +181,25 @@ def _triage_payload(k: int) -> bytes:
         return encode_adts(5)
     if k == 18:  # corrupt JPEG: SOI+EOI, no segment — quarantine row
         return b"\xff\xd8\xff\xd9"
-    return b"\x00\x01\x02\x03 no known magic here"  # k == 19
+    if k == 19:
+        return b"\x00\x01\x02\x03 no known magic here"
+    from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+        encode_minimal_pdf,
+    )
+
+    if k == 20:
+        return encode_minimal_pdf(["triage page one", "and page two"])
+    # k == 21: encrypted PDF — detected, never decrypted
+    return encode_minimal_pdf(["hidden"]) + (
+        b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 99 0 R >>\n"
+    )
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 20 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 22 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -213,7 +224,10 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (17, 'adts',        'audio',   NULL, NULL, 116,  'mp4a.40.2',     5,    FALSE, NULL),
   (18, 'jpeg!error',  NULL,      NULL, NULL, NULL, NULL,            NULL, FALSE,
    'truncated JPEG segment header'),
-  (19, 'unknown',     NULL,      NULL, NULL, NULL, NULL,            NULL, FALSE, NULL)
+  (19, 'unknown',     NULL,      NULL, NULL, NULL, NULL,            NULL, FALSE, NULL),
+  (20, 'pdf',         'document', NULL, NULL, NULL, NULL,           2,    FALSE, NULL),
+  (21, 'pdf',         'document', NULL, NULL, NULL, NULL,           0,    FALSE,
+   'encrypted')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -227,17 +241,19 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    20-payload broadcast codebook (doc_id % 20) exercises every
+    22-payload broadcast codebook (doc_id % 22) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
     LACED-Opus WebM (the ADVICE r7 lacing fix), bare .warc AND
     member-per-record .warc.gz, a non-WARC gzip (valid/unknown — the
     ADVICE r7 quarantine fix), ZIP, TAR, WebVTT, MP3, ADTS, a corrupt
-    JPEG (quarantine category with the exact error detail) and unknown
-    bytes. The closed-form oracle pins all 20 rows from the fixture
-    parameters, so a drift in ANY of the ~14 parsers behind the
-    dispatcher flips the hash. Plan: 20-row broadcast join + map-side
+    JPEG (quarantine category with the exact error detail), unknown
+    bytes, a two-page PDF (operators/pdf.py salvage walk) and an
+    ENCRYPTED PDF (detected, never decrypted — the honest boundary).
+    The closed-form oracle pins all 22 rows from the fixture
+    parameters, so a drift in ANY of the ~15 parsers behind the
+    dispatcher flips the hash. Plan: 22-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

@@ -35,6 +35,9 @@ def test_full_profile_little_endian():
         "pixel_y": 480,
         "has_gps": True,
         "byte_order": "II",
+        # baseline-TIFF geometry tags: absent from JPEG EXIF payloads
+        "image_width": None,
+        "image_height": None,
     }
 
 
@@ -168,3 +171,22 @@ def test_wrong_type_ifd_pointer_raises_valueerror_not_typeerror():
 
     row = triage(bytes(jpeg))
     assert row["format"] == "jpeg!error"
+
+
+def test_standalone_tiff_profile():
+    """Baseline .tif files route through the SAME IFD walk: geometry
+    from tags 0x0100/0x0101 plus the GPS bit, both byte orders."""
+    from bigdata_invoice_stream_analysis_spark.operators.exif import (
+        encode_tiff,
+        parse_tiff,
+    )
+
+    for bo in ("II", "MM"):
+        t = parse_tiff(encode_tiff(640, 480, orientation=3, gps=True,
+                                   byte_order=bo))
+        assert (t["image_width"], t["image_height"]) == (640, 480)
+        assert t["orientation"] == 3
+        assert t["has_gps"] is True
+        assert t["byte_order"] == bo
+    clean = parse_tiff(encode_tiff(32, 16))
+    assert clean["has_gps"] is False

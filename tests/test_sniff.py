@@ -220,3 +220,34 @@ def test_non_warc_gzip_is_valid_not_quarantined():
              b"x: 1\r\n")]
     row = triage(encode_warc(recs, gzip_members=True))
     assert row["format"] == "warc" and row["n_items"] == 1
+
+
+def test_pdf_triage_rows():
+    """PDF dispatch: page count for readable documents, the encrypted
+    category (detected, never decrypted) for protected ones."""
+    from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+        encode_minimal_pdf,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import triage
+
+    row = triage(encode_minimal_pdf(["a", "b", "c"]))
+    assert (row["format"], row["kind"], row["n_items"]) == ("pdf", "document", 3)
+    assert row["detail"] is None
+    enc = triage(
+        encode_minimal_pdf(["x"])
+        + b"trailer\n<< /Encrypt 9 0 R >>\n"
+    )
+    assert (enc["format"], enc["n_items"], enc["detail"]) == ("pdf", 0, "encrypted")
+
+
+def test_tiff_triage_row():
+    from bigdata_invoice_stream_analysis_spark.operators.exif import (
+        encode_tiff,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import triage
+
+    row = triage(encode_tiff(800, 600, gps=True, byte_order="MM"))
+    assert (row["format"], row["kind"], row["codec"]) == ("tiff", "image", "tiff")
+    assert (row["width"], row["height"]) == (800, 600)
+    assert row["has_metadata_risk"] is True
+    assert triage(encode_tiff(8, 8))["has_metadata_risk"] is False

@@ -195,3 +195,12 @@ def test_pax_bad_size_record_raises_valueerror():
 
     with _pytest.raises(ValueError, match="pax size"):
         parse_tar(bytes(data))
+
+
+def test_pax_size_with_long_name_carries_path_record():
+    """pax size= + >100-char member name in one header: both records
+    apply to the next member (the combination real pax writers emit)."""
+    name = "deep/" * 25 + "sample.jpg"
+    data = encode_tar([(name, b"Z" * 700)], pax_size=True)
+    members = parse_tar(data)
+    assert [(m["name"], m["size"]) for m in members] == [(name, 700)]
