@@ -52,6 +52,13 @@ import zlib
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+# Position-anchored (used via .match(data, pos)) so token reads never
+# slice the tail of the buffer — a data[pos:] copy per token would
+# make big content-stream walks quadratic.
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"\s+(\d+)\s+R\b")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+_TRAILER_RE = re.compile(rb"trailer")
 
 
 class _Ref:
@@ -122,15 +129,15 @@ def parse_object(data: bytes, pos: int) -> tuple[object, int]:
         if data[pos : pos + len(kw)] == kw:
             return val, pos + len(kw)
     # number, or "N G R" indirect reference
-    m = re.match(rb"[+-]?(?:\d+\.?\d*|\.\d+)", data[pos:])
+    m = _NUM_RE.match(data, pos)
     if not m:
         raise ValueError(f"bad PDF token at offset {pos}: {data[pos:pos+16]!r}")
     tok = m.group(0)
-    after = pos + len(tok)
+    after = m.end()
     if b"." not in tok:
-        rm = re.match(rb"\s+(\d+)\s+R\b", data[after : after + 32])
+        rm = _REF_RE.match(data, after, min(after + 32, len(data)))
         if rm:
-            return _Ref(int(tok)), after + rm.end()
+            return _Ref(int(tok)), rm.end()
         return int(tok), after
     return float(tok), after
 
@@ -143,7 +150,15 @@ def _parse_name(data: bytes, pos: int) -> tuple[str, int]:
         if c in _WS or c in _DELIM:
             break
         if c == 0x23 and pos + 2 < len(data):  # #xx escape
-            out.append(int(data[pos + 1 : pos + 3], 16))
+            try:
+                out.append(int(data[pos + 1 : pos + 3], 16))
+            except ValueError:
+                # '#' not followed by two hex digits: real-corpus
+                # files contain these; keep the byte literally rather
+                # than costing the object.
+                out.append(c)
+                pos += 1
+                continue
             pos += 3
             continue
         out.append(c)
@@ -366,11 +381,18 @@ def _doc_pages(objects: dict) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def parse_tounicode(cmap: bytes) -> dict[int, str]:
-    """bfchar + bfrange mappings from a ToUnicode CMap stream.
-    Handles 1- and 2-byte codes and UTF-16BE target strings (incl.
-    multi-char ligature targets)."""
+def parse_cmap(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """(code_width_bytes, {code: text}) from a ToUnicode CMap stream:
+    bfchar + bfrange mappings, 1- and 2-byte codes, UTF-16BE target
+    strings (incl. multi-char ligature targets).
+
+    The code width comes from ``begincodespacerange`` (the
+    authoritative declaration), falling back to the widest bfchar/
+    bfrange SOURCE hex — never from the magnitude of the mapped
+    codes: a CID font whose codes all happen to be <= 0x00FF is still
+    a 2-byte font, and reading it byte-wise garbles every string."""
     out: dict[int, str] = {}
+    src_width = 0
 
     def hexes(segment: bytes) -> list[bytes]:
         return [bytes.fromhex(h.decode()) for h in
@@ -381,9 +403,17 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
             return b.decode("utf-16-be", "replace")
         return b.decode("latin-1")
 
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S
+    ):
+        for rng in hexes(m.group(1)):
+            src_width = max(src_width, len(rng))
+
+    bf_width = 0
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
         hs = hexes(m.group(1))
         for src, dst in zip(hs[0::2], hs[1::2]):
+            bf_width = max(bf_width, len(src))
             out[int.from_bytes(src, "big")] = to_text(dst)
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
         seg = m.group(1)
@@ -399,6 +429,7 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
                 break
             lo = int(t.group(1), 16)
             hi = int(t.group(2), 16)
+            bf_width = max(bf_width, len(t.group(1)) // 2)
             if t.group(5) is not None:  # array form
                 dsts = hexes(t.group(5))
                 for i, dst in enumerate(dsts):
@@ -413,19 +444,27 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
                         base_text[:-1] + chr(base_ord + code - lo)
                     )
             pos += t.end()
-    return out
+    return (src_width or bf_width or 1), out
 
 
-def _page_cmaps(objects: dict, page: dict) -> dict[str, dict[int, str]]:
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """The {code: text} map alone (see parse_cmap for the code
+    width, which string decoding needs)."""
+    return parse_cmap(cmap)[1]
+
+
+def _page_cmaps(
+    objects: dict, page: dict
+) -> dict[str, tuple[int, dict[int, str]]]:
     """Per-font ToUnicode maps for a page's /Resources /Font dict:
-    {font_name: {code: text}}."""
+    {font_name: (code_width, {code: text})}."""
     res = _resolve(objects, page.get("/Resources"))
     if not isinstance(res, dict):
         return {}
     fonts = _resolve(objects, res.get("/Font"))
     if not isinstance(fonts, dict):
         return {}
-    maps: dict[str, dict[int, str]] = {}
+    maps: dict[str, tuple[int, dict[int, str]]] = {}
     for name, fref in fonts.items():
         font = _resolve(objects, fref)
         if not isinstance(font, dict):
@@ -433,7 +472,7 @@ def _page_cmaps(objects: dict, page: dict) -> dict[str, dict[int, str]]:
         tu = _resolve(objects, font.get("/ToUnicode"))
         if isinstance(tu, _Stream):
             try:
-                maps[name] = parse_tounicode(decode_stream(tu))
+                maps[name] = parse_cmap(decode_stream(tu))
             except (ValueError, zlib.error):
                 continue
     return maps
@@ -446,14 +485,14 @@ def _page_cmaps(objects: dict, page: dict) -> dict[str, dict[int, str]]:
 _TJ_SPACE_THRESHOLD = -180  # milli-em kerning gap treated as a space
 
 
-def _decode_shown(raw: bytes, cmap: dict[int, str] | None) -> str:
-    if cmap is None:
+def _decode_shown(raw: bytes, cm: tuple[int, dict[int, str]] | None) -> str:
+    if cm is None:
         return raw.decode("latin-1")
-    # Infer code width from the map's keys: 2-byte codes (CID fonts)
-    # have entries above 0xFF or only even-length hex sources.
-    two_byte = any(k > 0xFF for k in cmap)
+    if isinstance(cm, dict):  # legacy callers pass the bare map
+        cm = (2 if any(k > 0xFF for k in cm) else 1, cm)
+    width, cmap = cm
     out = []
-    if two_byte:
+    if width >= 2:
         for i in range(0, len(raw) - 1, 2):
             code = int.from_bytes(raw[i : i + 2], "big")
             out.append(cmap.get(code, "�"))
@@ -463,12 +502,15 @@ def _decode_shown(raw: bytes, cmap: dict[int, str] | None) -> str:
     return "".join(out)
 
 
-def extract_text(content: bytes, cmaps: dict[str, dict[int, str]] | None = None) -> str:
+def extract_text(content: bytes, cmaps: dict | None = None) -> str:
     """Walk one (decoded) content stream's text operators and return
     the page text: Tj/'/\" and TJ emit strings (TJ kerning gaps below
     −180 become spaces), Td/TD/T*/Tm emit newlines between text
     runs, BT starts a fresh line. Graphics operators are skipped by
-    token."""
+    token; inline-image data (BI…ID…EI, §8.9.7 — raw binary inside
+    the content stream) is skipped as a block so image bytes can
+    never be mistaken for string operands. ``cmaps`` maps font name →
+    (code_width, {code: text}) per parse_cmap (bare maps accepted)."""
     cmaps = cmaps or {}
     pos = 0
     lines: list[str] = []
@@ -505,12 +547,20 @@ def extract_text(content: bytes, cmaps: dict[str, dict[int, str]] | None = None)
                 continue
             operands.append(obj)
             continue
-        m = re.match(rb"[A-Za-z'\"*]{1,3}\b|[A-Za-z'\"*]{1,3}", content[pos:])
+        m = _OP_RE.match(content, pos)
         if not m:
             pos += 1
             continue
         op = m.group(0)
-        pos += len(op)
+        pos = m.end()
+        if op == b"BI":
+            # Inline image: skip the raw sample data wholesale. EI is
+            # only valid after whitespace; resume right past it.
+            end = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+            em = end.search(content, pos)
+            pos = em.end() if em else len(content)
+            operands.clear()
+            continue
         if op == b"Tj" and operands and isinstance(operands[-1], bytes):
             cur.append(shown(operands[-1]))
         elif op in (b"'", b'"'):
@@ -544,6 +594,30 @@ def extract_text(content: bytes, cmaps: dict[str, dict[int, str]] | None = None)
 # ---------------------------------------------------------------------------
 
 
+def _is_encrypted(data: bytes, objects: dict) -> bool:
+    """/Encrypt lives in a trailer dictionary (classic files) or in
+    the /Type /XRef stream dict (1.5+). PARSE the trailer dicts with
+    the real object parser — a regex over the raw bytes breaks as
+    soon as /ID's hex strings (nearly always present) sit between
+    ``trailer`` and /Encrypt."""
+    if b"/Encrypt" not in data:
+        return False
+    for m in _TRAILER_RE.finditer(data):
+        try:
+            d, _ = parse_object(data, m.end())
+        except ValueError:
+            continue
+        if isinstance(d, dict) and "/Encrypt" in d:
+            return True
+    for o in objects.values():
+        d = o.dict if isinstance(o, _Stream) else o
+        if isinstance(d, dict) and (
+            "/Encrypt" in d and d.get("/Type") in ("/XRef", None)
+        ):
+            return True
+    return False
+
+
 def parse_pdf(payload: bytes) -> dict:
     """Parse one PDF into ``{version, encrypted, n_pages, pages:
     [{page_idx, text, n_chars, error}], title, author, producer}``.
@@ -556,9 +630,7 @@ def parse_pdf(payload: bytes) -> dict:
     version = data[5:8].decode("latin-1", "replace")
     objects = _index_objects(data)
 
-    encrypted = b"/Encrypt" in data and any(
-        isinstance(o, dict) and "/Encrypt" in o for o in objects.values()
-    ) or bool(re.search(rb"trailer\s*<<[^>]*?/Encrypt", data, re.S))
+    encrypted = _is_encrypted(data, objects)
 
     title = author = producer = None
     for obj in objects.values():

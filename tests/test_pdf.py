@@ -355,3 +355,74 @@ def test_corrupt_objstm_costs_members_not_document():
     payload[stream_at + 10] ^= 0xFF
     info = parse_pdf(bytes(payload))
     assert info["n_pages"] == 0  # members gone, document alive
+
+
+# ---------------------------------------------------------------------------
+# round-8 review-pass regressions
+# ---------------------------------------------------------------------------
+
+
+def test_cid_two_byte_codes_below_0xff():
+    """A 2-byte CMap whose codes all fit in one byte must still be
+    decoded 2 bytes per code — width comes from the codespacerange,
+    never from the magnitude of the mapped codes."""
+    from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+        parse_cmap,
+    )
+
+    cmap = (
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0041> <0058>\n<0042> <0059>\nendbfchar\n"
+    )
+    width, m = parse_cmap(cmap)
+    assert width == 2
+    assert m[0x41] == "X" and m[0x42] == "Y"
+    text = extract_text(
+        b"BT /F1 12 Tf 0 0 Td <00410042> Tj ET",
+        {"/F1": (width, m)},
+    )
+    assert text == "XY"
+
+
+def test_one_byte_cmap_width_inferred_from_sources():
+    from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+        parse_cmap,
+    )
+
+    width, m = parse_cmap(b"1 beginbfchar\n<41> <0042>\nendbfchar\n")
+    assert width == 1
+    assert m[0x41] == "B"
+
+
+def test_inline_image_data_is_skipped():
+    """BI…ID…EI raw sample bytes (which may contain '(', ')' or even
+    fake '(text) Tj' sequences) must not leak into extracted text."""
+    content = (
+        b"BT /F1 12 Tf 0 0 Td (before) Tj ET\n"
+        b"q BI /W 2 /H 2 /BPC 8 /CS /RGB ID "
+        b"\x01(\x02\x03 (sneaky) Tj \xff\xfe EI Q\n"
+        b"BT (after) Tj ET"
+    )
+    text = extract_text(content)
+    assert "before" in text and "after" in text
+    assert "sneaky" not in text
+
+
+def test_encrypt_detected_behind_id_hex_strings():
+    """/ID's hex strings sit between 'trailer' and /Encrypt in almost
+    every real encrypted file; detection must parse the trailer dict,
+    not pattern-match the raw bytes."""
+    payload = encode_minimal_pdf(["secret"]) + (
+        b"trailer\n<< /Size 9 /ID [<DEADBEEF> <DEADBEEF>] "
+        b"/Root 1 0 R /Encrypt 99 0 R >>\n"
+    )
+    info = parse_pdf(payload)
+    assert info["encrypted"] is True
+    assert info["n_pages"] == 0
+
+
+def test_malformed_name_hash_escape_kept_literal():
+    name, _ = parse_object(b"/A#zzB", 0)
+    assert name == "/A#zzB"
+    name, _ = parse_object(b"/A#41B", 0)
+    assert name == "/AAB"
