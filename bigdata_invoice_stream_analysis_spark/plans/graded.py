@@ -61,7 +61,23 @@ triage-dispatched), gif_profile (operators/gif.py), webp_profile
 (operators/warc.py), subtitle_cues standalone (operators/subtitles.py
 — the cue explosion is partially graded through media_cue_alignment),
 zip_members / wds_components (the offsets-only triage twins of the
-graded extraction rows), webm_frame_index (operators/ebml.py). After
+graded extraction rows), webm_frame_index (operators/ebml.py).
+Added late r8 (all unit/property-tested, several cross-validated
+against independent implementations): parquet_footer_profile /
+parquet_column_chunks (operators/parquetmeta.py — from-scratch
+Thrift-compact footer reader + minimal writer, parser pinned to
+pyarrow's footer on the real testdata tables, writer readable by
+pyarrow AND DuckDB), delta_snapshot / delta_tombstones /
+delta_log_health (operators/deltalog.py — pure-Catalyst Delta log
+replay, pinned to a Python replay model), tfrecord_features
+(operators/tfrecord.py — CRC-32C framing + protobuf wire walk,
+pinned to published CRC vectors), avro_container_profile
+(operators/avro.py — schema-driven Avro decode, spec wire vectors),
+iceberg manifest walk (operators/iceberg.py — snapshot → manifest
+list → live files, end-to-end against our own parquet writer), and
+distributed BPE train/encode (operators/bpe.py — merge tables pinned
+to a pure-Python Sennrich reference; the real-tokenizer upgrade of
+token_counts' regex heuristic). After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
 thinned §2 pins first, then register the leads above as slots allow.
