@@ -172,14 +172,19 @@ def read_datum(cur: _Cursor, schema, names: dict | None = None):
 
 
 def _decompress(codec: str, block: bytes) -> bytes:
-    if codec in ("null", ""):
-        return block
-    if codec == "deflate":
-        return zlib.decompress(block, -15)
-    if codec == "bzip2":
-        return bz2.decompress(block)
-    if codec == "xz":
-        return lzma.decompress(block)
+    try:
+        if codec in ("null", ""):
+            return block
+        if codec == "deflate":
+            return zlib.decompress(block, -15)
+        if codec == "bzip2":
+            return bz2.decompress(block)
+        if codec == "xz":
+            return lzma.decompress(block)
+    except (zlib.error, lzma.LZMAError, OSError, EOFError) as exc:
+        # corrupt compressed block = corrupt file: the shared
+        # ValueError contract, not a codec-library leak (fuzz-pinned)
+        raise ValueError(f"avro: bad {codec} block ({exc})") from None
     raise ValueError(f"avro: unsupported codec {codec!r}")
 
 
@@ -228,7 +233,16 @@ def parse_avro(data: bytes, *, max_records: int | None = None) -> dict:
         for _ in range(count):
             if max_records is not None and len(records) >= max_records:
                 break
-            records.append(read_datum(bcur, schema, names))
+            try:
+                records.append(read_datum(bcur, schema, names))
+            except (KeyError, TypeError, AttributeError,
+                    struct.error) as exc:
+                # A corrupt schema JSON can be valid JSON of the
+                # wrong SHAPE (a record without "fields", a string
+                # where a dict belongs) — same condition as a parse
+                # failure; fuzz-pinned.
+                raise ValueError(
+                    f"avro: malformed schema/datum ({exc})") from None
     return {
         "schema": schema,
         "codec": codec,

@@ -151,6 +151,9 @@ class _Reader:
             return {}
         kv = self.byte()
         ktype, vtype = kv >> 4, kv & 0x0F
+        if ktype in (CT_LIST, CT_SET, CT_MAP, CT_STRUCT):
+            # unhashable key types are not valid for any parquet map
+            raise ValueError("thrift: non-primitive map key type")
         if size > len(self.data) - self.pos:
             raise ValueError("thrift: map size exceeds buffer")
         return {self.value(ktype): self.value(vtype) for _ in range(size)}
@@ -339,7 +342,18 @@ def parse_parquet_footer(data: bytes) -> dict:
         raise ValueError("parquet: footer length exceeds file")
     raw = data[len(data) - 8 - flen : len(data) - 8]
     fmd = _Reader(raw).struct()
+    try:
+        return _map_file_metadata(fmd, flen)
+    except (TypeError, AttributeError, KeyError, struct.error) as exc:
+        # A corrupt footer can decode a field to the WRONG THRIFT
+        # TYPE (an int where a list/struct belongs, a short binary
+        # where a stat value belongs); every such shape mismatch is
+        # the same condition as a parse failure — fuzz-pinned.
+        raise ValueError(
+            f"parquet: malformed footer structure ({exc})") from None
 
+
+def _map_file_metadata(fmd: dict, flen: int) -> dict:
     schema = [_schema_element(s) for s in fmd.get(2, [])]
     leaves = [s for s in schema[1:] if not s["num_children"]]
     row_groups = []

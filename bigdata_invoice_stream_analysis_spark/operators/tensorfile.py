@@ -37,6 +37,7 @@ from __future__ import annotations
 import ast
 import json
 import struct
+import zlib
 
 NPY_MAGIC = b"\x93NUMPY"
 
@@ -94,6 +95,8 @@ def parse_npy(data: bytes) -> dict:
         "descr", "fortran_order", "shape"
     } <= set(header):
         raise ValueError("npy: header missing required keys")
+    if not isinstance(header["shape"], (tuple, list)):
+        raise ValueError("npy: shape is not a sequence")
     shape = tuple(header["shape"])
     if not all(isinstance(d, int) and d >= 0 for d in shape):
         raise ValueError("npy: non-integer shape")
@@ -161,7 +164,8 @@ def parse_npz(data: bytes) -> list[dict]:
             body = read_zip_member(data, m)
             meta = parse_npy(body)
             meta = dict(meta, name=name, error=None, _body=body)
-        except ValueError as exc:
+        except (ValueError, zlib.error) as exc:
+            # deflated members (savez_compressed) can fail inflate
             meta = {"name": name, "error": str(exc)[:120]}
         out.append(meta)
     return out
