@@ -77,7 +77,12 @@ iceberg manifest walk (operators/iceberg.py — snapshot → manifest
 list → live files, end-to-end against our own parquet writer), and
 distributed BPE train/encode (operators/bpe.py — merge tables pinned
 to a pure-Python Sennrich reference; the real-tokenizer upgrade of
-token_counts' regex heuristic). After
+token_counts' regex heuristic), tensor_file_profile
+(operators/tensorfile.py — npy/npz/safetensors, numpy-cross-validated),
+and VARIANT JSON shredding / schema-drift audit
+(functions/variantjson.py — Spark-4 surface, PythonUDF-free plans).
+The whole cohort is additionally fuzz-pinned to the ValueError
+quarantine contract (tests/test_parser_contract.py). After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
 thinned §2 pins first, then register the leads above as slots allow.
