@@ -118,15 +118,25 @@ def parse_mp4(payload: bytes) -> dict:
     if stbl is None:
         raise ValueError("no stbl box")
 
-    # stsz: sample sizes
+    # stsz: sample sizes. EVERY count below is validated against the
+    # bytes its box actually holds BEFORE a table is materialized —
+    # a corrupt count field (e.g. 4 billion) must be a ValueError,
+    # not an unbounded allocation loop that hangs the task
+    # (fuzz-pinned; tests/test_mp4.py corrupt-count cases).
     stsz = _find(data, stbl[0], stbl[1], b"stsz")
     if stsz is None:
         raise ValueError("no stsz box")
     uniform = _u32(data, stsz[0] + 4)
     n = _u32(data, stsz[0] + 8)
     if uniform:
+        # uniform-size stsz stores no table to bound against; a
+        # sample still occupies >=1 byte somewhere in the file
+        if n > len(data):
+            raise ValueError(f"corrupt stsz: {n} samples claimed")
         sizes = [uniform] * n
     else:
+        if stsz[0] + 12 + 4 * n > stsz[1]:
+            raise ValueError(f"corrupt stsz: {n} entries exceed box")
         sizes = [_u32(data, stsz[0] + 12 + 4 * i) for i in range(n)]
 
     # stts: decode times (run-length (count, delta) pairs)
@@ -134,11 +144,18 @@ def parse_mp4(payload: bytes) -> dict:
     if stts is None:
         raise ValueError("no stts box")
     n_runs = _u32(data, stts[0] + 4)
+    if stts[0] + 8 + 8 * n_runs > stts[1]:
+        raise ValueError(f"corrupt stts: {n_runs} runs exceed box")
     times = []
     t = 0
     for r in range(n_runs):
         cnt = _u32(data, stts[0] + 8 + 8 * r)
         delta = _u32(data, stts[0] + 12 + 8 * r)
+        if len(times) + cnt > n:
+            # §8.6.1.2: the stts counts must sum to the stsz sample
+            # count; a lying run count is caught before it expands
+            raise ValueError(
+                f"corrupt stts: run counts exceed {n} samples")
         for _ in range(cnt):
             times.append(t)
             t += delta
@@ -149,8 +166,12 @@ def parse_mp4(payload: bytes) -> dict:
     if stco is None or stsc is None:
         raise ValueError("no stco/stsc box")
     n_chunks = _u32(data, stco[0] + 4)
+    if stco[0] + 8 + 4 * n_chunks > stco[1]:
+        raise ValueError(f"corrupt stco: {n_chunks} entries exceed box")
     chunk_offsets = [_u32(data, stco[0] + 8 + 4 * i) for i in range(n_chunks)]
     n_stsc = _u32(data, stsc[0] + 4)
+    if stsc[0] + 8 + 12 * n_stsc > stsc[1]:
+        raise ValueError(f"corrupt stsc: {n_stsc} entries exceed box")
     stsc_rows = [
         (
             _u32(data, stsc[0] + 8 + 12 * i),      # first_chunk (1-based)
@@ -158,12 +179,15 @@ def parse_mp4(payload: bytes) -> dict:
         )
         for i in range(n_stsc)
     ]
-    # expand chunk → samples_per_chunk
+    # expand chunk → samples_per_chunk; chunks past n_chunks don't
+    # exist, so clamp each row's range (a corrupt first_chunk must
+    # not multiply the table)
     spc = []
     for i, (first, per) in enumerate(stsc_rows):
         last = (
             stsc_rows[i + 1][0] - 1 if i + 1 < len(stsc_rows) else n_chunks
         )
+        last = min(last, n_chunks)
         spc.extend([per] * (last - first + 1))
     offsets = []
     si = 0
@@ -188,6 +212,9 @@ def parse_mp4(payload: bytes) -> dict:
     stss = _find(data, stbl[0], stbl[1], b"stss")
     if stss is not None:
         n_sync = _u32(data, stss[0] + 4)
+        if stss[0] + 8 + 4 * n_sync > stss[1]:
+            raise ValueError(
+                f"corrupt stss: {n_sync} entries exceed box")
         raw_sync = [_u32(data, stss[0] + 8 + 4 * i) for i in range(n_sync)]
         if any(s < 1 or s > n for s in raw_sync):
             raise ValueError(
@@ -349,6 +376,21 @@ def _parse_fragments(
                 if tflags & 0x4:  # first-sample-flags
                     first_flags = _u32(data, j)
                     j += 4
+                # Bound the run count before expanding it: with
+                # per-sample fields the entries must fit the trun box;
+                # without them nothing in the box limits cnt, so the
+                # file size does (a corrupt 4-billion count must be a
+                # ValueError, not an unbounded loop — fuzz-pinned).
+                per = 4 * sum(
+                    1 for bit in (0x100, 0x200, 0x400, 0x800)
+                    if tflags & bit
+                )
+                if per and j + cnt * per > _e2:
+                    raise ValueError(
+                        f"corrupt trun: {cnt} samples exceed box")
+                if not per and cnt > len(data):
+                    raise ValueError(
+                        f"corrupt trun: {cnt} samples claimed")
                 for _s in range(cnt):
                     dur = frag_dur
                     if tflags & 0x100:

@@ -643,3 +643,57 @@ def test_decode_media_mp4_dispatch():
     out = decode_media(payload, "mp4")
     assert out["kind"] == "video" and out["n_frames"] == 1
     assert bytes(out["frames"][0]["pixels"]) == bytes([60] * 64)
+
+
+def test_corrupt_table_counts_bounded_not_hung():
+    """A lying count field (stts run of 4 billion, stsz/stco/stsc/
+    stss entry counts beyond their box, trun sample counts beyond the
+    file) must raise ValueError BEFORE any unbounded expansion — the
+    fuzz-found hang class."""
+    import struct
+
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+        parse_mp4,
+    )
+
+    good = encode_minimal_mp4([40, 30, 50, 20])
+
+    def corrupt(box: bytes, payload_off: int, value: int) -> bytes:
+        blob = bytearray(good)
+        i = blob.find(box)
+        assert i > 0, box
+        body = i + 4  # version/flags follow the type
+        struct.pack_into(">I", blob, body + payload_off, value)
+        return bytes(blob)
+
+    # stts: entry_count huge (8 bytes per run must fit the box)
+    with pytest.raises(ValueError, match="stts"):
+        parse_mp4(corrupt(b"stts", 4, 0x7FFFFFFF))
+    # stsz: entry count huge with uniform size 0 (table form)
+    with pytest.raises(ValueError, match="stsz"):
+        parse_mp4(corrupt(b"stsz", 8, 0x7FFFFFFF))
+    # stco / stsc / stss entry counts
+    with pytest.raises(ValueError, match="stco"):
+        parse_mp4(corrupt(b"stco", 4, 0x7FFFFFFF))
+    with pytest.raises(ValueError, match="stsc"):
+        parse_mp4(corrupt(b"stsc", 4, 0x7FFFFFFF))
+
+
+def test_corrupt_stts_run_sum_bounded():
+    """Run counts that sum past the stsz sample count are caught by
+    consistency, not expanded (a single run header fits its box but
+    claims billions of samples)."""
+    import struct
+
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+        parse_mp4,
+    )
+
+    blob = bytearray(encode_minimal_mp4([40, 30, 50, 20]))
+    i = blob.find(b"stts")
+    # first run's sample_count field: body + 8
+    struct.pack_into(">I", blob, i + 4 + 8, 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="stts"):
+        parse_mp4(bytes(blob))
