@@ -210,3 +210,40 @@ def test_npz_corrupt_deflated_member_is_row_not_crash():
     # either the inflate fails (error row) or the header survives;
     # both are data, never an exception
     assert members[0]["name"] == "a"
+
+
+def test_triage_never_raises_on_corrupted_codebook_payloads():
+    """sniff.triage is the quarantine boundary for the whole graded
+    ingestion surface: over corruptions of every content_triage
+    codebook payload it must always return a row — the fuzz that
+    found the mp4 sample-table count hang."""
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        triage,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.ingestion import (
+        _triage_payload,
+    )
+
+    rng = random.Random(77)
+    for k in range(22):
+        blob = _triage_payload(k)
+        for _ in range(60):
+            b = bytearray(blob)
+            op = rng.random()
+            if op < 0.45 and len(b) > 4:
+                for _ in range(rng.randint(1, 5)):
+                    i = rng.randrange(len(b))
+                    b[i] = rng.randrange(256)
+            elif op < 0.75:
+                b = b[: rng.randrange(len(b))]
+            elif op < 0.9:
+                i = rng.randrange(len(b) + 1)
+                b = (b[:i]
+                     + bytes(rng.randrange(256)
+                             for _ in range(rng.randint(1, 10)))
+                     + b[i:])
+            else:
+                b = bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(300)))
+            row = triage(bytes(b))  # must never raise
+            assert "format" in row
