@@ -80,7 +80,12 @@ to a pure-Python Sennrich reference; the real-tokenizer upgrade of
 token_counts' regex heuristic), tensor_file_profile
 (operators/tensorfile.py — npy/npz/safetensors, numpy-cross-validated),
 and VARIANT JSON shredding / schema-drift audit
-(functions/variantjson.py — Spark-4 surface, PythonUDF-free plans).
+(functions/variantjson.py — Spark-4 surface, PythonUDF-free plans),
+orc_footer_profile (operators/orcmeta.py — postscript + chunked-zlib
+footer through the generic protobuf wire walker, pyarrow.orc-cross-
+validated), and duplicate_spans (operators/spandup.py — exact
+duplicated-passage extraction over candidate pairs, diagonal-islands
+merge, brute-force-reference-pinned).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py). After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
