@@ -217,6 +217,30 @@ def bpe_encode(
     return pre.mapInPandas(batches, schema=out_schema)
 
 
+def merges_to_text(merges: list[tuple[str, str]]) -> str:
+    """Serialize a merge table in the interchange format tokenizer
+    ecosystems use for BPE (one ``left right`` pair per line, rank =
+    line order, ``#version`` header line).  Symbols here never
+    contain spaces (the pre-tokenizer splits on whitespace), so the
+    space-separated line format is unambiguous."""
+    lines = ["#version: 0.2"]
+    lines += [f"{a} {b}" for a, b in merges]
+    return "\n".join(lines) + "\n"
+
+
+def merges_from_text(text: str) -> list[tuple[str, str]]:
+    merges: list[tuple[str, str]] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"bad merges line: {line!r}")
+        merges.append((parts[0], parts[1]))
+    return merges
+
+
 def bpe_vocab(
     word_freqs: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:

@@ -168,3 +168,19 @@ def test_property_spark_reference_agreement(spark, corpus):
     wf = word_frequencies(_docs_df(spark, corpus))
     assert learn_bpe(wf, 8) == _ref_learn_bpe(
         _ref_word_freqs(corpus), 8)
+
+
+def test_merges_text_roundtrip():
+    from bigdata_invoice_stream_analysis_spark.operators.bpe import (
+        merges_from_text,
+        merges_to_text,
+    )
+
+    merges = [("t", "h"), ("th", "e</w>"), ("c", "a")]
+    text = merges_to_text(merges)
+    assert text.startswith("#version")
+    assert merges_from_text(text) == merges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merges line"):
+        merges_from_text("a b c\n")
