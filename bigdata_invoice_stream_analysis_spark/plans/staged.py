@@ -981,3 +981,90 @@ def q_duplicate_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (F.col("doc_id") % _SPAN_K).cast("int").alias("k"))
     return d.join(F.broadcast(spans), "k").select(
         "doc_id", "a_start", "b_start", "length")
+
+
+# ---------------------------------------------------------------------------
+# arrow_file_audit — Feather v2 metadata over pyarrow-written fixtures
+# ---------------------------------------------------------------------------
+
+_ARROW_K = 4
+
+
+def _arrow_payload(k: int) -> bytes:
+    if k == 3:
+        return b"ARROW1\x00\x00 truncated artifact"
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    n = 4 + k
+    table = pa.table({
+        f"a{k}": [None if j == 0 and k % 2 else j for j in range(n)],
+        f"s{k}": [f"v{j}" for j in range(n)],
+    })
+    buf = io.BytesIO()
+    with ipc.new_file(buf, table.schema) as w:
+        w.write_table(table, max_chunksize=3)
+    return buf.getvalue()
+
+
+def _arrow_oracle() -> str:
+    rows = []
+    for k in range(_ARROW_K):
+        if k == 3:
+            rows.append(f"({k}, FALSE, NULL, NULL, NULL, NULL, NULL)")
+            continue
+        n = 4 + k
+        n_batches = (n + 2) // 3
+        nulls = 1 if k % 2 else 0
+        types = f"a{k}:int64,s{k}:utf8"
+        rows.append(
+            f"({k}, TRUE, {n}, {n_batches}, 2, '{types}', {nulls})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_ARROW_K} AS INT) AS k
+  FROM documents
+),
+cb(k, ok, num_rows, n_batches, n_columns, column_types,
+   total_null_count) AS (VALUES {values})
+SELECT archive_id, ok, CAST(num_rows AS BIGINT) AS num_rows,
+       CAST(n_batches AS INT) AS n_batches,
+       CAST(n_columns AS INT) AS n_columns, column_types,
+       CAST(total_null_count AS BIGINT) AS total_null_count
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("arrow_file_audit", _arrow_oracle())
+def q_arrow_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW IPC / FEATHER AUDIT — the from-scratch flatbuffers
+    reader (operators/arrowipc) over pyarrow-written fixtures:
+    footer Block directory, schema type union, per-batch RecordBatch
+    headers with null counts; one corrupt blob must quarantine.
+    pyarrow is the independent writer inside the graded path, like
+    the ORC gate.  Metadata-only map-side reads; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.arrowipc import (
+        arrow_file_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_arrow_payload(k))) for k in range(_ARROW_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _ARROW_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return arrow_file_profile(
+        files.select("file_id", "payload")
+    ).select(
+        F.col("file_id").alias("archive_id"), "ok", "num_rows",
+        "n_batches", "n_columns", "column_types", "total_null_count",
+    )
