@@ -73,6 +73,26 @@ def _fixtures() -> list[tuple[str, object, bytes]]:
         return [parse_example(r["payload"]) if r["data_crc_ok"]
                 else None for r in parse_tfrecords(d)]
 
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pyarrow.orc as pa_orc
+
+    from bigdata_invoice_stream_analysis_spark.operators.arrowipc import (
+        parse_arrow_file,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.orcmeta import (
+        parse_orc_footer,
+    )
+
+    table = pa.table({"a": [1, 2, None], "s": ["x", "y", "z"]})
+    buf = io.BytesIO()
+    pa_orc.write_table(table.drop_null(), buf, compression="zlib")
+    orc = buf.getvalue()
+    buf = io.BytesIO()
+    with ipc.new_file(buf, table.schema) as w:
+        w.write_table(table, max_chunksize=2)
+    arrow = buf.getvalue()
+
     return [
         ("parquet", parse_parquet_footer, pq),
         ("avro", parse_avro, av),
@@ -81,6 +101,8 @@ def _fixtures() -> list[tuple[str, object, bytes]]:
         ("safetensors", parse_safetensors, st_),
         ("tfrecord", tf_walk, tf),
         ("pdf", parse_pdf, pdf),
+        ("orc", parse_orc_footer, orc),
+        ("arrow", parse_arrow_file, arrow),
     ]
 
 
