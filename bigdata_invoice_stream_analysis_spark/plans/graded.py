@@ -83,11 +83,21 @@ and VARIANT JSON shredding / schema-drift audit
 (functions/variantjson.py — Spark-4 surface, PythonUDF-free plans),
 orc_footer_profile (operators/orcmeta.py — postscript + chunked-zlib
 footer through the generic protobuf wire walker, pyarrow.orc-cross-
-validated), and duplicate_spans (operators/spandup.py — exact
+validated), duplicate_spans (operators/spandup.py — exact
 duplicated-passage extraction over candidate pairs, diagonal-islands
-merge, brute-force-reference-pinned).
+merge, brute-force-reference-pinned), arrow_file_profile
+(operators/arrowipc.py — from-scratch flatbuffers reader for the
+Feather-v2 footer/batch headers, pyarrow.ipc-cross-validated), and
+compressed_shard_profile (operators/compression.py — zstd/LZ4 frame
+walks without decoding, cross-validated against the reference CLI
+tools both directions).
 The whole cohort is additionally fuzz-pinned to the ValueError
-quarantine contract (tests/test_parser_contract.py). After
+quarantine contract (tests/test_parser_contract.py), and ELEVEN of
+these leads already have registration-ready query+oracle builders
+passing the driver's own compare at sf0.001 AND sf0.01 in
+plans/staged.py (tests/test_staged_parity.py) — r9 registration is
+a mechanical move of STAGED_QUERIES entries into the registry with
+window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
 thinned §2 pins first, then register the leads above as slots allow.

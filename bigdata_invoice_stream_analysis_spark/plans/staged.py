@@ -1068,3 +1068,94 @@ def q_arrow_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("file_id").alias("archive_id"), "ok", "num_rows",
         "n_batches", "n_columns", "column_types", "total_null_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# compressed_shard_audit — zstd/lz4 frame structure without decode
+# ---------------------------------------------------------------------------
+
+_COMP_K = 4
+
+
+def _comp_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.compression import (
+        encode_lz4_stream,
+        encode_zstd_stream,
+    )
+
+    if k == 0:
+        return encode_zstd_stream([
+            {"blocks": [b"a" * 40, b"b" * 24], "content_size": 64},
+            {"skippable": b"sidecar-metadata"},
+        ])
+    if k == 1:
+        return encode_zstd_stream([
+            {"blocks": [b"x" * 10], "dict_id": 321,
+             "checksum": True},
+        ])
+    if k == 2:
+        return encode_lz4_stream([
+            {"blocks": [b"p" * 30, b"q" * 12], "content_size": 42},
+            {"blocks": [b"r" * 5]},
+        ])
+    return b"plain text, not a compressed frame"
+
+
+def _comp_oracle() -> str:
+    rows = [
+        "(0, 'zstd', TRUE, 1, 1, 2, 64, FALSE)",
+        "(1, 'zstd', TRUE, 1, 0, 1, NULL, TRUE)",
+        "(2, 'lz4', TRUE, 2, 0, 3, 42, FALSE)",
+        "(3, 'unknown', FALSE, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_COMP_K} AS INT) AS k
+  FROM documents
+),
+cb(k, format, ok, n_frames, n_skippable, n_blocks,
+   declared_content_bytes, needs_dictionary) AS (VALUES {values})
+SELECT archive_id, format, ok, CAST(n_frames AS INT) AS n_frames,
+       CAST(n_skippable AS INT) AS n_skippable,
+       CAST(n_blocks AS INT) AS n_blocks,
+       CAST(declared_content_bytes AS BIGINT)
+         AS declared_content_bytes,
+       needs_dictionary
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("compressed_shard_audit", _comp_oracle())
+def q_compressed_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-SHARD AUDIT — zstd/LZ4 frame walks (RFC 8878 +
+    the LZ4 frame spec) over a 4-variant codebook: multi-frame with
+    a skippable sidecar, dictionary-dependent frame with checksum,
+    multi-frame LZ4, and a plain-text blob that must quarantine.
+    Payloads are never decompressed; the oracle pins frame/block
+    directories and declared content sizes from the fixture specs.
+    Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.compression import (
+        compressed_shard_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_comp_payload(k))) for k in range(_COMP_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _COMP_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return compressed_shard_profile(
+        files.select("file_id", "payload")
+    ).select(
+        F.col("file_id").alias("archive_id"), "format", "ok",
+        "n_frames", "n_skippable", "n_blocks",
+        "declared_content_bytes", "needs_dictionary",
+    )
