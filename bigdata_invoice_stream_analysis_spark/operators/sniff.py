@@ -75,6 +75,22 @@ def sniff_format(data: bytes) -> str:
         return "tar"
     if data[:6] == b"WEBVTT" or data.lstrip(b"\xef\xbb\xbf")[:6] == b"WEBVTT":
         return "vtt"
+    if data[:4] == b"PAR1":
+        return "parquet"
+    if data[:3] == b"ORC" and len(data) >= 16:
+        return "orc"
+    if data[:6] == b"ARROW1":
+        return "arrow"
+    if data[:4] == b"Obj\x01":
+        return "avro"
+    if data[:6] == b"\x93NUMPY":
+        return "npy"
+    if data[:4] == b"\x28\xb5\x2f\xfd" or (
+        (data[0] & 0xF0) == 0x50 and data[1:4] == b"\x2a\x4d\x18"
+    ):
+        return "zstd"
+    if data[:4] == b"\x04\x22\x4d\x18":
+        return "lz4"
     # Audio elementary streams: ID3v2 tag, then layer bits.
     audio = data
     if data[:3] == b"ID3":
@@ -331,6 +347,81 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         row.update(
             kind="document", n_items=info["n_pages"],
             detail="encrypted" if info["encrypted"] else None,
+        )
+    elif fmt == "parquet":
+        from bigdata_invoice_stream_analysis_spark.operators.parquetmeta import (
+            parse_parquet_footer,
+        )
+
+        meta = parse_parquet_footer(data)
+        row.update(
+            kind="table", codec="parquet",
+            n_items=len(meta["row_groups"]),
+            detail=(f"rows={meta['num_rows']};"
+                    f"cols={meta['num_leaf_columns']}"),
+        )
+    elif fmt == "orc":
+        from bigdata_invoice_stream_analysis_spark.operators.orcmeta import (
+            parse_orc_footer,
+        )
+
+        meta = parse_orc_footer(data)
+        row.update(
+            kind="table", codec="orc",
+            n_items=len(meta["stripes"]),
+            detail=f"rows={meta['num_rows']}",
+        )
+    elif fmt == "arrow":
+        from bigdata_invoice_stream_analysis_spark.operators.arrowipc import (
+            parse_arrow_file,
+        )
+
+        meta = parse_arrow_file(data)
+        row.update(
+            kind="table", codec="arrow",
+            n_items=meta["n_batches"],
+            detail=f"rows={meta['num_rows']}",
+        )
+    elif fmt == "avro":
+        from bigdata_invoice_stream_analysis_spark.operators.avro import (
+            parse_avro,
+        )
+
+        meta = parse_avro(data, max_records=0)
+        sch = meta["schema"]
+        row.update(
+            kind="table", codec=f"avro+{meta['codec']}",
+            n_items=meta["n_records"],
+            detail=(sch.get("name")
+                    if isinstance(sch, dict) else None),
+        )
+    elif fmt == "npy":
+        from bigdata_invoice_stream_analysis_spark.operators.tensorfile import (
+            parse_npy,
+        )
+
+        meta = parse_npy(data)
+        row.update(
+            kind="tensor", codec=meta["dtype"],
+            n_items=meta["n_elements"],
+            detail="x".join(str(d) for d in meta["shape"]),
+        )
+    elif fmt in ("zstd", "lz4"):
+        from bigdata_invoice_stream_analysis_spark.operators.compression import (
+            parse_lz4_frames,
+            parse_zstd_frames,
+        )
+
+        frames = (parse_zstd_frames(data) if fmt == "zstd"
+                  else parse_lz4_frames(data))
+        real = [f for f in frames
+                if f.get("kind", "frame") == "frame"]
+        declared = [f["content_size"] for f in real
+                    if f["content_size"] is not None]
+        row.update(
+            kind="compressed", codec=fmt, n_items=len(real),
+            detail=(f"declared={sum(declared)}"
+                    if declared else None),
         )
     elif fmt in ("mp3", "adts"):
         from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (

@@ -251,3 +251,74 @@ def test_tiff_triage_row():
     assert (row["width"], row["height"]) == (800, 600)
     assert row["has_metadata_risk"] is True
     assert triage(encode_tiff(8, 8))["has_metadata_risk"] is False
+
+
+def test_triage_new_table_and_tensor_formats():
+    """Late-r8 formats route through the same uniform row: parquet/
+    orc/arrow/avro as kind=table, npy as tensor, zstd/lz4 as
+    compressed — with counts a curation pipeline can filter on."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    import pyarrow.orc as pa_orc
+
+    from bigdata_invoice_stream_analysis_spark.operators.avro import (
+        encode_avro,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.compression import (
+        encode_lz4_stream,
+        encode_zstd_stream,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.parquetmeta import (
+        encode_parquet,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        triage,
+    )
+
+    row = triage(encode_parquet(
+        [("a", "int64", [1, 2, 3])], max_rows_per_group=2))
+    assert row["format"] == "parquet" and row["kind"] == "table"
+    assert row["n_items"] == 2 and row["detail"] == "rows=3;cols=1"
+
+    t = pa.table({"x": [1, 2], "y": ["a", "b"]})
+    buf = io.BytesIO()
+    pa_orc.write_table(t, buf, compression="zlib")
+    row = triage(buf.getvalue())
+    assert row["format"] == "orc" and row["kind"] == "table"
+    assert row["detail"] == "rows=2"
+
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema) as w:
+        w.write_table(t)
+    row = triage(buf.getvalue())
+    assert row["format"] == "arrow" and row["n_items"] == 1
+    assert row["detail"] == "rows=2"
+
+    row = triage(encode_avro(
+        {"type": "record", "name": "Rec",
+         "fields": [{"name": "x", "type": "long"}]},
+        [{"x": 1}, {"x": 2}, {"x": 3}], codec="deflate"))
+    assert row["format"] == "avro" and row["codec"] == "avro+deflate"
+    assert row["n_items"] == 3 and row["detail"] == "Rec"
+
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((4, 5), dtype=np.float32))
+    row = triage(buf.getvalue())
+    assert row["format"] == "npy" and row["kind"] == "tensor"
+    assert row["codec"] == "f4" and row["n_items"] == 20
+    assert row["detail"] == "4x5"
+
+    row = triage(encode_zstd_stream(
+        [{"blocks": [b"abc"], "content_size": 3}]))
+    assert row["format"] == "zstd" and row["kind"] == "compressed"
+    assert row["detail"] == "declared=3"
+
+    row = triage(encode_lz4_stream([{"blocks": [b"abc"]}]))
+    assert row["format"] == "lz4" and row["n_items"] == 1
+
+    # corrupt members of the new families quarantine, same as ever
+    row = triage(b"PAR1 garbage that is not a parquet tail")
+    assert row["format"] == "parquet!error" and row["detail"]
