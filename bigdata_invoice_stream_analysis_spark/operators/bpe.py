@@ -128,9 +128,14 @@ def learn_bpe(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        words = words.select(
+        new_words = words.select(
             "freq", _merge_expr(F.col("symbols"), a, b).alias("symbols")
-        ).localCheckpoint()
+        ).localCheckpoint()  # eager: materialized before the release
+        # release the PREVIOUS iteration's checkpoint blocks — without
+        # this the loop accumulates one cached copy of the vocabulary
+        # table per merge
+        words.unpersist()
+        words = new_words
     words.unpersist()
     return merges
 
