@@ -1159,3 +1159,126 @@ def q_compressed_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames", "n_skippable", "n_blocks",
         "declared_content_bytes", "needs_dictionary",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_content_triage — the ingestion layer under the streaming engine
+# ---------------------------------------------------------------------------
+
+# k → (format, kind, n_items) mirror of the content_triage codebook
+# literals (plans/ingestion.py) — the STREAMING rollup gate needs
+# only the grouping columns.
+_STREAM_TRIAGE_ROWS = [
+    (0, "jpeg", "image", 1), (1, "png", "image", 1),
+    (2, "gif", "image", 3), (3, "webp", "image", 1),
+    (4, "webp", "image", 1), (5, "wav", "audio", 600),
+    (6, "mp4", "video", 3), (7, "mp4_segment", "video", None),
+    (8, "webm", "video", 2), (9, "webm", "video", 2),
+    (10, "warc", "web", 3), (11, "warc", "web", 3),
+    (12, "gzip", None, None), (13, "zip", "archive", 3),
+    (14, "tar", "archive", 2), (15, "vtt", "text", 2),
+    (16, "mp3", "audio", 4), (17, "adts", "audio", 5),
+    (18, "jpeg!error", None, None), (19, "unknown", None, None),
+    (20, "pdf", "document", 2), (21, "pdf", "document", 0),
+]
+
+
+def _stream_triage_oracle() -> str:
+    rows = []
+    for k, fmt, kind, n in _STREAM_TRIAGE_ROWS:
+        kq = "NULL" if kind is None else f"'{kind}'"
+        nq = "NULL" if n is None else str(n)
+        rows.append(f"({k}, '{fmt}', {kq}, {nq})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT CAST(doc_id % 22 AS INT) AS k FROM documents
+),
+cb(k, format, kind, n_items) AS (VALUES {values})
+SELECT format, kind, COUNT(*) AS n_blobs,
+       SUM(n_items) AS items_total
+FROM media JOIN cb USING (k)
+GROUP BY format, kind
+"""
+
+
+@staged("streaming_content_triage", _stream_triage_oracle())
+def q_streaming_content_triage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE INGESTION LAYER UNDER THE STREAMING ENGINE: binary blobs
+    arrive as a parquet file-source STREAM (documents), join the
+    broadcast triage codebook stream-static, run the full magic-byte
+    dispatch (operators/sniff.content_triage — ~15 parsers) inside
+    streaming mapInPandas, and a complete-mode aggregation maintains
+    the running per-(format, kind) blob and item counts a continuous
+    curation pipeline monitors. The availableNow drain's final
+    snapshot must equal the batch rollup the oracle computes in
+    closed form — stateless Arrow UDFs + stateful agg over BINARY
+    payloads, proven equivalent to the declarative answer."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        content_triage,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.ingestion import (
+        _TRIAGE_K,
+        _triage_payload,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import (
+        _run_drain,
+    )
+    from bigdata_invoice_stream_analysis_spark.scratch import (
+        fresh_checkpoint,
+    )
+
+    ensure_package_on_workers(spark)
+    raw_schema = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_triage_payload(k))) for k in range(_TRIAGE_K)],
+        "k int, payload binary",
+    )
+    media = stream.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _TRIAGE_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    agg = (
+        content_triage(media.select("media_id", "payload"))
+        .groupBy("format", "kind")
+        .agg(F.count(F.lit(1)).alias("n_blobs"),
+             F.sum("n_items").alias("items_total"))
+    )
+    acc: list = []
+
+    def sink(bdf, _bid):
+        acc.clear()
+        acc.extend(bdf.collect())
+
+    ckpt = fresh_checkpoint("stream_triage_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("format", T.StringType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_blobs", T.LongType(), False),
+        T.StructField("items_total", T.LongType(), True),
+    ])
+    return spark.createDataFrame(
+        [(r["format"], r["kind"], r["n_blobs"], r["items_total"])
+         for r in acc],
+        schema,
+    )
