@@ -91,12 +91,22 @@ Feather-v2 footer/batch headers, pyarrow.ipc-cross-validated), and
 compressed_shard_profile (operators/compression.py — zstd/LZ4 frame
 walks without decoding, cross-validated against the reference CLI
 tools both directions).
+Also added in the r8 quiet window: compressed_shard_profile
+(operators/compression.py — zstd/LZ4 frame walks, CLI-cross-
+validated), shard EXPORT (operators/shardout.py — WebDataset/
+TFRecord writers with manifests, byte-deterministic across
+partitionings), and encoding repair (functions/encfix.py —
+mojibake scoring with a JVM regexp twin + conservative fix-point
+repair); content triage now dispatches parquet/orc/arrow/avro/npy/
+zstd/lz4 as well (content_triage re-verified hash-MATCH after the
+change).
 The whole cohort is additionally fuzz-pinned to the ValueError
-quarantine contract (tests/test_parser_contract.py), and ELEVEN of
-these leads already have registration-ready query+oracle builders
-passing the driver's own compare at sf0.001 AND sf0.01 in
-plans/staged.py (tests/test_staged_parity.py) — r9 registration is
-a mechanical move of STAGED_QUERIES entries into the registry with
+quarantine contract (tests/test_parser_contract.py), and FOURTEEN
+of these leads already have registration-ready query+oracle
+builders passing the driver's own compare at sf0.001 AND sf0.01 in
+plans/staged.py (tests/test_staged_parity.py) — including a
+STREAMING content-triage drain gate — so r9 registration is a
+mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
