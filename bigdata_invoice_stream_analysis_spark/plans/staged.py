@@ -1282,3 +1282,81 @@ def q_streaming_content_triage(
          for r in acc],
         schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding_repair_audit — mojibake unwinding gated on exact literals
+# ---------------------------------------------------------------------------
+
+_ENC_K = 5
+_ENC_CLEAN = [
+    "café déjà vu — naïve ’quotes’",
+    "größer über äußerst",
+    "plain ascii needs no repair at all",
+    "résumé – emphasis",
+    "日本語テキスト",
+]
+
+
+def _enc_damage(s: str, times: int) -> str:
+    from bigdata_invoice_stream_analysis_spark.functions.encfix import (
+        _cp1252_char,
+    )
+
+    for _ in range(times):
+        s = "".join(_cp1252_char(b) for b in s.encode("utf-8"))
+    return s
+
+
+def _enc_damaged(k: int) -> str:
+    # k2 is clean ascii (0 passes); k0/k3 single-damaged; k1/k4
+    # double-damaged — the repair must stop exactly at the original
+    return _enc_damage(_ENC_CLEAN[k], {0: 1, 1: 2, 3: 1, 4: 2}.get(k, 0))
+
+
+def _enc_oracle() -> str:
+    rows = []
+    for k in range(_ENC_K):
+        passes = {0: 1, 1: 2, 3: 1, 4: 2}.get(k, 0)
+        text = _ENC_CLEAN[k].replace("'", "''")
+        rows.append(f"({k}, '{text}', {passes})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_ENC_K} AS INT) AS k FROM documents
+),
+cb(k, text, repair_passes) AS (VALUES {values})
+SELECT doc_id, text, CAST(repair_passes AS INT) AS repair_passes,
+       CAST(0 AS INT) AS score_after
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("encoding_repair_audit", _enc_oracle())
+def q_encoding_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING REPAIR — the pre-tokenization mojibake pass: docs
+    carry codebook texts damaged 0/1/2 times through the canonical
+    utf8-as-cp1252 process; the JVM regexp screen routes only the
+    damaged rows to the Arrow repair, which must unwind EXACTLY to
+    the original literals (the oracle pins the clean text and the
+    pass count — an over-eager or partial repair flips the hash,
+    and the clean-ascii variant proves clean text is untouched)."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.encfix import (
+        encoding_repair,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, _enc_damaged(k)) for k in range(_ENC_K)],
+        "k int, damaged string",
+    )
+    docs = d.select(
+        "doc_id", (F.col("doc_id") % _ENC_K).cast("int").alias("k")
+    ).join(F.broadcast(codebook), "k")
+    return encoding_repair(
+        docs.select("doc_id", F.col("damaged").alias("text"))
+    ).select("doc_id", "text", "repair_passes", "score_after")
