@@ -91,6 +91,8 @@ def sniff_format(data: bytes) -> str:
         return "zstd"
     if data[:4] == b"\x04\x22\x4d\x18":
         return "lz4"
+    if data[:4] == b"OggS":
+        return "ogg"
     # Audio elementary streams: ID3v2 tag, then layer bits.
     audio = data
     if data[:3] == b"ID3":
@@ -422,6 +424,21 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             kind="compressed", codec=fmt, n_items=len(real),
             detail=(f"declared={sum(declared)}"
                     if declared else None),
+        )
+    elif fmt == "ogg":
+        from bigdata_invoice_stream_analysis_spark.operators.ogg import (
+            parse_ogg,
+        )
+
+        meta = parse_ogg(data)
+        # profile the primary (first-BOS) stream in the uniform row
+        st = next(iter(meta["streams"].values()), None)
+        row.update(
+            kind="audio" if st and st["codec"] in (
+                "opus", "vorbis", "flac") else "video",
+            codec=st["codec"] if st else None,
+            duration_ms=st["duration_ms"] if st else None,
+            n_items=meta["n_pages"],
         )
     elif fmt in ("mp3", "adts"):
         from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (

@@ -322,3 +322,19 @@ def test_triage_new_table_and_tensor_formats():
     # corrupt members of the new families quarantine, same as ever
     row = triage(b"PAR1 garbage that is not a parquet tail")
     assert row["format"] == "parquet!error" and row["detail"]
+
+
+def test_triage_ogg_opus():
+    from bigdata_invoice_stream_analysis_spark.operators.ogg import (
+        encode_minimal_opus,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        triage,
+    )
+
+    row = triage(encode_minimal_opus())
+    assert row["format"] == "ogg"
+    assert row["kind"] == "audio"
+    assert row["codec"] == "opus"
+    assert row["duration_ms"] == 100
+    assert row["n_items"] == 7
