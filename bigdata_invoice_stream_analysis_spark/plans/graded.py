@@ -97,8 +97,10 @@ validated), shard EXPORT (operators/shardout.py — WebDataset/
 TFRecord writers with manifests, byte-deterministic across
 partitionings), and encoding repair (functions/encfix.py —
 mojibake scoring with a JVM regexp twin + conservative fix-point
-repair); content triage now dispatches parquet/orc/arrow/avro/npy/
-zstd/lz4 as well (content_triage re-verified hash-MATCH after the
+repair), and Ogg container parsing (operators/ogg.py — RFC 3533
+pages with real CRCs, Opus/Vorbis identity, granule durations);
+content triage now dispatches parquet/orc/arrow/avro/npy/zstd/lz4/
+ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and FOURTEEN
