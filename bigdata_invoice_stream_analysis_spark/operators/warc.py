@@ -448,6 +448,77 @@ def normalize_url(url: str) -> str | None:
     return out
 
 
+_URI_SPLIT_RE = re.compile(
+    r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*):)?"
+    r"(?://(?P<auth>[^/?#]*))?"
+    r"(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?"
+    r"(?:#(?P<frag>.*))?$"
+)
+
+
+def _merge_paths(base_auth, base_path: str, ref_path: str) -> str:
+    """RFC 3986 §5.3 merge: a base WITH an authority and an empty
+    path acts as root; otherwise the reference replaces the base
+    path's last segment."""
+    if base_auth is not None and base_path == "":
+        return "/" + ref_path
+    if "/" in base_path:
+        return base_path.rsplit("/", 1)[0] + "/" + ref_path
+    return ref_path
+
+
+def resolve_url(base: str, ref: str) -> str | None:
+    """Resolve a relative reference against a base URI — the strict
+    RFC 3986 §5.2.2 transform (so ``http:g`` stays ``http:g``), with
+    one crawler-grade deviation: fragments are DROPPED (a frontier
+    keys on the retrievable resource; §5.4's ``#s`` cases therefore
+    resolve to their fragment-less form here). Verified against the
+    full §5.4.1 normal and §5.4.2 abnormal example tables in
+    tests/test_warc.py. Returns None when the base has no scheme
+    (nothing to resolve against)."""
+    b = _URI_SPLIT_RE.match(base or "")
+    r = _URI_SPLIT_RE.match((ref or "").strip())
+    if not b or not b.group("scheme") or r is None:
+        return None
+    if r.group("scheme"):
+        scheme = r.group("scheme")
+        auth = r.group("auth")
+        path = remove_dot_segments(r.group("path"))
+        query = r.group("query")
+    else:
+        scheme = b.group("scheme")
+        if r.group("auth") is not None:
+            auth = r.group("auth")
+            path = remove_dot_segments(r.group("path"))
+            query = r.group("query")
+        else:
+            auth = b.group("auth")
+            if r.group("path") == "":
+                path = b.group("path")
+                query = (
+                    r.group("query")
+                    if r.group("query") is not None
+                    else b.group("query")
+                )
+            else:
+                if r.group("path").startswith("/"):
+                    path = remove_dot_segments(r.group("path"))
+                else:
+                    path = remove_dot_segments(_merge_paths(
+                        b.group("auth"), b.group("path"),
+                        r.group("path"),
+                    ))
+                query = r.group("query")
+    out = scheme + ":"
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    return out
+
+
 # Multi-label public suffixes a two-label heuristic gets wrong; the
 # full PSL is a moving target, but these cover the long tail's head.
 _TWO_LABEL_SUFFIXES = frozenset({
@@ -665,6 +736,104 @@ def warc_text_corpus(archives):
                     out["text"].append(doc["text"])
                     out["text_len"].append(len(doc["text"]))
                     out["n_links"].append(len(doc["links"]))
+            yield pd.DataFrame(out)
+
+    return archives.mapInPandas(batches, schema=out_schema)
+
+
+def link_graph(archives):
+    """The web-graph edge list: one row per hyperlink in every 2xx
+    HTML response record — href resolved against the page URI per
+    RFC 3986 §5 (resolve_url), normalized (§6), and keyed by source
+    and destination registered domain, with the internal/external
+    bit a quality pipeline aggregates into per-domain link profiles
+    (inbound-link counts are a standard page-quality prior).
+    Non-hierarchical hrefs (mailto:, javascript:, fragments-only
+    resolving to the page itself) keep a NULL dst_url so link
+    accounting stays complete. Arrow mapInPandas, map-side only; the
+    first shuffle at 100 TB is the downstream groupBy on
+    (src_domain, dst_domain) — exactly where it belongs."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("archive_id", T.LongType(), False),
+        T.StructField("record_idx", T.IntegerType(), False),
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("src_domain", T.StringType(), True),
+        T.StructField("link_idx", T.IntegerType(), False),
+        T.StructField("href", T.StringType(), False),
+        T.StructField("dst_url", T.StringType(), True),
+        T.StructField("dst_domain", T.StringType(), True),
+        T.StructField("internal", T.BooleanType(), True),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.warc import (
+            _URL_RE,
+            _hget,
+            html_to_text,
+            normalize_url,
+            parse_http_response,
+            parse_warc,
+            registered_domain,
+            resolve_url,
+        )
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                for i, rec in enumerate(parse_warc(bytes(payload))):
+                    h = rec["headers"]
+                    ctype = (_hget(h, "content-type", "") or "")
+                    if (
+                        _hget(h, "warc-type") != "response"
+                        or ctype.split(";", 1)[0].strip().lower()
+                        != "application/http"
+                    ):
+                        continue
+                    resp = parse_http_response(rec["block"])
+                    if not (200 <= resp["status"] < 300):
+                        continue
+                    if resp["mime"] not in (
+                        "text/html", "application/xhtml+xml",
+                    ) or resp["text"] is None:
+                        continue
+                    url = _hget(h, "warc-target-uri", "") or ""
+                    src_norm = normalize_url(url)
+                    sm = _URL_RE.match(src_norm) if src_norm else None
+                    src_dom = (
+                        registered_domain(sm.group("auth"))
+                        if sm else None
+                    )
+                    base = src_norm or url
+                    for j, href in enumerate(
+                        html_to_text(resp["text"])["links"]
+                    ):
+                        resolved = resolve_url(base, href)
+                        dst = (
+                            normalize_url(resolved)
+                            if resolved else None
+                        )
+                        dm = _URL_RE.match(dst) if dst else None
+                        dst_dom = (
+                            registered_domain(dm.group("auth"))
+                            if dm else None
+                        )
+                        out["archive_id"].append(aid)
+                        out["record_idx"].append(i)
+                        out["src_url"].append(url)
+                        out["src_domain"].append(src_dom)
+                        out["link_idx"].append(j)
+                        out["href"].append(href)
+                        out["dst_url"].append(dst)
+                        out["dst_domain"].append(dst_dom)
+                        out["internal"].append(
+                            src_dom == dst_dom
+                            if src_dom and dst_dom else None
+                        )
             yield pd.DataFrame(out)
 
     return archives.mapInPandas(batches, schema=out_schema)

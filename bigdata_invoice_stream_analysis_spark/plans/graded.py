@@ -103,13 +103,26 @@ content triage now dispatches parquet/orc/arrow/avro/npy/zstd/lz4/
 ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
-quarantine contract (tests/test_parser_contract.py), and FOURTEEN
-of these leads already have registration-ready query+oracle
-builders passing the driver's own compare at sf0.001 AND sf0.01 in
-plans/staged.py (tests/test_staged_parity.py) — including a
-STREAMING content-triage drain gate — so r9 registration is a
-mechanical move of STAGED_QUERIES entries into the registry with
-window slots. After
+quarantine contract (tests/test_parser_contract.py), and
+TWENTY-SIX of these leads already have registration-ready
+query+oracle builders passing the driver's own compare at sf0.001
+AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
+including a STREAMING content-triage drain gate, late-r8 builders
+for the whole remaining media/web lead list (ogg_audio_profile,
+pdf_text_extract, png_metadata_audit, gif_structure_profile,
+webp_structure_profile, sitemap_url_audit, wet_text_extract,
+webm_frame_index_audit, subtitle_cue_audit), and two NEW
+capabilities: pii_audit (functions/pii.py — email/IP/phone/SSN
+detectors, a real JVM-side Luhn fold for payment cards, typed
+redaction; zero Python in the plan), lm_support_audit
+(functions/ngram_lm.py — the CCNet-style n-gram LM quality filter;
+REAL-data scale-covariant gate, integer statistics, DuckDB twin
+recomputes the model from the same table), and warc_link_graph
+(operators/warc.link_graph + resolve_url — the strict RFC 3986
+§5.2.2 relative-reference transform verified against the full §5.4
+example tables, feeding the per-hyperlink web-graph edge list) —
+so r9 registration is a mechanical move of STAGED_QUERIES entries
+into the registry with window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
 thinned §2 pins first, then register the leads above as slots allow.

@@ -1360,3 +1360,1092 @@ def q_encoding_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_repair(
         docs.select("doc_id", F.col("damaged").alias("text"))
     ).select("doc_id", "text", "repair_passes", "score_after")
+
+
+# ---------------------------------------------------------------------------
+# ogg_audio_profile — RFC 3533 container walk with real page CRCs
+# ---------------------------------------------------------------------------
+
+_OGG_K = 4
+
+
+def _ogg_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.ogg import (
+        encode_minimal_opus,
+        encode_ogg_page,
+    )
+
+    if k == 0:
+        # 2 header pages + 5 audio pages; duration = 5*960/48k = 100ms
+        return encode_minimal_opus(
+            serial=0x1234, channels=2, pre_skip=312,
+            input_rate=48000, n_audio_packets=5,
+            samples_per_packet=960,
+        )
+    if k == 1:
+        # hand-built Vorbis: BOS id header + one EOS audio page at
+        # granule 22050 @ 44100 Hz → 500 ms
+        idh = (b"\x01vorbis" + bytes(4) + bytes([2])
+               + (44100).to_bytes(4, "little"))
+        idh += bytes(30 - len(idh))
+        out = encode_ogg_page(7, 0, 0, [idh], bos=True)
+        out += encode_ogg_page(7, 1, 22050, [b"v" * 50], eos=True)
+        return out
+    if k == 2:
+        # valid framing, one corrupted page body byte → n_crc_bad=1
+        raw = bytearray(encode_minimal_opus(
+            serial=9, channels=1, pre_skip=0, input_rate=24000,
+            n_audio_packets=2, samples_per_packet=480,
+        ))
+        raw[-1] ^= 0xFF
+        return bytes(raw)
+    return b"RIFF not an ogg stream"
+
+
+def _ogg_oracle() -> str:
+    rows = [
+        "(0, TRUE, NULL, 4660, 'opus', 2, 48000, 7, 7, 100, 0)",
+        "(1, TRUE, NULL, 7, 'vorbis', 2, 44100, 2, 2, 500, 0)",
+        "(2, TRUE, NULL, 9, 'opus', 1, 24000, 4, 4, 20, 1)",
+        "(3, FALSE, 'ogg: missing OggS capture pattern', "
+        "NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS file_id, CAST(doc_id % {_OGG_K} AS INT) AS k
+  FROM documents
+),
+cb(k, ok, error, serial, codec, channels, sample_rate, n_pages,
+   n_packets, duration_ms, n_crc_bad) AS (VALUES {values})
+SELECT file_id AS archive_id, ok, error,
+       CAST(serial AS BIGINT) AS serial, codec,
+       CAST(channels AS INT) AS channels,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(n_pages AS INT) AS n_pages,
+       CAST(n_packets AS INT) AS n_packets,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(n_crc_bad AS INT) AS n_crc_bad
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("ogg_audio_profile", _ogg_oracle())
+def q_ogg_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG AUDIO PROFILE — the RFC 3533 page walk (operators/ogg)
+    over a 4-variant codebook: a spec-complete Ogg-Opus file, a
+    hand-built Vorbis stream, an Opus file with one corrupted page
+    body (the real CRC must catch it without failing the file), and
+    a non-Ogg blob that must quarantine to an error row. Oracle pins
+    codec identity, page/packet counts, granule-derived durations,
+    and the CRC-health count from the fixture PARAMETERS.  Map-side;
+    0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.ogg import (
+        ogg_stream_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_ogg_payload(k))) for k in range(_OGG_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _OGG_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    # archive_id leads the column-name sort and is unique per row
+    # (one stream per fixture) — the non-null sort prefix the
+    # driver's hash-compare needs (PERF §40).
+    return ogg_stream_profile(
+        files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# pdf_text_extract — ISO 32000-1 salvage walk + ObjStm + text ops
+# ---------------------------------------------------------------------------
+
+_PDF_K = 4
+
+
+def _pdf_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+        encode_minimal_pdf,
+    )
+
+    if k == 0:
+        return encode_minimal_pdf(
+            ["Alpha line one\nBeta line two", "Gamma page two"],
+            title="Spec Sheet", flate=True,
+        )
+    if k == 1:
+        return encode_minimal_pdf(
+            ["Hidden until ObjStm expansion"],
+            producer="objstm-writer", objstm=True,
+        )
+    if k == 2:
+        return encode_minimal_pdf(
+            ["kerned words here"], flate=False, use_tj_array=True,
+        )
+    return encode_minimal_pdf([], title="Empty Doc")
+
+
+def _pdf_oracle() -> str:
+    producer = "bigdata-invoice-stream-analysis-spark"
+    nl = "' || chr(10) || '"
+    rows = [
+        f"(0, '1.4', FALSE, 2, 0, 'Alpha line one{nl}Beta line two',"
+        f" 28, NULL, 'Spec Sheet', '{producer}')",
+        f"(0, '1.4', FALSE, 2, 1, 'Gamma page two', 14, NULL,"
+        f" 'Spec Sheet', '{producer}')",
+        "(1, '1.5', FALSE, 1, 0, 'Hidden until ObjStm expansion',"
+        " 29, NULL, NULL, 'objstm-writer')",
+        f"(2, '1.4', FALSE, 1, 0, 'kerned words here', 17, NULL,"
+        f" NULL, '{producer}')",
+        f"(3, '1.4', FALSE, 0, NULL, NULL, NULL, NULL, 'Empty Doc',"
+        f" '{producer}')",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_PDF_K} AS INT) AS k FROM documents
+),
+cb(k, version, encrypted, n_pages, page_idx, text, n_chars,
+   page_error, title, producer) AS (VALUES {values})
+SELECT doc_id, version, encrypted, CAST(n_pages AS INT) AS n_pages,
+       CAST(page_idx AS INT) AS page_idx, text,
+       CAST(n_chars AS INT) AS n_chars, page_error, title, producer
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("pdf_text_extract", _pdf_oracle())
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF TEXT EXTRACTION — the from-scratch ISO 32000-1 walk
+    (operators/pdf): classic-xref flate documents, the modern
+    /ObjStm layout that is invisible without §7.5.7 expansion, TJ
+    kerning-array spacing, and a zero-page document that must still
+    yield its metadata row. Page text round-trips the fixture's own
+    page strings, so the oracle pins the input literals — never the
+    parser's output.  Map-side mapInPandas; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.pdf import (
+        pdf_text_pages,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_pdf_payload(k))) for k in range(_PDF_K)],
+        "k int, payload binary",
+    )
+    docs = d.select(
+        "doc_id", (F.col("doc_id") % _PDF_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return pdf_text_pages(docs.select("doc_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# png_metadata_audit — text chunks, XMP, eXIf GPS through parse_tiff
+# ---------------------------------------------------------------------------
+
+_PNG_K = 4
+
+
+def _png_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.exif import (
+        encode_tiff,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.pngmeta import (
+        encode_png_with_metadata,
+    )
+
+    if k == 0:
+        return encode_png_with_metadata(
+            texts={"Author": "ann", "Comment": "hi"},
+            ztxt={"Description": "long text"}, time_chunk=True,
+        )
+    if k == 1:
+        return encode_png_with_metadata(xmp="<x:xmpmeta/>")
+    if k == 2:
+        return encode_png_with_metadata(
+            width=9, height=7,
+            exif_tiff=encode_tiff(9, 7, gps=True, byte_order="MM"),
+            phys=True,
+        )
+    return encode_png_with_metadata(width=16, height=2)
+
+
+def _png_oracle() -> str:
+    rows = [
+        "(0, 4, 3, 7, 3, 'Author,Comment,Description', FALSE, FALSE,"
+        " FALSE, TRUE, FALSE)",
+        "(1, 4, 3, 4, 1, 'XML:com.adobe.xmp', TRUE, FALSE, FALSE,"
+        " FALSE, FALSE)",
+        "(2, 9, 7, 5, 0, '', FALSE, TRUE, TRUE, FALSE, TRUE)",
+        "(3, 16, 2, 3, 0, '', FALSE, FALSE, FALSE, FALSE, FALSE)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_PNG_K} AS INT) AS k
+  FROM documents
+),
+cb(k, width, height, n_chunks, n_texts, keywords, has_xmp, has_exif,
+   has_gps, has_time, has_phys) AS (VALUES {values})
+SELECT media_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(8 AS INT) AS bit_depth,
+       CAST(0 AS INT) AS color_type,
+       CAST(n_chunks AS INT) AS n_chunks,
+       CAST(n_texts AS INT) AS n_texts, keywords, has_xmp, has_exif,
+       has_gps, has_time, has_phys
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("png_metadata_audit", _png_oracle())
+def q_png_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG METADATA / PRIVACY AUDIT — chunk walk with real CRCs
+    (operators/pngmeta): tEXt + really-inflated zTXt keywords, the
+    XMP iTXt, and an eXIf chunk whose big-endian TIFF payload runs
+    the SAME parse_tiff GPS walk as JPEG EXIF (the privacy bit a
+    release pipeline gates on).  Oracle pins geometry, chunk/text
+    counts, sorted keyword lists, and every presence flag from the
+    fixture parameters.  Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.pngmeta import (
+        png_metadata_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_png_payload(k))) for k in range(_PNG_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _PNG_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return png_metadata_profile(media.select("media_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# gif_structure_profile — animated-image triage before any decode
+# ---------------------------------------------------------------------------
+
+_GIF_K = 4
+
+
+def _gif_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.gif import (
+        encode_minimal_gif,
+    )
+
+    if k == 0:
+        return encode_minimal_gif([10, 20, 30], loop_count=0)
+    if k == 1:
+        return encode_minimal_gif([50], loop_count=None)
+    if k == 2:
+        return encode_minimal_gif(
+            [5, 5], loop_count=3, transparent=True,
+        )
+    return encode_minimal_gif(
+        [0], loop_count=None, interlaced=True, version=b"87a",
+        width=64, height=64,
+    )
+
+
+def _gif_oracle() -> str:
+    rows = [
+        "(0, '89a', 32, 24, 3, TRUE, 600, 0, FALSE, FALSE)",
+        "(1, '89a', 32, 24, 1, FALSE, 500, NULL, FALSE, FALSE)",
+        "(2, '89a', 32, 24, 2, TRUE, 100, 3, TRUE, FALSE)",
+        "(3, '87a', 64, 64, 1, FALSE, 0, NULL, FALSE, TRUE)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_GIF_K} AS INT) AS k
+  FROM documents
+),
+cb(k, version, width, height, n_frames, animated, duration_ms,
+   loop_count, transparent, interlaced) AS (VALUES {values})
+SELECT media_id, version, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(n_frames AS INT) AS n_frames, animated,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(loop_count AS INT) AS loop_count, transparent,
+       interlaced, CAST(4 AS INT) AS palette_size
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("gif_structure_profile", _gif_oracle())
+def q_gif_structure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF STRUCTURE PROFILE — the 89a block walk (operators/gif):
+    NETSCAPE loop extension, graphic-control delays summed to a
+    duration, transparency/interlace flags, and an 87a still image.
+    The oracle recomputes every field from the fixture parameters
+    (delays are centiseconds → ms; the global table is always the
+    4-entry fixture palette).  Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.gif import (
+        gif_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_gif_payload(k))) for k in range(_GIF_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _GIF_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return gif_profile(media.select("media_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# webp_structure_profile — RIFF walk: simple, lossless, extended
+# ---------------------------------------------------------------------------
+
+_WEBP_K = 4
+
+
+def _webp_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.webp import (
+        encode_webp,
+    )
+
+    if k == 0:
+        return encode_webp(320, 240, variant="lossy")
+    if k == 1:
+        return encode_webp(64, 48, variant="lossless", alpha=True)
+    if k == 2:
+        return encode_webp(
+            100, 80, variant="lossy", frames=[40, 60, 100],
+            has_exif=True, has_xmp=True,
+        )
+    return encode_webp(33, 21, variant="lossy", alpha=True)
+
+
+def _webp_oracle() -> str:
+    rows = [
+        "(0, 'lossy', 320, 240, FALSE, FALSE, 1, 0, FALSE, FALSE)",
+        "(1, 'lossless', 64, 48, TRUE, FALSE, 1, 0, FALSE, FALSE)",
+        "(2, 'extended', 100, 80, FALSE, TRUE, 3, 200, TRUE, TRUE)",
+        "(3, 'extended', 33, 21, TRUE, FALSE, 1, 0, FALSE, FALSE)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_WEBP_K} AS INT) AS k
+  FROM documents
+),
+cb(k, variant, width, height, alpha, animated, n_frames,
+   duration_ms, has_exif, has_xmp) AS (VALUES {values})
+SELECT media_id, variant, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, alpha, animated,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(duration_ms AS BIGINT) AS duration_ms, has_exif,
+       has_xmp, CAST(FALSE AS BOOLEAN) AS has_icc
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("webp_structure_profile", _webp_oracle())
+def q_webp_structure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP STRUCTURE PROFILE — the RIFF chunk walk (operators/webp)
+    across all three container shapes: simple lossy (VP8 frame-tag
+    dimensions), simple lossless (VP8L 14-bit packed dimensions with
+    the alpha bit), animated extended (ANMF frame count + summed
+    durations, EXIF/XMP presence), and the alpha-on-lossy promotion
+    to VP8X.  Oracle literals come from the encoder arguments.
+    Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.webp import (
+        webp_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_webp_payload(k))) for k in range(_WEBP_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _WEBP_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return webp_profile(media.select("media_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# sitemap_url_audit — sitemaps.org 0.9: urlset, index, .xml.gz
+# ---------------------------------------------------------------------------
+
+_SITEMAP_K = 4
+
+
+def _sitemap_payload(k: int) -> bytes:
+    import gzip as _gzip
+
+    if k == 0:
+        return (
+            b'<?xml version="1.0" encoding="UTF-8"?>\n'
+            b'<urlset xmlns="http://www.sitemaps.org/schemas/'
+            b'sitemap/0.9">\n'
+            b"<url><loc>https://ex.com/</loc>"
+            b"<lastmod>2026-01-01</lastmod>"
+            b"<changefreq>daily</changefreq>"
+            b"<priority>0.8</priority></url>\n"
+            b"<url><loc>https://ex.com/a</loc>"
+            b"<priority>0.5</priority></url>\n"
+            b"<url><loc>https://ex.com/b</loc></url>\n"
+            b"</urlset>"
+        )
+    if k == 1:
+        return (
+            b"<sitemapindex>"
+            b"<sitemap><loc>https://ex.com/s1.xml</loc>"
+            b"<lastmod>2026-02-02</lastmod></sitemap>"
+            b"<sitemap><loc>https://ex.com/s2.xml</loc></sitemap>"
+            b"</sitemapindex>"
+        )
+    if k == 2:
+        xml = (
+            b"<urlset><url><loc>https://gz.example/page</loc>"
+            b"<lastmod>2026-03-03</lastmod>"
+            b"<changefreq>weekly</changefreq>"
+            b"<priority>1.0</priority></url></urlset>"
+        )
+        return _gzip.compress(xml, 9, mtime=0)
+    return (
+        b"<urlset><url><lastmod>2026-01-01</lastmod></url>"
+        b"<url><loc>https://ex.com/c</loc>"
+        b"<priority>high</priority></url></urlset>"
+    )
+
+
+def _sitemap_oracle() -> str:
+    rows = [
+        "(0, FALSE, 'https://ex.com/', '2026-01-01', 'daily', 0.8)",
+        "(0, FALSE, 'https://ex.com/a', NULL, NULL, 0.5)",
+        "(0, FALSE, 'https://ex.com/b', NULL, NULL, NULL)",
+        "(1, TRUE, 'https://ex.com/s1.xml', '2026-02-02', NULL,"
+        " NULL)",
+        "(1, TRUE, 'https://ex.com/s2.xml', NULL, NULL, NULL)",
+        "(2, FALSE, 'https://gz.example/page', '2026-03-03',"
+        " 'weekly', 1.0)",
+        "(3, FALSE, 'https://ex.com/c', NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS sitemap_id, CAST(doc_id % {_SITEMAP_K} AS INT)
+         AS k
+  FROM documents
+),
+cb(k, is_index, loc, lastmod, changefreq, priority)
+  AS (VALUES {values})
+SELECT sitemap_id AS archive_id, loc AS entry_loc, is_index,
+       lastmod, changefreq AS freq,
+       CAST(priority AS DOUBLE) AS priority
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("sitemap_url_audit", _sitemap_oracle())
+def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SITEMAP URL EXPLOSION — sitemaps.org protocol 0.9
+    (operators/robots.parse_sitemap): a namespaced urlset with full
+    per-URL metadata, a bare sitemapindex (frontier pointers), the
+    protocol's .xml.gz shape decompressed inline, and the edge cases
+    (entry without the mandatory loc is dropped; a non-numeric
+    priority degrades to NULL, not an error). One row per entry; the
+    oracle pins the exploded rows from the fixture XML literals.
+    Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.robots import (
+        sitemap_urls,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_sitemap_payload(k)))
+         for k in range(_SITEMAP_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("sitemap_id"),
+        (F.col("doc_id") % _SITEMAP_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    # (archive_id, entry_loc) is the alphabetical head of the sorted
+    # column names AND unique per row (locs are distinct within each
+    # fixture) — the non-null sort prefix rule (PERF §40); lastmod/
+    # freq/priority are legitimately NULL on several rows.
+    return sitemap_urls(
+        media.select("sitemap_id", "payload")
+    ).select(
+        F.col("sitemap_id").alias("archive_id"),
+        F.col("loc").alias("entry_loc"), "is_index", "lastmod",
+        F.col("changefreq").alias("freq"), "priority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# wet_text_extract — Common Crawl's pre-extracted text sidecar
+# ---------------------------------------------------------------------------
+
+_WET_K = 3
+
+
+def _wet_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        encode_warc,
+    )
+
+    if k == 0:
+        return encode_warc([
+            ("warcinfo", {"WARC-Record-ID": "<urn:uuid:w0>"},
+             b"software: wet-fixture"),
+            ("conversion",
+             {"WARC-Target-URI": "https://a.example/x",
+              "Content-Type": "text/plain"},
+             "First doc text.\nMore.".encode()),
+            ("conversion",
+             {"WARC-Target-URI": "https://b.example/y",
+              "Content-Type": "text/plain"},
+             b"Second doc."),
+        ])
+    if k == 1:
+        return encode_warc([
+            ("request", {"WARC-Target-URI": "https://c.example/z"},
+             b"GET /z HTTP/1.1\r\n\r\n"),
+            ("conversion",
+             {"WARC-Target-URI": "https://c.example/z",
+              "Content-Type": "text/plain"},
+             b"Gzipped text body"),
+        ], gzip_members=True)
+    # invalid UTF-8 must degrade to U+FFFD, and a conversion record
+    # without a target URI keeps a NULL url
+    return encode_warc([
+        ("conversion", {"Content-Type": "text/plain"},
+         b"caf\xe9 latte"),
+    ])
+
+
+def _wet_oracle() -> str:
+    rep = chr(0xFFFD)
+    nl = "' || chr(10) || '"
+    rows = [
+        f"(0, 1, 'https://a.example/x', 'First doc text.{nl}More.',"
+        f" 21)",
+        "(0, 2, 'https://b.example/y', 'Second doc.', 11)",
+        "(1, 1, 'https://c.example/z', 'Gzipped text body', 17)",
+        f"(2, 0, NULL, 'caf{rep} latte', 10)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_WET_K} AS INT) AS k
+  FROM documents
+),
+cb(k, record_idx, url, text, text_len) AS (VALUES {values})
+SELECT archive_id, CAST(record_idx AS INT) AS record_idx, url,
+       text, CAST(text_len AS INT) AS text_len
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("wet_text_extract", _wet_oracle())
+def q_wet_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET INGESTION — the pre-extracted-text sidecar of Common
+    Crawl (operators/warc.wet_text): conversion records pulled out
+    of plain and member-per-record gzip archives, non-conversion
+    records (warcinfo/request) skipped in place, invalid UTF-8
+    degraded to U+FFFD, and a URI-less record keeping a NULL url.
+    Oracle pins the fixture record layout.  At 100 TB this path
+    skips the HTML extraction stage entirely — the cheapest text
+    ingest there is.  Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        wet_text,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_wet_payload(k))) for k in range(_WET_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("archive_id"),
+        (F.col("doc_id") % _WET_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return wet_text(media.select("archive_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# webm_frame_index_audit — per-block frame index incl. laced audio
+# ---------------------------------------------------------------------------
+
+_WFI_K = 3
+
+
+def _wfi_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.ebml import (
+        encode_minimal_webm,
+    )
+
+    if k == 0:
+        return encode_minimal_webm(
+            [(0, True, 100), (40, False, 60), (80, True, 80)],
+        )
+    if k == 1:
+        return encode_minimal_webm(
+            [], audio=("A_OPUS", 48000, 2),
+            audio_frames=[(0, [20, 20, 20]), (60, [30, 30])],
+            audio_lacing=1,  # Xiph
+        )
+    return encode_minimal_webm(
+        [(0, True, 40), (25, False, 24)],
+        audio=("A_VORBIS", 44100, 2),
+        audio_frames=[(0, [12, 12])],
+        audio_lacing=3,  # EBML
+    )
+
+
+def _wfi_oracle() -> str:
+    rows = [
+        # k=0: video track 1, one block per frame
+        "(0, 1, 0, 0, TRUE, 100)",
+        "(0, 1, 1, 40, FALSE, 60)",
+        "(0, 1, 2, 80, TRUE, 80)",
+        # k=1: two laced audio blocks on track 2 explode per frame,
+        # frames share the block timestamp
+        "(1, 2, 0, 0, TRUE, 20)",
+        "(1, 2, 1, 0, TRUE, 20)",
+        "(1, 2, 2, 0, TRUE, 20)",
+        "(1, 2, 3, 60, TRUE, 30)",
+        "(1, 2, 4, 60, TRUE, 30)",
+        # k=2: video cluster blocks first, then the EBML-laced audio
+        "(2, 1, 0, 0, TRUE, 40)",
+        "(2, 1, 1, 25, FALSE, 24)",
+        "(2, 2, 2, 0, TRUE, 12)",
+        "(2, 2, 3, 0, TRUE, 12)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_WFI_K} AS INT) AS k
+  FROM documents
+),
+cb(k, track, frame_idx, pts_ms, keyframe, frame_bytes)
+  AS (VALUES {values})
+SELECT media_id, CAST(track AS INT) AS track,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST(pts_ms AS BIGINT) AS pts_ms, keyframe,
+       CAST(frame_bytes AS BIGINT) AS frame_bytes
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("webm_frame_index_audit", _wfi_oracle())
+def q_webm_frame_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBM FRAME INDEX — the per-SimpleBlock explosion
+    (operators/ebml.webm_frame_index), the WebM twin of
+    mp4.frame_index: keyframe flags from the block header, cluster
+    +relative timestamp arithmetic in TimestampScale ticks, and BOTH
+    audio lacing modes a real Vorbis/Opus mux produces (Xiph and
+    EBML) exploding one row per laced frame with per-frame sizes.
+    Oracle pins block order, pts, and sizes from the mux parameters.
+    Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.ebml import (
+        webm_frame_index,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_wfi_payload(k))) for k in range(_WFI_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _WFI_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return webm_frame_index(media.select("media_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# subtitle_cue_audit — SRT/WebVTT cue explosion
+# ---------------------------------------------------------------------------
+
+_SUB_K = 3
+
+
+def _sub_payload(k: int) -> bytes:
+    if k == 0:
+        return (
+            "1\n00:00:01,000 --> 00:00:03,500\nHello world\n\n"
+            "2\n00:00:04,000 --> 00:00:06,000\nLine one\nLine two\n"
+        ).encode()
+    if k == 1:
+        return (
+            "WEBVTT\n\n"
+            "00:01.000 --> 00:02.500 align:start line:0\n"
+            "<i>Hi</i> &amp; there\n\n"
+            "id2\n00:00:03.000 --> 00:00:04.000\nPlain\n"
+        ).encode()
+    return (
+        "00:00:00.500 --> 00:00:01.000\n"
+        "Karaoke <00:00:00.700>word\n"
+    ).encode()
+
+
+def _sub_oracle() -> str:
+    nl = "' || chr(10) || '"
+    rows = [
+        "(0, 'srt', 0, 1000, 3500, 2500, NULL, 'Hello world', 11)",
+        f"(0, 'srt', 1, 4000, 6000, 2000, NULL,"
+        f" 'Line one{nl}Line two', 17)",
+        "(1, 'vtt', 0, 1000, 2500, 1500, 'align:start line:0',"
+        " 'Hi & there', 10)",
+        "(1, 'vtt', 1, 3000, 4000, 1000, NULL, 'Plain', 5)",
+        "(2, 'srt', 0, 500, 1000, 500, NULL, 'Karaoke word', 12)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_SUB_K} AS INT) AS k
+  FROM documents
+),
+cb(k, format, cue_idx, start_ms, end_ms, duration_ms, settings,
+   text, n_chars) AS (VALUES {values})
+SELECT media_id, format, CAST(cue_idx AS INT) AS cue_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(end_ms AS BIGINT) AS end_ms,
+       CAST(duration_ms AS BIGINT) AS duration_ms, settings, text,
+       CAST(n_chars AS INT) AS n_chars
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("subtitle_cue_audit", _sub_oracle())
+def q_subtitle_cue_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBTITLE CUE EXPLOSION — SRT + WebVTT sidecars
+    (operators/subtitles): comma and dot millisecond separators,
+    hour-less VTT timestamps, cue identifiers and settings, markup
+    stripping (<i>, inline karaoke timestamps) and HTML-entity
+    decoding through the shared WARC machinery. One row per cue,
+    pinned to the fixture literals — the time-aligned text source
+    for the video-text pair join (media_cue_alignment).  Map-side;
+    0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.subtitles import (
+        subtitle_cues,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_sub_payload(k))) for k in range(_SUB_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _SUB_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return subtitle_cues(media.select("media_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# pii_audit — detector counts + Luhn + typed redaction, zero Python
+# ---------------------------------------------------------------------------
+
+_PII_K = 6
+
+_PII_TEXTS = [
+    "Contact alice@example.com or bob.smith+tag@sub.domain.org",
+    "Server 10.0.0.1 up, 999.1.1.1 is not an address",
+    "Call +14155550123 or (212) 555-0199",
+    "SSN 123-45-6789 on file",
+    "Pay 4111 1111 1111 1111 or 4111-1111-1111-1112",
+    "No sensitive data here.",
+]
+
+
+def _pii_oracle() -> str:
+    # (k, n_emails, n_ipv4, n_phones, n_ssn, n_card_candidates,
+    #  n_card_valid, has_pii, redacted) — counts and redactions are
+    # closed-form properties of the planted literals; the second
+    # card number fails Luhn by construction (mutated check digit).
+    rows = [
+        "(0, 2, 0, 0, 0, 0, 0, TRUE,"
+        " 'Contact <EMAIL> or <EMAIL>')",
+        "(1, 0, 1, 0, 0, 0, 0, TRUE,"
+        " 'Server <IP> up, 999.1.1.1 is not an address')",
+        "(2, 0, 0, 2, 0, 0, 0, TRUE, 'Call <PHONE> or <PHONE>')",
+        "(3, 0, 0, 0, 1, 0, 0, TRUE, 'SSN <SSN> on file')",
+        "(4, 0, 0, 0, 0, 2, 1, TRUE, 'Pay <CC> or <CC>')",
+        "(5, 0, 0, 0, 0, 0, 0, FALSE, 'No sensitive data here.')",
+    ]
+    values = ",\n  ".join(rows)
+    texts = ",\n  ".join(
+        f"({k}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for k, t in enumerate(_PII_TEXTS)
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_PII_K} AS INT) AS k FROM documents
+),
+tx(k, text) AS (VALUES {texts}),
+cb(k, n_emails, n_ipv4, n_phones, n_ssn, n_card_candidates,
+   n_card_valid, has_pii, redacted) AS (VALUES {values})
+SELECT doc_id, text, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_ipv4 AS INT) AS n_ipv4,
+       CAST(n_phones AS INT) AS n_phones,
+       CAST(n_ssn AS INT) AS n_ssn,
+       CAST(n_card_candidates AS INT) AS n_card_candidates,
+       CAST(n_card_valid AS INT) AS n_card_valid, has_pii, redacted
+FROM media JOIN tx USING (k) JOIN cb USING (k)
+"""
+
+
+@staged("pii_audit", _pii_oracle())
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII AUDIT — the release-gating privacy scan
+    (functions/pii.py) as pure Column algebra: email/IPv4/phone/SSN
+    detectors with validity enforced in the regex (999.* quads do
+    not count), payment-card candidates validated with a REAL Luhn
+    checksum computed via an ``aggregate`` fold over the reversed
+    digit sequence (the mutated-check-digit fixture must fail), and
+    typed-placeholder redaction pinned byte-for-byte. Zero Python in
+    the plan (tests/test_pii.py pins no-PythonUDF); map-side,
+    whole-stage codegen, 0 data shuffles — the pass that runs
+    immediately before corpus export at 100 TB."""
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        pii_audit,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        list(enumerate(_PII_TEXTS)), "k int, text string",
+    )
+    docs = d.select(
+        "doc_id", (F.col("doc_id") % _PII_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    out = pii_audit(docs.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "text", "n_emails", "n_ipv4", "n_phones", "n_ssn",
+        "n_card_candidates", "n_card_valid", "has_pii", "redacted",
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_support_audit — n-gram LM quality statistics on REAL data
+# ---------------------------------------------------------------------------
+
+_LM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, u[1] AS w1, u[2] AS w2
+  FROM toks,
+  UNNEST(list_zip(t[1:length(t)-1], t[2:length(t)])) AS x(u)
+),
+model AS (
+  SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(cnt) AS support_sum,
+         SUM(CASE WHEN cnt < 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.support_sum, 0) AS BIGINT) AS support_sum,
+       CAST(COALESCE(p.n_rare, 0) AS BIGINT) AS n_rare
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@staged("lm_support_audit", _LM_ORACLE)
+def q_lm_support_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM LM QUALITY STATISTICS on REAL data — the CCNet/Gopher
+    model-based quality filter's deterministic core
+    (functions/ngram_lm.lm_support): tokenize → bigram explosion →
+    corpus bigram counts (one map-combined shuffle) → per-document
+    support join → integer statistics (bigram volume, summed corpus
+    support, rare-bigram count). Gated against a DuckDB twin that
+    recomputes the same model from the same table — scale-covariant
+    at any sf, no codebook. The floating add-k log-prob surface
+    rides the same plan and is unit-tested with tolerance instead
+    (tests/test_ngram_lm.py). Zero Python anywhere in the plan."""
+    from bigdata_invoice_stream_analysis_spark.functions.ngram_lm import (
+        lm_support,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return lm_support(d.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# warc_link_graph — hyperlink edge list with RFC 3986 §5 resolution
+# ---------------------------------------------------------------------------
+
+_LG_K = 2
+
+
+def _lg_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        encode_http_response,
+        encode_warc,
+    )
+
+    if k == 0:
+        html = (
+            b"<html><body>"
+            b'<a href="/about">About</a>'
+            b'<a href="sub/page.html">Rel</a>'
+            b'<a href="https://other.example/x">Ext</a>'
+            b'<a href="mailto:x@y.z">Mail</a>'
+            b"</body></html>"
+        )
+        return encode_warc([
+            ("response",
+             {"WARC-Target-URI":
+              "http://site.example/dir/index.html",
+              "Content-Type": "application/http; msgtype=response"},
+             encode_http_response(
+                 200, "OK", {"Content-Type": "text/html"}, html)),
+        ])
+    html = (
+        b"<html><body>"
+        b'<a href="../up">Up</a>'
+        b'<a href="./same">Same</a>'
+        b'<a href="//cdn.example/lib.js">CDN</a>'
+        b'<a href="#top">Top</a>'
+        b'<a href="HTTPS://Other.Example/Path/../x">Shout</a>'
+        b"</body></html>"
+    )
+    return encode_warc([
+        ("warcinfo", {"WARC-Record-ID": "<urn:uuid:lg>"},
+         b"software: fixture"),
+        ("response",
+         {"WARC-Target-URI": "http://www.blog.co.uk/gone",
+          "Content-Type": "application/http; msgtype=response"},
+         encode_http_response(
+             404, "Not Found", {"Content-Type": "text/html"},
+             b"<html>gone</html>")),
+        ("response",
+         {"WARC-Target-URI": "http://www.blog.co.uk/a/b/page?x=1",
+          "Content-Type": "application/http; msgtype=response"},
+         encode_http_response(
+             200, "OK", {"Content-Type": "text/html"}, html)),
+    ], gzip_members=True)
+
+
+def _lg_oracle() -> str:
+    s0 = "http://site.example/dir/index.html"
+    s1 = "http://www.blog.co.uk/a/b/page?x=1"
+    rows = [
+        f"(0, 0, '{s0}', 'site.example', 0, '/about',"
+        f" 'http://site.example/about', 'site.example', TRUE)",
+        f"(0, 0, '{s0}', 'site.example', 1, 'sub/page.html',"
+        f" 'http://site.example/dir/sub/page.html', 'site.example',"
+        f" TRUE)",
+        f"(0, 0, '{s0}', 'site.example', 2,"
+        f" 'https://other.example/x', 'https://other.example/x',"
+        f" 'other.example', FALSE)",
+        f"(0, 0, '{s0}', 'site.example', 3, 'mailto:x@y.z', NULL,"
+        f" NULL, NULL)",
+        f"(1, 2, '{s1}', 'blog.co.uk', 0, '../up',"
+        f" 'http://www.blog.co.uk/a/up', 'blog.co.uk', TRUE)",
+        f"(1, 2, '{s1}', 'blog.co.uk', 1, './same',"
+        f" 'http://www.blog.co.uk/a/b/same', 'blog.co.uk', TRUE)",
+        f"(1, 2, '{s1}', 'blog.co.uk', 2, '//cdn.example/lib.js',"
+        f" 'http://cdn.example/lib.js', 'cdn.example', FALSE)",
+        f"(1, 2, '{s1}', 'blog.co.uk', 3, '#top',"
+        f" 'http://www.blog.co.uk/a/b/page?x=1', 'blog.co.uk',"
+        f" TRUE)",
+        f"(1, 2, '{s1}', 'blog.co.uk', 4,"
+        f" 'HTTPS://Other.Example/Path/../x',"
+        f" 'https://other.example/x', 'other.example', FALSE)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_LG_K} AS INT) AS k
+  FROM documents
+),
+cb(k, record_idx, src_url, src_domain, anchor_idx, href, dst_url,
+   dst_domain, internal) AS (VALUES {values})
+SELECT archive_id, CAST(record_idx AS INT) AS record_idx, src_url,
+       src_domain, CAST(anchor_idx AS INT) AS anchor_idx, href,
+       dst_url, dst_domain, internal
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("warc_link_graph", _lg_oracle())
+def q_warc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEB LINK GRAPH — one edge per hyperlink in 2xx HTML response
+    records (operators/warc.link_graph): hrefs resolved against the
+    page URI with the strict RFC 3986 §5.2.2 transform (relative,
+    dot-segment, protocol-relative, fragment-only and absolute forms
+    all planted), normalized per §6, and keyed by registered domain
+    with the internal/external bit. Non-crawlable hrefs (mailto:)
+    keep NULL destinations; non-2xx and non-HTML records contribute
+    nothing. (archive_id, anchor_idx) leads the sorted column list
+    as the unique non-null sort prefix (PERF §40/§44). Map-side; 0
+    data shuffles — the domain-edge rollup a quality pipeline runs
+    next is the first shuffle, on (src_domain, dst_domain)."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        link_graph,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_lg_payload(k))) for k in range(_LG_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("archive_id"),
+        (F.col("doc_id") % _LG_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return link_graph(
+        media.select("archive_id", "payload")
+    ).withColumnRenamed("link_idx", "anchor_idx")

@@ -88,3 +88,36 @@ def test_bpe_training_plan_depth_constant(spark):
         _merge_expr(F.col("symbols"), "a", "b").alias("m")))
     assert "PythonUDF" not in plan
     assert "aggregate(" in plan or "Project" in plan
+
+
+def test_pii_audit_map_side_zero_shuffle(spark):
+    """The PII pass is a pure projection: no exchange, no Python —
+    the shape that rides along the export scan at 100 TB."""
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        pii_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "mail a@b.co card 4111 1111 1111 1111")],
+        "doc_id long, text string")
+    plan = _plan(pii_audit(docs))
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lm_support_two_aggregates_equi_join(spark):
+    """lm_support = model hash-agg + per-doc hash-agg + one
+    equi-join on the bigram key + the keep-every-doc left join —
+    no cartesian, no Python, and partial (map-side) aggregation
+    present on the corpus-scale count."""
+    from bigdata_invoice_stream_analysis_spark.functions.ngram_lm import (
+        lm_support,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b c")], "doc_id long, text string")
+    plan = _plan(lm_support(docs))
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "partial_count" in plan  # map-side combine on the model agg

@@ -378,3 +378,130 @@ def test_warc_text_corpus_operator(spark, gz):
     assert r["n_links"] == 1
     assert r["charset"] == "utf-8"
     assert r["text_len"] == len("Page text l")
+
+
+# ---------------------------------------------------------------------------
+# resolve_url — RFC 3986 §5.4 example tables (fragments dropped)
+# ---------------------------------------------------------------------------
+
+_BASE = "http://a/b/c/d;p?q"
+
+# §5.4.1 normal examples (fragment-bearing expectations reduced to
+# their fragment-less form — resolve_url documents dropping them)
+_NORMAL = [
+    ("g:h", "g:h"),
+    ("g", "http://a/b/c/g"),
+    ("./g", "http://a/b/c/g"),
+    ("g/", "http://a/b/c/g/"),
+    ("/g", "http://a/g"),
+    ("//g", "http://g"),
+    ("?y", "http://a/b/c/d;p?y"),
+    ("g?y", "http://a/b/c/g?y"),
+    ("#s", "http://a/b/c/d;p?q"),
+    ("g#s", "http://a/b/c/g"),
+    ("g?y#s", "http://a/b/c/g?y"),
+    (";x", "http://a/b/c/;x"),
+    ("g;x", "http://a/b/c/g;x"),
+    ("g;x?y#s", "http://a/b/c/g;x?y"),
+    ("", "http://a/b/c/d;p?q"),
+    (".", "http://a/b/c/"),
+    ("./", "http://a/b/c/"),
+    ("..", "http://a/b/"),
+    ("../", "http://a/b/"),
+    ("../g", "http://a/b/g"),
+    ("../..", "http://a/"),
+    ("../../", "http://a/"),
+    ("../../g", "http://a/g"),
+]
+
+# §5.4.2 abnormal examples
+_ABNORMAL = [
+    ("../../../g", "http://a/g"),
+    ("../../../../g", "http://a/g"),
+    ("/./g", "http://a/g"),
+    ("/../g", "http://a/g"),
+    ("g.", "http://a/b/c/g."),
+    (".g", "http://a/b/c/.g"),
+    ("g..", "http://a/b/c/g.."),
+    ("..g", "http://a/b/c/..g"),
+    ("./../g", "http://a/b/g"),
+    ("./g/.", "http://a/b/c/g/"),
+    ("g/./h", "http://a/b/c/g/h"),
+    ("g/../h", "http://a/b/c/h"),
+    ("g;x=1/./y", "http://a/b/c/g;x=1/y"),
+    ("g;x=1/../y", "http://a/b/c/y"),
+    ("g?y/./x", "http://a/b/c/g?y/./x"),
+    ("g?y/../x", "http://a/b/c/g?y/../x"),
+    ("g#s/./x", "http://a/b/c/g"),
+    ("g#s/../x", "http://a/b/c/g"),
+    ("http:g", "http:g"),  # strict parser (§5.4.2 final note)
+]
+
+
+@pytest.mark.parametrize("ref,want", _NORMAL + _ABNORMAL)
+def test_resolve_url_rfc3986_examples(ref, want):
+    from bigdata_invoice_stream_analysis_spark.operators.warc import resolve_url
+
+    assert resolve_url(_BASE, ref) == want
+
+
+def test_resolve_url_edge_cases():
+    from bigdata_invoice_stream_analysis_spark.operators.warc import resolve_url
+
+    # base without a scheme: nothing to resolve against
+    assert resolve_url("//a/b", "g") is None
+    assert resolve_url("", "g") is None
+    # authority-with-empty-path base treats the reference as rooted
+    assert resolve_url("http://h?q", "g") == "http://h/g"
+    # surrounding whitespace on real-world hrefs is tolerated
+    assert resolve_url(_BASE, "  g  ") == "http://a/b/c/g"
+
+
+# ---------------------------------------------------------------------------
+# link_graph operator
+# ---------------------------------------------------------------------------
+
+
+def test_link_graph_operator(spark):
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        encode_http_response,
+        encode_warc,
+        link_graph,
+    )
+
+    html = (
+        b"<html><body>"
+        b'<a href="/about">About</a>'
+        b'<a href="sub/page.html">Rel</a>'
+        b'<a href="https://other.example/x">Ext</a>'
+        b'<a href="mailto:x@y.z">Mail</a>'
+        b"</body></html>"
+    )
+    payload = encode_warc([
+        ("response",
+         {"WARC-Target-URI": "http://site.example/dir/index.html",
+          "Content-Type": "application/http; msgtype=response"},
+         encode_http_response(
+             200, "OK", {"Content-Type": "text/html"}, html)),
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "archive_id long, payload binary")
+    rows = {r["href"]: r for r in link_graph(df).collect()}
+    assert set(rows) == {
+        "/about", "sub/page.html", "https://other.example/x",
+        "mailto:x@y.z",
+    }
+    r = rows["/about"]
+    assert r["dst_url"] == "http://site.example/about"
+    assert r["dst_domain"] == "site.example" and r["internal"] is True
+    r = rows["sub/page.html"]
+    assert r["dst_url"] == "http://site.example/dir/sub/page.html"
+    assert r["internal"] is True
+    r = rows["https://other.example/x"]
+    assert r["dst_domain"] == "other.example" and r["internal"] is False
+    r = rows["mailto:x@y.z"]
+    # non-hierarchical href: resolved but not a crawlable URL
+    assert r["dst_url"] is None and r["dst_domain"] is None
+    assert r["internal"] is None
+    assert all(r["src_domain"] == "site.example" for r in rows.values())
+    assert sorted(r["link_idx"] for r in rows.values()) == [0, 1, 2, 3]
