@@ -2449,3 +2449,91 @@ def q_warc_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_graph(
         media.select("archive_id", "payload")
     ).withColumnRenamed("link_idx", "anchor_idx")
+
+
+# ---------------------------------------------------------------------------
+# corpus_release_gate — the composed keep/drop verdict on REAL data
+# ---------------------------------------------------------------------------
+
+
+def _release_oracle() -> str:
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        CARD_RE,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        SSN_RE,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.release import (
+        RARE_DENOM,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.text import (
+        sql_gopher_quality_flags,
+    )
+
+    gopher = sql_gopher_quality_flags("text")["gopher_pass"]
+    pii = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in (EMAIL_RE, IPV4_RE, PHONE_RE, SSN_RE, CARD_RE)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, u[1] AS w1, u[2] AS w2
+  FROM toks,
+  UNNEST(list_zip(t[1:length(t)-1], t[2:length(t)])) AS x(u)
+),
+model AS (
+  SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2
+),
+lm AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN cnt < 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         {gopher} AS gopher_pass,
+         ({pii}) AS has_pii,
+         CAST(COALESCE(lm.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(lm.n_rare, 0) AS BIGINT) AS n_rare
+  FROM documents d LEFT JOIN lm USING (doc_id)
+)
+SELECT doc_id,
+       (gopher_pass AND NOT has_pii AND rare_ok) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT gopher_pass THEN 'quality' END,
+         CASE WHEN has_pii THEN 'pii' END,
+         CASE WHEN NOT rare_ok THEN 'rare_ngrams' END) AS reasons,
+       gopher_pass, has_pii, rare_ok, n_bigrams, n_rare
+FROM (
+  SELECT *, (n_bigrams > 0 AND n_rare * {RARE_DENOM} <= n_bigrams)
+         AS rare_ok
+  FROM sig
+)
+"""
+
+
+@staged("corpus_release_gate", _release_oracle())
+def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS RELEASE GATE on REAL data — the composed keep/drop
+    verdict every curation pipeline ends in
+    (functions/release.corpus_release_gate): Gopher quality rules ∧
+    no PII ∧ n-gram-LM support, with a fixed-order ``reasons``
+    string naming the failed gates so the funnel report is a plain
+    groupBy. All three signals recomputed independently by the
+    DuckDB twin from the same table (the PII twin runs the same five
+    regexes; the LM twin retrains the same bigram model) —
+    scale-covariant at any sf, every output column
+    boolean/integer/string. One Catalyst plan: Gopher+PII map-side
+    on the scan, the LM's three bounded exchanges, a doc_id join."""
+    from bigdata_invoice_stream_analysis_spark.functions.release import (
+        corpus_release_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return corpus_release_gate(d.select("doc_id", "text"))
