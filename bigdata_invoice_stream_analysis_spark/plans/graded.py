@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-TWENTY-SEVEN of these leads already have registration-ready
+TWENTY-NINE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -120,12 +120,17 @@ REAL-data scale-covariant gate, integer statistics, DuckDB twin
 recomputes the model from the same table), warc_link_graph
 (operators/warc.link_graph + resolve_url — the strict RFC 3986
 §5.2.2 relative-reference transform verified against the full §5.4
-example tables, feeding the per-hyperlink web-graph edge list), and
-corpus_release_gate (functions/release.py — the composed keep/drop
+example tables, feeding the per-hyperlink web-graph edge list), corpus_release_gate (functions/release.py — the composed keep/drop
 verdict: Gopher ∧ no-PII ∧ LM support with fixed-order reason
 codes; REAL-data gate whose DuckDB twin recomputes all three
-signals) — so r9 registration is a mechanical move of
-STAGED_QUERIES entries into the registry with window slots. After
+signals), streaming_pii_monitor (the privacy monitor as a
+stream-static join + complete-mode rollup under availableNow), and
+image_phash_audit (operators/imagehash.py — exact-integer
+dHash/aHash over decoded PGM/PNG pixels pinned to a naive
+independent reference, with the banded Hamming near-dup join
+brute-force-verified in tests) — so r9 registration is a
+mechanical move of STAGED_QUERIES entries into the registry with
+window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
 thinned §2 pins first, then register the leads above as slots allow.

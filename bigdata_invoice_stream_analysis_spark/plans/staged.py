@@ -2537,3 +2537,241 @@ def q_corpus_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return corpus_release_gate(d.select("doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# streaming_pii_monitor — the privacy gate under the streaming engine
+# ---------------------------------------------------------------------------
+
+
+def _stream_pii_oracle() -> str:
+    # (k, n_emails, n_ipv4, n_phones, n_ssn, n_card_valid, has_pii)
+    # mirrors the _PII_TEXTS literals pinned by the pii_audit gate.
+    rows = [
+        "(0, 2, 0, 0, 0, 0, TRUE)",
+        "(1, 0, 1, 0, 0, 0, TRUE)",
+        "(2, 0, 0, 2, 0, 0, TRUE)",
+        "(3, 0, 0, 0, 1, 0, TRUE)",
+        "(4, 0, 0, 0, 0, 1, TRUE)",
+        "(5, 0, 0, 0, 0, 0, FALSE)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT CAST(doc_id % {_PII_K} AS INT) AS k FROM documents
+),
+cb(k, n_emails, n_ipv4, n_phones, n_ssn, n_card_valid, has_pii)
+  AS (VALUES {values})
+SELECT has_pii, COUNT(*) AS n_docs,
+       SUM(n_emails) AS sum_emails, SUM(n_ipv4) AS sum_ipv4,
+       SUM(n_phones) AS sum_phones, SUM(n_ssn) AS sum_ssn,
+       SUM(n_card_valid) AS sum_card_valid
+FROM media JOIN cb USING (k)
+GROUP BY has_pii
+"""
+
+
+@staged("streaming_pii_monitor", _stream_pii_oracle())
+def q_streaming_pii_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE PRIVACY GATE UNDER THE STREAMING ENGINE — documents
+    arrive as a parquet file-source stream, join the broadcast PII
+    codebook stream-static, run the full detector set
+    (functions/pii.pii_audit — regex detectors + the Luhn expression
+    fold, still zero Python) statelessly inside the stream, and a
+    complete-mode aggregation maintains the running privacy monitor
+    (doc and detector-hit totals split by has_pii) a continuous
+    ingestion pipeline alerts on. The availableNow drain's final
+    snapshot must equal the closed-form batch rollup."""
+    from pyspark.sql import types as T
+
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        pii_audit,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import (
+        _run_drain,
+    )
+    from bigdata_invoice_stream_analysis_spark.scratch import (
+        fresh_checkpoint,
+    )
+
+    raw_schema = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    codebook = spark.createDataFrame(
+        list(enumerate(_PII_TEXTS)), "k int, text string",
+    )
+    docs = stream.select(
+        "doc_id", (F.col("doc_id") % _PII_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    agg = (
+        pii_audit(docs.select("doc_id", "text"))
+        .groupBy("has_pii")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("sum_emails"),
+            F.sum("n_ipv4").alias("sum_ipv4"),
+            F.sum("n_phones").alias("sum_phones"),
+            F.sum("n_ssn").alias("sum_ssn"),
+            F.sum("n_card_valid").alias("sum_card_valid"),
+        )
+    )
+    acc: list = []
+
+    def sink(bdf, _bid):
+        acc.clear()
+        acc.extend(bdf.collect())
+
+    ckpt = fresh_checkpoint("stream_pii_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    schema = T.StructType([
+        T.StructField("has_pii", T.BooleanType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("sum_emails", T.LongType(), False),
+        T.StructField("sum_ipv4", T.LongType(), False),
+        T.StructField("sum_phones", T.LongType(), False),
+        T.StructField("sum_ssn", T.LongType(), False),
+        T.StructField("sum_card_valid", T.LongType(), False),
+    ])
+    return spark.createDataFrame(list(acc), schema)
+
+
+# ---------------------------------------------------------------------------
+# image_phash_audit — perceptual hashes pinned to a naive reference
+# ---------------------------------------------------------------------------
+
+_PH_K = 5
+_PH_W, _PH_H = 32, 24
+
+
+def _ph_pixels(k: int) -> bytes:
+    if k == 0 or k == 4:  # k=4 ships the same pixels in a PNG
+        return bytes((x * 7 + y * 3) % 200
+                     for y in range(_PH_H) for x in range(_PH_W))
+    if k == 1:  # +25 brightness, no clipping → identical hashes
+        return bytes((x * 7 + y * 3) % 200 + 25
+                     for y in range(_PH_H) for x in range(_PH_W))
+    if k == 2:  # local patch flipped → a few hash bits move
+        base = bytearray((x * 7 + y * 3) % 200
+                         for y in range(_PH_H) for x in range(_PH_W))
+        for y in range(8):
+            for x in range(8):
+                base[y * _PH_W + x] = 255 - base[y * _PH_W + x]
+        return bytes(base)
+    return bytes((x * x + 3 * y) % 251
+                 for y in range(_PH_H) for x in range(_PH_W))
+
+
+def _ph_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.multimodal import (
+        encode_png,
+        encode_pnm,
+    )
+
+    pix = _ph_pixels(k)
+    if k == 4:
+        return encode_png(_PH_W, _PH_H, pix)
+    return encode_pnm(_PH_W, _PH_H, pix)
+
+
+def _ph_reference(k: int) -> tuple[int, int]:
+    """Naive, loop-based dHash/aHash reference — independent of
+    operators/imagehash (no numpy, no prefix sums): the oracle's
+    implementation of the exact-integer spec."""
+    pix = _ph_pixels(k)
+    g = [[pix[y * _PH_W + x] for x in range(_PH_W)]
+         for y in range(_PH_H)]
+
+    def grid(nx: int, ny: int):
+        out = []
+        for j in range(ny):
+            row = []
+            for i in range(nx):
+                x0, x1 = i * _PH_W // nx, (i + 1) * _PH_W // nx
+                y0, y1 = j * _PH_H // ny, (j + 1) * _PH_H // ny
+                s = sum(g[y][x] for y in range(y0, y1)
+                        for x in range(x0, x1))
+                row.append(s // ((x1 - x0) * (y1 - y0)))
+            out.append(row)
+        return out
+
+    gd = grid(9, 8)
+    d = 0
+    for j in range(8):
+        for i in range(8):
+            d = (d << 1) | (1 if gd[j][i] < gd[j][i + 1] else 0)
+    ga = grid(8, 8)
+    mean = sum(sum(r) for r in ga) // 64
+    a = 0
+    for j in range(8):
+        for i in range(8):
+            a = (a << 1) | (1 if ga[j][i] > mean else 0)
+
+    def signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return signed(d), signed(a)
+
+
+def _ph_oracle() -> str:
+    rows = []
+    for k in range(_PH_K):
+        d, a = _ph_reference(k)
+        rows.append(f"({k}, {_PH_W}, {_PH_H}, {d}, {a})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_PH_K} AS INT) AS k
+  FROM documents
+),
+cb(k, width, height, dhash, ahash) AS (VALUES {values})
+SELECT media_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(dhash AS BIGINT) AS dhash,
+       CAST(ahash AS BIGINT) AS ahash
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("image_phash_audit", _ph_oracle())
+def q_image_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL IMAGE HASHES — the visual-dedup signature
+    (operators/imagehash.image_phash): exact-integer dHash/aHash
+    over decoded PGM and PNG pixels. The codebook plants the
+    invariance structure a dedup pass exploits (a brightness-shifted
+    copy and a PNG re-container hash IDENTICALLY to the base image;
+    a patch-flipped variant lands a few bits away; an unrelated
+    pattern lands far) and the oracle pins every 64-bit hash with an
+    independent naive loop-based reference implementation of the
+    same spec — the banded Hamming pair join over these hashes is
+    plan-pinned and brute-force-verified in tests/test_imagehash.py.
+    Map-side; 0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.imagehash import (
+        image_phash,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_ph_payload(k))) for k in range(_PH_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _PH_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return image_phash(media.select("media_id", "payload"))
