@@ -72,6 +72,28 @@ def _chunk_dedup(corpus):
     )
 
 
+def _pii_audit(corpus):
+    from bigdata_invoice_stream_analysis_spark.functions.pii import pii_audit
+
+    return pii_audit(corpus)
+
+
+def _lm_support(corpus):
+    from bigdata_invoice_stream_analysis_spark.functions.ngram_lm import (
+        lm_support,
+    )
+
+    return lm_support(corpus)
+
+
+def _release_gate(corpus):
+    from bigdata_invoice_stream_analysis_spark.functions.release import (
+        corpus_release_gate,
+    )
+
+    return corpus_release_gate(corpus)
+
+
 def _semdedup(vecs):
     # orderBy before limit: limit without ordering is partitioning-
     # dependent, which would make probe timings non-reproducible.
@@ -240,6 +262,9 @@ def main():
             corpus, "doc_id", "text", n=3, threshold=0.2
         ).count(),
         "chunk_dedup": lambda corpus: _chunk_dedup(corpus).count(),
+        "pii_audit": lambda corpus: _pii_audit(corpus).count(),
+        "lm_support": lambda corpus: _lm_support(corpus).count(),
+        "release_gate": lambda corpus: _release_gate(corpus).count(),
     }
     vec_probes = {
         "sign_lsh_pairs": lambda vecs: SIM.sign_lsh_pairs(
