@@ -104,14 +104,14 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-TWENTY-NINE of these leads already have registration-ready
+THIRTY of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
 for the whole remaining media/web lead list (ogg_audio_profile,
 pdf_text_extract, png_metadata_audit, gif_structure_profile,
 webp_structure_profile, sitemap_url_audit, wet_text_extract,
-webm_frame_index_audit, subtitle_cue_audit), and two NEW
+webm_frame_index_audit, subtitle_cue_audit), and SEVEN new
 capabilities: pii_audit (functions/pii.py — email/IP/phone/SSN
 detectors, a real JVM-side Luhn fold for payment cards, typed
 redaction; zero Python in the plan), lm_support_audit
@@ -120,7 +120,8 @@ REAL-data scale-covariant gate, integer statistics, DuckDB twin
 recomputes the model from the same table), warc_link_graph
 (operators/warc.link_graph + resolve_url — the strict RFC 3986
 §5.2.2 relative-reference transform verified against the full §5.4
-example tables, feeding the per-hyperlink web-graph edge list), corpus_release_gate (functions/release.py — the composed keep/drop
+example tables, feeding the per-hyperlink web-graph edge list),
+corpus_release_gate (functions/release.py — the composed keep/drop
 verdict: Gopher ∧ no-PII ∧ LM support with fixed-order reason
 codes; REAL-data gate whose DuckDB twin recomputes all three
 signals), streaming_pii_monitor (the privacy monitor as a
@@ -128,7 +129,10 @@ stream-static join + complete-mode rollup under availableNow), and
 image_phash_audit (operators/imagehash.py — exact-integer
 dHash/aHash over decoded PGM/PNG pixels pinned to a naive
 independent reference, with the banded Hamming near-dup join
-brute-force-verified in tests) — so r9 registration is a
+brute-force-verified in tests), and media_av1_seq_profile
+(operators/av1.py — OBU framing + the full §5.5.1 sequence-header
+walk, the third leg of the codec bitstream matrix beside the
+H.264/H.265 SPS cross-checks) — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots

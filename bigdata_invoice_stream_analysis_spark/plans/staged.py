@@ -2775,3 +2775,114 @@ def q_image_phash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _PH_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return image_phash(media.select("media_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# media_av1_seq_profile — AV1 sequence-header bitstream truth
+# ---------------------------------------------------------------------------
+
+_AV1_K = 5
+
+
+def _av1_stream_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.av1 import (
+        encode_av1_stream,
+    )
+
+    if k == 0:  # mainstream 1080p 8-bit 4:2:0
+        return encode_av1_stream(dict(
+            seq_profile=0, max_width=1920, max_height=1080,
+            operating_points=[(0, 8, 0)],
+        ), n_frames=3)
+    if k == 1:  # professional 12-bit 8K high tier + film grain
+        return encode_av1_stream(dict(
+            seq_profile=2, high_bitdepth=True, twelve_bit=True,
+            max_width=7680, max_height=4320,
+            operating_points=[(0, 19, 1)], film_grain=True,
+        ), n_frames=1)
+    if k == 2:  # sRGB 4:4:4 profile-1 web render
+        return encode_av1_stream(dict(
+            seq_profile=1, srgb=True, max_width=640,
+            max_height=480, operating_points=[(0, 4, 0)],
+        ), n_frames=2)
+    if k == 3:  # AVIF-style reduced still picture, monochrome
+        return encode_av1_stream(dict(
+            seq_profile=0, still_picture=True, reduced=True,
+            operating_points=[(0, 5, 0)], max_width=512,
+            max_height=512, mono_chrome=True, color_range=1,
+            enable_order_hint=False,
+        ), n_frames=0)
+    return b"\x80 not an av1 stream"  # forbidden bit set
+
+
+def _av1_seq_oracle() -> str:
+    err = "'av1: obu_forbidden_bit set'"
+    rows = [
+        "(0, TRUE, NULL, 0, 8, 0, 1, 1920, 1080, 8, FALSE, '11',"
+        " FALSE, FALSE, 3)",
+        "(1, TRUE, NULL, 2, 19, 1, 1, 7680, 4320, 12, FALSE, '11',"
+        " FALSE, TRUE, 1)",
+        "(2, TRUE, NULL, 1, 4, 0, 1, 640, 480, 8, FALSE, '00',"
+        " FALSE, FALSE, 2)",
+        "(3, TRUE, NULL, 0, 5, 0, 1, 512, 512, 8, TRUE, '11',"
+        " TRUE, FALSE, 0)",
+        f"(4, FALSE, {err}, NULL, NULL, NULL, NULL, NULL, NULL,"
+        f" NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_AV1_K} AS INT) AS k
+  FROM documents
+),
+cb(k, ok, error, seq_profile, seq_level_idx, seq_tier,
+   n_operating_points, max_width, max_height, bit_depth,
+   mono_chrome, subsampling, still_picture, film_grain,
+   n_frame_obus) AS (VALUES {values})
+SELECT archive_id, ok, error,
+       CAST(seq_profile AS INT) AS seq_profile,
+       CAST(seq_level_idx AS INT) AS seq_level_idx,
+       CAST(seq_tier AS INT) AS seq_tier,
+       CAST(n_operating_points AS INT) AS n_operating_points,
+       CAST(max_width AS INT) AS max_width,
+       CAST(max_height AS INT) AS max_height,
+       CAST(bit_depth AS INT) AS bit_depth, mono_chrome,
+       subsampling, still_picture, film_grain,
+       CAST(n_frame_obus AS INT) AS n_frame_obus
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("media_av1_seq_profile", _av1_seq_oracle())
+def q_media_av1_seq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 SEQUENCE-HEADER TRUTH — the third leg of the codec
+    bitstream matrix (operators/av1.py beside h264/h265): OBU walk
+    (§5.3 framing, leb128 sizes, extension headers) and the full
+    §5.5.1 sequence-header parse over a 5-variant codebook spanning
+    the profile space — 8-bit 4:2:0 main, 12-bit 8K high-tier
+    professional with film grain, sRGB 4:4:4 profile 1, an
+    AVIF-style reduced still-picture monochrome header, and a
+    forbidden-bit blob that must quarantine to an error row. Every
+    oracle literal derives from the fixture encoder's PARAMETERS.
+    Map-side; 0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.av1 import (
+        av1_seq_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_av1_stream_payload(k)))
+         for k in range(_AV1_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _AV1_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return av1_seq_profile(
+        media.select("media_id", "payload")
+    ).withColumnRenamed("media_id", "archive_id")
