@@ -93,6 +93,12 @@ def sniff_format(data: bytes) -> str:
         return "lz4"
     if data[:4] == b"OggS":
         return "ogg"
+    if data[:2] == b"\x12\x00":
+        # AV1 low-overhead bitstream: every stream opens with a
+        # temporal-delimiter OBU (type 2, has_size=1, size 0) —
+        # header byte 0x12 then leb128 0x00 (the same two-byte probe
+        # AV1 demuxers use).
+        return "av1"
     # Audio elementary streams: ID3v2 tag, then layer bits.
     audio = data
     if data[:3] == b"ID3":
@@ -439,6 +445,33 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             codec=st["codec"] if st else None,
             duration_ms=st["duration_ms"] if st else None,
             n_items=meta["n_pages"],
+        )
+    elif fmt == "av1":
+        from bigdata_invoice_stream_analysis_spark.operators.av1 import (
+            OBU_FRAME,
+            OBU_FRAME_HEADER,
+            OBU_SEQUENCE_HEADER,
+            parse_obus,
+            parse_sequence_header,
+        )
+
+        obus = parse_obus(data)
+        seq = next(
+            (o for o in obus if o["type"] == OBU_SEQUENCE_HEADER), None
+        )
+        if seq is None:
+            raise ValueError("av1: no sequence header OBU")
+        sh = parse_sequence_header(seq["payload"])
+        row.update(
+            kind="video", width=sh["max_width"],
+            height=sh["max_height"],
+            codec=f"av01.{sh['seq_profile']}."
+                  f"{sh['seq_level_idx']:02d}"
+                  f"{'H' if sh['seq_tier'] else 'M'}",
+            n_items=sum(
+                1 for o in obus
+                if o["type"] in (OBU_FRAME, OBU_FRAME_HEADER)
+            ),
         )
     elif fmt in ("mp3", "adts"):
         from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (

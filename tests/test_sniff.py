@@ -338,3 +338,34 @@ def test_triage_ogg_opus():
     assert row["codec"] == "opus"
     assert row["duration_ms"] == 100
     assert row["n_items"] == 7
+
+
+def test_triage_av1_stream():
+    from bigdata_invoice_stream_analysis_spark.operators.av1 import (
+        encode_av1_stream,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        triage,
+    )
+
+    row = triage(encode_av1_stream(dict(
+        seq_profile=0, max_width=1280, max_height=720,
+        operating_points=[(0, 8, 1)],
+    ), n_frames=4))
+    assert row["format"] == "av1"
+    assert row["kind"] == "video"
+    assert row["width"] == 1280 and row["height"] == 720
+    # level 8 > 7 → the tier bit IS coded; the fixture wrote tier=1
+    assert row["codec"] == "av01.0.08H"
+    assert row["n_items"] == 4
+
+
+def test_triage_av1_corrupt_quarantines():
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        triage,
+    )
+
+    # sniffs as av1 (temporal delimiter) but the next OBU is torn
+    row = triage(b"\x12\x00" + b"\x0a\x20junk")
+    assert row["format"] == "av1!error"
+    assert row["detail"]
