@@ -44,29 +44,41 @@ from pyspark.sql import functions as F
 TOKEN_RE = "[a-z]+"
 
 
-def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, w1, w2) — one row per bigram occurrence. Documents
-    with fewer than two tokens contribute no rows (callers that
-    need every document back LEFT-join, as lm_support does)."""
+def doc_ngrams(
+    docs: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, w1..wn) — one row per n-gram occurrence, built from
+    n parallel 1-shifted slices zipped and exploded (all JVM array
+    algebra). Documents with fewer than n tokens contribute no rows
+    (callers that need every document back LEFT-join, as lm_support
+    does)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
     toks = docs.select(
         "doc_id",
         F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
         ).alias("t"),
     )
-    # slice length must be >= 0: sub-2-token docs have size-1 < 1
-    n = F.greatest(F.size("t") - 1, F.lit(0))
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice(F.col("t"), 1, n).alias("w1"),
-                F.slice(F.col("t"), 2, n).alias("w2"),
-            )
-        ).alias("p"),
+    # slice length must be >= 0: sub-n-token docs have size-n+1 < 1
+    cnt = F.greatest(F.size("t") - (n - 1), F.lit(0))
+    slices = [
+        F.slice(F.col("t"), i + 1, cnt).alias(f"w{i + 1}")
+        for i in range(n)
+    ]
+    rows = toks.select(
+        "doc_id", F.explode(F.arrays_zip(*slices)).alias("p")
     )
-    return pairs.select("doc_id", F.col("p.w1").alias("w1"),
-                        F.col("p.w2").alias("w2"))
+    return rows.select(
+        "doc_id",
+        *[F.col(f"p.w{i + 1}").alias(f"w{i + 1}") for i in range(n)],
+    )
+
+
+def doc_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, w1, w2) — the n=2 specialization the bigram model
+    and the graded gate use."""
+    return doc_ngrams(docs, 2, text_col)
 
 
 def train_bigram_counts(
@@ -86,7 +98,8 @@ def train_bigram_counts(
 
 
 def lm_support(
-    docs: DataFrame, text_col: str = "text", rare_below: int = 2
+    docs: DataFrame, text_col: str = "text", rare_below: int = 2,
+    n: int = 2,
 ) -> DataFrame:
     """Per-document integer LM-support statistics against a model
     trained on the same corpus (the self-scoring shape CCNet uses
@@ -97,13 +110,16 @@ def lm_support(
     ``n_rare``         occurrences whose corpus frequency is below
                        ``rare_below`` (1 = seen only here)
 
-    Every input document comes back (zero rows for sub-2-token
+    Every input document comes back (zero rows for sub-n-token
     texts). All outputs are exact integers — hash-stable across
-    engines at any scale factor."""
-    bg = doc_bigrams(docs, text_col)
-    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    engines at any scale factor. ``n`` picks the n-gram order
+    (2 = the graded bigram form; 3 = trigram for stricter
+    boilerplate detection)."""
+    keys = [f"w{i + 1}" for i in range(n)]
+    bg = doc_ngrams(docs, n, text_col)
+    model = bg.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     per_doc = (
-        bg.join(model, ["w1", "w2"])
+        bg.join(model, keys)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -112,3 +112,45 @@ def test_zero_python_plan(spark):
     plan = lm_support(df)._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_doc_trigrams_matches_reference(spark):
+    from bigdata_invoice_stream_analysis_spark.functions.ngram_lm import (
+        doc_ngrams,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["w1"], r["w2"], r["w3"])
+        for r in doc_ngrams(df, 3).collect()
+    )
+    want = sorted(
+        (d, *tri)
+        for d, t in DOCS
+        for tri in zip(_tok(t), _tok(t)[1:], _tok(t)[2:])
+    )
+    assert got == want
+
+
+def test_lm_support_trigram_hand_computed(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    corpus = Counter(
+        tri for _, t in DOCS
+        for tri in zip(_tok(t), _tok(t)[1:], _tok(t)[2:])
+    )
+    want = {}
+    for d, t in DOCS:
+        tris = list(zip(_tok(t), _tok(t)[1:], _tok(t)[2:]))
+        want[d] = (
+            len(tris),
+            sum(corpus[x] for x in tris),
+            sum(1 for x in tris if corpus[x] < 2),
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["support_sum"], r["n_rare"])
+        for r in lm_support(df, n=3).collect()
+    }
+    assert got == want
+    # 2-token doc 1? no — doc 1 has 3 tokens → exactly 1 trigram;
+    # the 1-token and empty docs still come back as zeros
+    assert got[3] == (0, 0, 0) and got[4] == (0, 0, 0)
