@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-THIRTY of these leads already have registration-ready
+THIRTY-ONE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -132,7 +132,12 @@ independent reference, with the banded Hamming near-dup join
 brute-force-verified in tests), and media_av1_seq_profile
 (operators/av1.py — OBU framing + the full §5.5.1 sequence-header
 walk, the third leg of the codec bitstream matrix beside the
-H.264/H.265 SPS cross-checks) — so r9 registration is a
+H.264/H.265 SPS cross-checks; content_triage now dispatches raw
+.obu streams too, re-verified hash-MATCH) plus
+media_av1_obu_cross_check (mp4.parse_av1_cross_check — stsd AND
+av1C record-head claims audited against the sequence-header OBU in
+configOBUs, both lie layers planted; all 17 registered media gates
+re-verified MATCH after the mp4.py extension) — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots

@@ -2886,3 +2886,130 @@ def q_media_av1_seq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av1_seq_profile(
         media.select("media_id", "payload")
     ).withColumnRenamed("media_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# media_av1_obu_cross_check — container vs av1C head vs OBU truth
+# ---------------------------------------------------------------------------
+
+_AVX_K = 4
+
+
+def _avx_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.av1 import (
+        OBU_SEQUENCE_HEADER,
+        encode_obu,
+        encode_sequence_header,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        encode_minimal_mp4,
+    )
+
+    def seq(**kw):
+        return encode_obu(
+            OBU_SEQUENCE_HEADER, encode_sequence_header(**kw))
+
+    if k == 0:  # every layer truthful
+        obu = seq(seq_profile=0, max_width=1920, max_height=1080,
+                  operating_points=[(0, 8, 0)])
+        return encode_minimal_mp4(
+            frame_sizes=[100, 60],
+            av01=(1920, 1080, 0, 8, 0, 0, 0, 0, obu),
+        )
+    if k == 1:  # container lies about dimensions
+        obu = seq(seq_profile=0, max_width=1920, max_height=1080,
+                  operating_points=[(0, 8, 0)])
+        return encode_minimal_mp4(
+            frame_sizes=[40],
+            av01=(1280, 720, 0, 8, 0, 0, 0, 0, obu),
+        )
+    if k == 2:  # av1C head rebuilt from guesses; the OBU is 12-bit
+        obu = seq(seq_profile=2, high_bitdepth=True, twelve_bit=True,
+                  max_width=1280, max_height=720,
+                  operating_points=[(0, 12, 1)])
+        return encode_minimal_mp4(
+            frame_sizes=[40],
+            av01=(1280, 720, 0, 8, 0, 0, 0, 0, obu),
+        )
+    # monochrome AVIF-ish: head AND dims truthful, 10-bit
+    obu = seq(seq_profile=0, high_bitdepth=True, mono_chrome=True,
+              color_range=1, max_width=512, max_height=512,
+              operating_points=[(0, 5, 0)])
+    return encode_minimal_mp4(
+        frame_sizes=[30],
+        av01=(512, 512, 0, 5, 0, 1, 0, 1, obu),
+    )
+
+
+def _avx_oracle() -> str:
+    rows = [
+        "(0, 'av01', 1920, 1080, 0, 8, 0, 8, 0, 8, 0, 8, 1920,"
+        " 1080, FALSE, TRUE, TRUE)",
+        "(1, 'av01', 1280, 720, 0, 8, 0, 8, 0, 8, 0, 8, 1920,"
+        " 1080, FALSE, FALSE, TRUE)",
+        "(2, 'av01', 1280, 720, 0, 8, 0, 8, 2, 12, 1, 12, 1280,"
+        " 720, FALSE, TRUE, FALSE)",
+        "(3, 'av01', 512, 512, 0, 5, 0, 10, 0, 5, 0, 10, 512,"
+        " 512, TRUE, TRUE, TRUE)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS media_id, CAST(doc_id % {_AVX_K} AS INT) AS k
+  FROM documents
+),
+cb(k, codec, container_width, container_height, record_profile,
+   record_level, record_tier, record_bit_depth, seq_profile,
+   seq_level_idx, seq_tier, seq_bit_depth, seq_width, seq_height,
+   mono_chrome, dims_match, record_match) AS (VALUES {values})
+SELECT media_id, codec,
+       CAST(container_width AS INT) AS container_width,
+       CAST(container_height AS INT) AS container_height,
+       CAST(record_profile AS INT) AS record_profile,
+       CAST(record_level AS INT) AS record_level,
+       CAST(record_tier AS INT) AS record_tier,
+       CAST(record_bit_depth AS INT) AS record_bit_depth,
+       CAST(seq_profile AS INT) AS seq_profile,
+       CAST(seq_level_idx AS INT) AS seq_level_idx,
+       CAST(seq_tier AS INT) AS seq_tier,
+       CAST(seq_bit_depth AS INT) AS seq_bit_depth,
+       CAST(seq_width AS INT) AS seq_width,
+       CAST(seq_height AS INT) AS seq_height,
+       mono_chrome, dims_match, record_match
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("media_av1_obu_cross_check", _avx_oracle())
+def q_media_av1_obu_cross_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AV1 CONTAINER-vs-BITSTREAM CROSS-CHECK — the AV1 leg of the
+    graded SPS cross-check family (mp4.parse_av1_cross_check): stsd
+    VisualSampleEntry claims AND the av1C record-head claims audited
+    against the sequence-header OBU parsed out of the record's
+    configOBUs (operators/av1, §5.5.1). The codebook plants both lie
+    layers a re-muxed corpus produces — a container that lies about
+    dimensions (dims_match=false) and a record head rebuilt from
+    guesses over a 12-bit high-tier OBU (record_match=false) —
+    plus a truthful monochrome 10-bit AVIF-ish variant. Oracle
+    literals derive from the fixture parameters. moov-only reads;
+    0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
+        av1_cross_check,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_avx_payload(k))) for k in range(_AVX_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _AVX_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return av1_cross_check(media.select("media_id", "payload"))
