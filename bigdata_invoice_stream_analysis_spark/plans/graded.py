@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-THIRTY-ONE of these leads already have registration-ready
+THIRTY-TWO of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -137,7 +137,10 @@ H.264/H.265 SPS cross-checks; content_triage now dispatches raw
 media_av1_obu_cross_check (mp4.parse_av1_cross_check — stsd AND
 av1C record-head claims audited against the sequence-header OBU in
 configOBUs, both lie layers planted; all 17 registered media gates
-re-verified MATCH after the mp4.py extension) — so r9 registration is a
+re-verified MATCH after the mp4.py extension), and
+crawl_frontier_gate (the governance composition: sitemap explosion
+∘ RFC 9309 robots verdicts with $-anchored wildcards, crawl
+delays, and the absent-robots distinction) — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
