@@ -3124,3 +3124,162 @@ def q_crawl_frontier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_rule",
         F.col("crawl_delay").alias("robots_delay"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zip_member_index — the offsets-only triage twin of zip_text_members
+# ---------------------------------------------------------------------------
+
+
+def _zipidx_oracle() -> str:
+    import zlib as _zlib
+
+    from bigdata_invoice_stream_analysis_spark.plans.ingestion import (
+        _ZIP_K,
+        _zip_entries,
+    )
+
+    rows = []
+    for k in range(_ZIP_K):
+        deflate = k % 3 != 0
+        for idx, (name, body) in enumerate(_zip_entries(k)):
+            is_dir = name.endswith("/")
+            if deflate and not is_dir:
+                comp = _zlib.compressobj(6, _zlib.DEFLATED, -15)
+                csize = len(comp.compress(body) + comp.flush())
+                method = 8
+            else:
+                csize = len(body)
+                method = 0
+            rows.append(
+                f"({k}, {idx}, '{name}', {method}, {csize},"
+                f" {len(body)}, {_zlib.crc32(body)},"
+                f" {'TRUE' if is_dir else 'FALSE'})"
+            )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_ZIP_K} AS INT) AS k
+  FROM documents
+),
+cb(k, member_idx, name, method, compressed_size, uncompressed_size,
+   crc32, is_dir) AS (VALUES {values})
+SELECT archive_id, CAST(member_idx AS INT) AS member_idx, name,
+       CAST(method AS INT) AS method,
+       CAST(compressed_size AS BIGINT) AS compressed_size,
+       CAST(uncompressed_size AS BIGINT) AS uncompressed_size,
+       CAST(crc32 AS BIGINT) AS crc32, is_dir
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("zip_member_index", _zipidx_oracle())
+def q_zip_member_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP MEMBER INDEX — the payload-untouched triage twin of the
+    graded zip_text_members gate, over the SAME codebook
+    (plans/ingestion._zip_payload): the central-directory walk's
+    names, methods, exact deflate/stored sizes, CRCs, and directory
+    bits. The oracle recomputes compressed sizes with the same zlib
+    parameters the fixture writer used — independent of parse_zip,
+    the parser under audit. Tail-reads only: at 100 TB the central
+    directory is ~KBs of a multi-GB shard. 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.zip import (
+        zip_members,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.ingestion import (
+        _ZIP_K,
+        _zip_payload,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_zip_payload(k))) for k in range(_ZIP_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("archive_id"),
+        (F.col("doc_id") % _ZIP_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return zip_members(media.select("archive_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# wds_component_index — per-member offsets via stdlib-tarfile oracle
+# ---------------------------------------------------------------------------
+
+
+def _wdsidx_oracle() -> str:
+    import io as _io
+    import tarfile as _tarfile
+    import zlib as _zlib
+
+    from bigdata_invoice_stream_analysis_spark.plans.ingestion import (
+        _WDS_K,
+        _wds_payload,
+    )
+
+    rows = []
+    for k in range(_WDS_K):
+        raw = _wds_payload(k)
+        tf = _tarfile.open(fileobj=_io.BytesIO(raw))
+        for i, m in enumerate(tf.getmembers()):
+            base = m.name.rsplit("/", 1)[-1]
+            key, _, ext = base.partition(".")
+            body = raw[m.offset_data : m.offset_data + m.size]
+            rows.append(
+                f"({k}, {i}, '{key}', '{ext}', {m.offset_data},"
+                f" {m.size}, {_zlib.crc32(body)})"
+            )
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS shard_id, CAST(doc_id % {_WDS_K} AS INT) AS k
+  FROM documents
+),
+cb(k, member_idx, sample_key, ext, "offset", n_bytes, crc32)
+  AS (VALUES {values})
+SELECT shard_id, CAST(member_idx AS INT) AS member_idx, sample_key,
+       ext, CAST("offset" AS BIGINT) AS "offset",
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(crc32 AS BIGINT) AS crc32
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("wds_component_index", _wdsidx_oracle())
+def q_wds_component_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET COMPONENT INDEX — the offsets-not-contents twin of
+    the graded wds_samples gate, over the SAME codebook
+    (plans/ingestion._wds_payload, incl. the pax size= override and
+    GNU longname shards): one row per tar member with the
+    WebDataset key/ext split, the exact DATA offset, size, and CRC.
+    The oracle is stdlib tarfile — a fully independent reader —
+    so member offsets through the pax/longname mechanics are pinned
+    against a second implementation, like the zip/arrow gates.
+    Map-side; 0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.wds import (
+        wds_components,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.ingestion import (
+        _WDS_K,
+        _wds_payload,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_wds_payload(k))) for k in range(_WDS_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("shard_id"),
+        (F.col("doc_id") % _WDS_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return wds_components(media.select("shard_id", "payload"))
