@@ -3283,3 +3283,77 @@ def q_wds_component_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _WDS_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return wds_components(media.select("shard_id", "payload"))
+
+
+# ---------------------------------------------------------------------------
+# domain_link_profile — the per-domain rollup of the link graph
+# ---------------------------------------------------------------------------
+
+
+def _dlp_oracle() -> str:
+    # Closed-form rollup of the warc_link_graph codebook: per
+    # (k, src_domain): total links, internal/external split, crawlable
+    # destinations, distinct destination domains.
+    rows = [
+        # k=0: 4 links — 2 internal, 1 external, 1 non-crawlable
+        "(0, 'site.example', 4, 2, 1, 3, 2)",
+        # k=1: 5 links — 3 internal, 2 external, all crawlable
+        "(1, 'blog.co.uk', 5, 3, 2, 5, 3)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_LG_K} AS INT) AS k
+  FROM documents
+),
+cb(k, src_domain, n_links, n_internal, n_external, n_crawlable,
+   n_dst_domains) AS (VALUES {values})
+SELECT archive_id, src_domain,
+       CAST(n_links AS BIGINT) AS n_links,
+       CAST(n_internal AS BIGINT) AS n_internal,
+       CAST(n_external AS BIGINT) AS n_external,
+       CAST(n_crawlable AS BIGINT) AS n_crawlable,
+       CAST(n_dst_domains AS BIGINT) AS n_dst_domains
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("domain_link_profile", _dlp_oracle())
+def q_domain_link_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN LINK PROFILE — the rollup a page-quality prior is
+    built from: the link-graph edge list (same codebook as
+    warc_link_graph) aggregated per (archive, source domain) into
+    link volume, the internal/external split, crawlable-destination
+    count, and distinct destination domains. This is the first
+    shuffle of the link-graph path, keyed exactly where it belongs —
+    (archive_id, src_domain) — with map-side partial aggregation;
+    the NULL-destination mailto: edge counts in n_links but not in
+    n_crawlable, so link accounting stays complete."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.warc import (
+        link_graph,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_lg_payload(k))) for k in range(_LG_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("archive_id"),
+        (F.col("doc_id") % _LG_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    edges = link_graph(media.select("archive_id", "payload"))
+    return edges.groupBy("archive_id", "src_domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(F.when(F.col("internal"), 1).otherwise(0))
+        .alias("n_internal"),
+        F.sum(F.when(~F.col("internal"), 1).otherwise(0))
+        .alias("n_external"),
+        F.sum(F.when(F.col("dst_url").isNotNull(), 1).otherwise(0))
+        .alias("n_crawlable"),
+        F.count_distinct("dst_domain").alias("n_dst_domains"),
+    )
