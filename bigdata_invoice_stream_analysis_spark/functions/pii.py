@@ -96,7 +96,10 @@ def card_counts(col: Column) -> tuple[Column, Column]:
 
 def pii_counts(col: Column) -> dict[str, Column]:
     """All detector counts for one text Column, as a dict of named
-    Columns (callers pick what to project)."""
+    Columns (callers pick what to project). NULL text counts as
+    empty — a missing document has zero detector hits, not NULL
+    flags (the release gate must not emit NULL verdicts)."""
+    col = F.coalesce(col, F.lit(""))
     n_cand, n_valid = card_counts(col)
     return {
         "n_emails": _count(col, EMAIL_RE),

@@ -55,7 +55,9 @@ def corpus_release_gate(
     """One verdict row per document: ``keep`` plus the fixed-order
     ``reasons`` string ('quality', 'pii', 'rare_ngrams' — empty when
     the document ships) and the contributing signals."""
-    col = F.col(text_col)
+    # NULL text must yield a definite DROP verdict ('quality'), not
+    # NULL booleans — coalesce before every detector.
+    col = F.coalesce(F.col(text_col), F.lit(""))
     counts = pii_counts(col)
     has_pii = None
     for c in counts.values():

@@ -135,3 +135,11 @@ def test_zero_python_plan(spark):
     plan = pii_audit(df)._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_null_text_counts_as_empty(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "mail a@b.co")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in pii_audit(df).collect()}
+    assert rows[0]["n_emails"] == 0 and rows[0]["has_pii"] is False
+    assert rows[1]["has_pii"] is True

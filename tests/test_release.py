@@ -60,3 +60,12 @@ def test_release_gate_zero_python(spark):
     assert "PythonUDF" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_null_text_is_a_quality_drop(spark):
+    df = spark.createDataFrame(
+        [(9, None)], "doc_id long, text string")
+    row = corpus_release_gate(df).collect()[0]
+    assert row["keep"] is False
+    assert row["has_pii"] is False
+    assert "quality" in row["reasons"]
