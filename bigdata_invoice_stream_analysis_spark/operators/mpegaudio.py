@@ -22,6 +22,8 @@ see plans/graded.py docstring).
 
 from __future__ import annotations
 
+import struct
+
 # ISO 14496-3 §1.6.3.4 samplingFrequencyIndex table — genuinely
 # shared with the AudioSpecificConfig parser in operators/mp4.py (one
 # definition; a correction there cannot diverge this path).
@@ -330,6 +332,264 @@ def audio_stream_profile(media):
                 out["media_id"].append(mid)
                 for k in cols[1:]:
                     out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 frame parsing (informal standard, id3.org: id3v2.3.0 §3-4,
+# id3v2.4.0-structure §3 / -frames §4) — the audio metadata/privacy
+# audit: who/what text frames, user TXXX pairs, comments, embedded
+# pictures and binary objects (GEOB/PRIV are where trackers hide).
+# ---------------------------------------------------------------------------
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _id3_text(body: bytes, enc: int) -> str:
+    codec = _ID3_ENCODINGS.get(enc)
+    if codec is None:
+        raise ValueError(f"ID3v2: reserved text encoding {enc}")
+    text = body.decode(codec, "replace")
+    # v2.4 multi-value strings are \x00-separated; trailing
+    # terminators are padding either way.
+    return "/".join(p for p in text.split("\x00") if p)
+
+
+def _id3_split_terminated(body: bytes, enc: int) -> tuple[bytes, bytes]:
+    """Split at the encoding-aware string terminator: \\x00 for
+    byte encodings, \\x00\\x00 on a 16-bit boundary for UTF-16."""
+    if enc in (1, 2):
+        i = 0
+        while i + 1 < len(body):
+            if body[i] == 0 and body[i + 1] == 0:
+                return body[:i], body[i + 2:]
+            i += 2
+        return body, b""
+    i = body.find(b"\x00")
+    if i < 0:
+        return body, b""
+    return body[:i], body[i + 1:]
+
+
+def _syncsafe(data: bytes) -> int:
+    size = 0
+    for b in data:
+        if b & 0x80:
+            raise ValueError("ID3v2: size bytes must be synchsafe")
+        size = (size << 7) | b
+    return size
+
+
+def parse_id3v2_frames(data: bytes) -> dict:
+    """Parse a leading ID3v2.3/2.4 tag into its frames:
+    ``{version, frames: [{frame_id, kind, text, description, mime,
+    n_bytes}]}``. Text frames (T***/TXXX), URL frames (W***/WXXX),
+    comments/lyrics (COMM/USLT) decode through the four standard
+    encodings with encoding-aware terminators; APIC/GEOB/PRIV/UFID
+    surface as binary rows with mime/owner in ``description`` and
+    their payload size — the privacy-audit bits. Raises ValueError
+    on no tag, v2.2, unsynchronised tags, or torn frames."""
+    if data[:3] != b"ID3":
+        raise ValueError("ID3v2: no tag")
+    vmaj = data[3]
+    if vmaj not in (3, 4):
+        raise ValueError(f"ID3v2.{vmaj}: unsupported version")
+    flags = data[5]
+    if flags & 0x80:
+        raise ValueError("ID3v2: unsynchronised tags not supported")
+    body_size = _syncsafe(data[6:10])
+    end = 10 + body_size
+    if end > len(data):
+        raise ValueError("ID3v2: tag size overruns payload")
+    pos = 10
+    if flags & 0x40:  # extended header
+        if vmaj == 4:
+            pos += _syncsafe(data[pos : pos + 4])  # includes itself
+        else:
+            pos += 4 + struct.unpack(">I", data[pos : pos + 4])[0]
+    frames = []
+    while pos + 10 <= end:
+        fid = data[pos : pos + 4]
+        if fid[0] == 0:
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError(f"ID3v2: bad frame id {fid!r}")
+        if vmaj == 4:
+            fsize = _syncsafe(data[pos + 4 : pos + 8])
+        else:
+            fsize = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 10 : pos + 10 + fsize]
+        if len(body) != fsize or pos + 10 + fsize > end:
+            raise ValueError(f"ID3v2: frame {fid!r} overruns tag")
+        pos += 10 + fsize
+        frame_id = fid.decode("ascii")
+        row = {"frame_id": frame_id, "kind": "binary", "text": None,
+               "description": None, "mime": None, "n_bytes": fsize}
+        if frame_id == "TXXX":
+            enc = body[0]
+            desc, rest = _id3_split_terminated(body[1:], enc)
+            row.update(kind="user_text",
+                       description=_id3_text(desc, enc),
+                       text=_id3_text(rest, enc))
+        elif frame_id.startswith("T"):
+            row.update(kind="text", text=_id3_text(body[1:], body[0]))
+        elif frame_id == "WXXX":
+            enc = body[0]
+            desc, rest = _id3_split_terminated(body[1:], enc)
+            row.update(kind="url", description=_id3_text(desc, enc),
+                       text=rest.decode("latin-1", "replace")
+                       .rstrip("\x00"))
+        elif frame_id.startswith("W"):
+            row.update(kind="url",
+                       text=body.decode("latin-1", "replace")
+                       .rstrip("\x00"))
+        elif frame_id in ("COMM", "USLT"):
+            enc = body[0]
+            lang = body[1:4].decode("latin-1", "replace")
+            desc, rest = _id3_split_terminated(body[4:], enc)
+            row.update(kind="comment" if frame_id == "COMM"
+                       else "lyrics",
+                       description=f"{lang}:{_id3_text(desc, enc)}",
+                       text=_id3_text(rest, enc))
+        elif frame_id == "APIC":
+            enc = body[0]
+            mime, rest = _id3_split_terminated(body[1:], 0)
+            desc, payload = _id3_split_terminated(rest[1:], enc)
+            row.update(kind="picture",
+                       mime=mime.decode("latin-1", "replace"),
+                       description=_id3_text(desc, enc),
+                       n_bytes=len(payload))
+        elif frame_id == "GEOB":
+            enc = body[0]
+            mime, rest = _id3_split_terminated(body[1:], 0)
+            fname, rest = _id3_split_terminated(rest, enc)
+            desc, payload = _id3_split_terminated(rest, enc)
+            row.update(kind="object",
+                       mime=mime.decode("latin-1", "replace"),
+                       description=_id3_text(desc, enc),
+                       n_bytes=len(payload))
+        elif frame_id in ("PRIV", "UFID"):
+            owner, payload = _id3_split_terminated(body, 0)
+            row.update(kind="private",
+                       description=owner.decode("latin-1", "replace"),
+                       n_bytes=len(payload))
+        frames.append(row)
+    return {"version": f"2.{vmaj}", "frames": frames}
+
+
+def encode_id3v2(
+    frames: list[tuple], *, version: int = 4, padding: int = 0
+) -> bytes:
+    """Deterministic ID3v2.3/2.4 tag for fixtures. Each frame is
+    (frame_id, spec) where spec depends on the id: T*** → (enc,
+    text); TXXX → (enc, desc, text); COMM/USLT → (enc, lang, desc,
+    text); W*** → url; APIC → (enc, mime, desc, payload);
+    GEOB → (enc, mime, filename, desc, payload); PRIV/UFID →
+    (owner, payload)."""
+    def encoded(text: str, enc: int) -> bytes:
+        return text.encode(_ID3_ENCODINGS[enc])
+
+    def term(enc: int) -> bytes:
+        return b"\x00\x00" if enc in (1, 2) else b"\x00"
+
+    out = bytearray()
+    for frame_id, spec in frames:
+        if frame_id == "TXXX":
+            enc, desc, text = spec
+            body = bytes([enc]) + encoded(desc, enc) + term(enc) \
+                + encoded(text, enc)
+        elif frame_id.startswith("T"):
+            enc, text = spec
+            body = bytes([enc]) + encoded(text, enc)
+        elif frame_id in ("COMM", "USLT"):
+            enc, lang, desc, text = spec
+            body = (bytes([enc]) + lang.encode("latin-1")
+                    + encoded(desc, enc) + term(enc)
+                    + encoded(text, enc))
+        elif frame_id.startswith("W"):
+            body = spec.encode("latin-1")
+        elif frame_id == "APIC":
+            enc, mime, desc, payload = spec
+            body = (bytes([enc]) + mime.encode("latin-1") + b"\x00"
+                    + bytes([3])  # picture type: front cover
+                    + encoded(desc, enc) + term(enc) + payload)
+        elif frame_id == "GEOB":
+            enc, mime, fname, desc, payload = spec
+            body = (bytes([enc]) + mime.encode("latin-1") + b"\x00"
+                    + encoded(fname, enc) + term(enc)
+                    + encoded(desc, enc) + term(enc) + payload)
+        elif frame_id in ("PRIV", "UFID"):
+            owner, payload = spec
+            body = owner.encode("latin-1") + b"\x00" + payload
+        else:
+            raise ValueError(f"unsupported fixture frame {frame_id}")
+        if version == 4:
+            size = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+        else:
+            size = struct.pack(">I", len(body))
+        out += frame_id.encode("ascii") + size + b"\x00\x00" + body
+    out += bytes(padding)
+    head = b"ID3" + bytes([version, 0, 0]) + bytes(
+        (len(out) >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    return bytes(head) + bytes(out)
+
+
+def id3_frames(media):
+    """(media_id, payload) ID3v2-tagged audio → one row per tag
+    frame with decoded text/description/mime and payload sizes —
+    the metadata/privacy audit an audio corpus runs before release
+    (APIC/GEOB/PRIV payload bytes never decode, only their sizes
+    surface). Untagged or unparsable payloads yield a single
+    ok=false row. Arrow mapInPandas; map-side."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("version", T.StringType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_id", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+            parse_id3v2_frames,
+        )
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+
+            def emit(mid, **kw):
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                row.update(kw)
+                for k in cols:
+                    out[k].append(row[k])
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    tag = parse_id3v2_frames(bytes(p))
+                except ValueError as exc:
+                    emit(mid, ok=False, error=str(exc)[:120])
+                    continue
+                for i, fr in enumerate(tag["frames"]):
+                    emit(mid, ok=True, version=tag["version"],
+                         frame_idx=i, frame_id=fr["frame_id"],
+                         kind=fr["kind"], text=fr["text"],
+                         description=fr["description"],
+                         mime=fr["mime"], n_bytes=fr["n_bytes"])
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=out_schema)

@@ -3357,3 +3357,153 @@ def q_domain_link_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_crawlable"),
         F.count_distinct("dst_domain").alias("n_dst_domains"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_id3_audit — ID3v2 metadata/privacy frames
+# ---------------------------------------------------------------------------
+
+_ID3_K = 3
+
+_ID3_V4_FRAMES = [
+    ("TIT2", (3, "Night Drive")),
+    ("TPE1", (0, "Artist A")),
+    ("TALB", (1, "Albüm")),
+    ("TXXX", (3, "replaygain_track_gain", "-6.2 dB")),
+    ("COMM", (3, "eng", "note", "a comment")),
+    ("WOAR", "https://artist.example/"),
+    ("APIC", (0, "image/jpeg", "cover", b"\xff\xd8" + b"J" * 40)),
+    ("PRIV", ("com.example.tracker", b"\x01\x02\x03")),
+]
+_ID3_V3_FRAMES = [
+    ("TIT2", (0, "x" * 200)),
+    ("GEOB", (0, "application/octet-stream", "data.bin",
+              "telemetry", b"\x00" * 64)),
+]
+
+
+def _id3_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        encode_mp3,
+    )
+
+    if k == 0:
+        return encode_id3v2(_ID3_V4_FRAMES, version=4, padding=16) \
+            + encode_mp3(2)
+    if k == 1:
+        return encode_id3v2(_ID3_V3_FRAMES, version=3) + encode_mp3(3)
+    return encode_mp3(2)  # untagged → one ok=false row
+
+
+def _id3_expected(k: int) -> list[tuple]:
+    """(frame_idx, frame_id, kind, text, description, mime, n_bytes)
+    derived from the fixture FRAME SPECS by independent arithmetic
+    (the same length computations the informal standard defines),
+    not by running parse_id3v2_frames."""
+    enc_len = {0: lambda s: len(s.encode("latin-1")),
+               1: lambda s: 2 + 2 * len(s),
+               2: lambda s: 2 * len(s),
+               3: lambda s: len(s.encode("utf-8"))}
+    term = {0: 1, 1: 2, 2: 2, 3: 1}
+    out = []
+    frames = _ID3_V4_FRAMES if k == 0 else _ID3_V3_FRAMES
+    for i, (fid, spec) in enumerate(frames):
+        if fid == "TXXX":
+            enc, desc, text = spec
+            size = 1 + enc_len[enc](desc) + term[enc] + enc_len[enc](text)
+            out.append((i, fid, "user_text", text, desc, None, size))
+        elif fid.startswith("T"):
+            enc, text = spec
+            out.append((i, fid, "text", text, None, None,
+                        1 + enc_len[enc](text)))
+        elif fid == "COMM":
+            enc, lang, desc, text = spec
+            size = (1 + 3 + enc_len[enc](desc) + term[enc]
+                    + enc_len[enc](text))
+            out.append((i, fid, "comment", text, f"{lang}:{desc}",
+                        None, size))
+        elif fid.startswith("W"):
+            out.append((i, fid, "url", spec, None, None, len(spec)))
+        elif fid == "APIC":
+            enc, mime, desc, payload = spec
+            out.append((i, fid, "picture", None, desc, mime,
+                        len(payload)))
+        elif fid == "GEOB":
+            enc, mime, fname, desc, payload = spec
+            out.append((i, fid, "object", None, desc, mime,
+                        len(payload)))
+        elif fid == "PRIV":
+            owner, payload = spec
+            out.append((i, fid, "private", None, owner, None,
+                        len(payload)))
+    return out
+
+
+def _id3_oracle() -> str:
+    def q(v):
+        if v is None:
+            return "NULL"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = []
+    for k, ver in ((0, "2.4"), (1, "2.3")):
+        for (i, fid, kind, text, desc, mime, size) in _id3_expected(k):
+            rows.append(
+                f"({k}, TRUE, NULL, '{ver}', {i}, '{fid}',"
+                f" '{kind}', {q(text)}, {q(desc)}, {q(mime)}, {size})"
+            )
+    rows.append("(2, FALSE, 'ID3v2: no tag', NULL, -1, NULL, NULL,"
+                " NULL, NULL, NULL, NULL)")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id AS archive_id, CAST(doc_id % {_ID3_K} AS INT) AS k
+  FROM documents
+),
+cb(k, ok, error, version, anchor_idx, frame_id, kind, text,
+   description, mime, n_bytes) AS (VALUES {values})
+SELECT archive_id, CAST(anchor_idx AS INT) AS anchor_idx, ok, error,
+       version, frame_id, kind, text, description, mime,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("audio_id3_audit", _id3_oracle())
+def q_audio_id3_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 METADATA / PRIVACY AUDIT — tag-frame extraction over
+    (ID3v2-prefixed) MP3 payloads (operators/mpegaudio
+    .parse_id3v2_frames): v2.4 syncsafe and v2.3 plain frame sizes,
+    all four text encodings with encoding-aware terminators, user
+    TXXX pairs, comments, URL frames, and the privacy-bearing binary
+    frames (APIC cover art, GEOB objects, PRIV tracker payloads)
+    surfacing as mime+size rows without decoding their bytes. The
+    untagged stream yields one quarantine row. Oracle sizes derive
+    from the fixture frame SPECS by independent length arithmetic.
+    (anchor_idx = frame_idx, −1 on the error row) keeps the sorted
+    column prefix unique and non-null (PERF §40/§44). Map-side;
+    0 data shuffles."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        id3_frames,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_id3_payload(k))) for k in range(_ID3_K)],
+        "k int, payload binary",
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % _ID3_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return id3_frames(media.select("media_id", "payload")).select(
+        F.col("media_id").alias("archive_id"),
+        F.coalesce("frame_idx", F.lit(-1)).alias("anchor_idx"),
+        "ok", "error", "version", "frame_id", "kind", "text",
+        "description", "mime", "n_bytes",
+    )

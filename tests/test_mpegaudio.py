@@ -219,3 +219,108 @@ def test_adts_bitrate_excludes_tags():
     ) + bytes(15000)
     tagged = parse_adts(id3 + encode_adts(5) + b"TAG" + bytes(125))
     assert tagged["bitrate_kbps"] == bare
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 frame parsing
+# ---------------------------------------------------------------------------
+
+
+def test_id3_frames_roundtrip_v4():
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        parse_id3v2_frames,
+    )
+
+    tag = encode_id3v2([
+        ("TIT2", (3, "Motörhead Song")),          # utf-8
+        ("TPE1", (0, "Artist")),                   # latin-1
+        ("TALB", (1, "Albüm")),                    # utf-16 w/ BOM
+        ("TXXX", (3, "replaygain_track_gain", "-6.2 dB")),
+        ("COMM", (3, "eng", "note", "a comment")),
+        ("WOAR", "https://artist.example/"),
+        ("APIC", (0, "image/jpeg", "cover", b"\xff\xd8" + b"J" * 40)),
+        ("PRIV", ("com.example.tracker", b"\x01\x02\x03")),
+    ], version=4, padding=16)
+    out = parse_id3v2_frames(tag)
+    assert out["version"] == "2.4"
+    by_id = {f["frame_id"]: f for f in out["frames"]}
+    assert by_id["TIT2"]["text"] == "Motörhead Song"
+    assert by_id["TALB"]["text"] == "Albüm"
+    assert by_id["TXXX"]["description"] == "replaygain_track_gain"
+    assert by_id["TXXX"]["text"] == "-6.2 dB"
+    assert by_id["COMM"]["description"] == "eng:note"
+    assert by_id["COMM"]["text"] == "a comment"
+    assert by_id["WOAR"]["text"] == "https://artist.example/"
+    assert by_id["APIC"]["mime"] == "image/jpeg"
+    assert by_id["APIC"]["n_bytes"] == 42
+    assert by_id["PRIV"]["description"] == "com.example.tracker"
+    assert by_id["PRIV"]["n_bytes"] == 3
+
+
+def test_id3_frames_v3_plain_sizes():
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        parse_id3v2_frames,
+    )
+
+    # a >127-byte frame: v2.3 plain u32 size vs v2.4 syncsafe differ
+    big = "x" * 200
+    tag = encode_id3v2([("TIT2", (0, big))], version=3)
+    out = parse_id3v2_frames(tag)
+    assert out["version"] == "2.3"
+    assert out["frames"][0]["text"] == big
+
+
+def test_id3_frames_utf16_terminators():
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        parse_id3v2_frames,
+    )
+
+    # the UTF-16 description terminator is \x00\x00 on a 16-bit
+    # boundary — 'A' (0x41 0x00 LE) must not terminate early
+    tag = encode_id3v2([("TXXX", (1, "ABC", "värde"))])
+    f = parse_id3v2_frames(tag)["frames"][0]
+    assert f["description"] == "ABC" and f["text"] == "värde"
+
+
+def test_id3_frames_errors():
+    import pytest as _pytest
+
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        parse_id3v2_frames,
+    )
+
+    with _pytest.raises(ValueError, match="no tag"):
+        parse_id3v2_frames(b"\xff\xfbaudio")
+    with _pytest.raises(ValueError, match="unsupported version"):
+        parse_id3v2_frames(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="unsynchronised"):
+        parse_id3v2_frames(b"ID3\x04\x00\x80\x00\x00\x00\x00")
+    good = encode_id3v2([("TIT2", (0, "t"))])
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_id3v2_frames(good[:-1])
+
+
+def test_id3_frames_operator(spark):
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        encode_mp3,
+        id3_frames,
+    )
+
+    tagged = encode_id3v2(
+        [("TIT2", (3, "Title")), ("TPE1", (0, "Artist"))]
+    ) + encode_mp3(2)
+    df = spark.createDataFrame(
+        [(0, bytearray(tagged)), (1, bytearray(encode_mp3(2)))],
+        "media_id long, payload binary",
+    )
+    rows = id3_frames(df).collect()
+    tagged_rows = [r for r in rows if r["media_id"] == 0]
+    assert {r["frame_id"] for r in tagged_rows} == {"TIT2", "TPE1"}
+    assert all(r["ok"] for r in tagged_rows)
+    bare = [r for r in rows if r["media_id"] == 1]
+    assert len(bare) == 1 and bare[0]["ok"] is False
