@@ -98,3 +98,99 @@ def sql_weighted_keep(key_sql: str, weight_sql: str, max_weight: int) -> str:
         f"(('0x' || substring(md5(CAST({key_sql} AS VARCHAR)), 1, 4))::UBIGINT)"
     )
     return f"({b} * {max_weight} < ({weight_sql}) * {_BUCKETS})"
+
+
+def source_mixture_plan(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """The source-mixing plan multi-corpus training runs on
+    (the GPT-3/Pile recipe): per source, token volume and the
+    temperature-scaled sampling weight w_i ∝ share_i^τ that
+    up-weights small high-quality sources against the web-scale
+    bulk.
+
+    Determinism engineering (the repo's standing rule — integer
+    domains wherever engines could disagree): token counts are exact
+    integer sums; ``share`` is ONE division; τ is fixed at 0.5 so
+    the scaling is ``sqrt`` — correctly rounded in IEEE 754, hence
+    bit-identical across engines, unlike ``pow`` — and the scaled
+    weight is quantized to a 1e-9 integer grid BEFORE the normalizing
+    sum, so the denominator is an exact BIGINT in both engines.
+    Outputs are integers/ppm only. (``temperature`` other than 0.5
+    raises: a libm ``pow`` would silently break the cross-engine
+    hash gate — widen deliberately or not at all.)
+
+    One map-side-combined aggregate on ``source`` — trivially
+    scale-safe; the plan table is a handful of rows at any corpus
+    size."""
+    if temperature != 0.5:
+        raise ValueError(
+            "only temperature=0.5 (sqrt) is cross-engine "
+            "deterministic; pow(x, t) is not correctly rounded"
+        )
+    toks = F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")),
+            F.lit(r"\S+"), F.lit(0),
+        )
+    ).cast("long")
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    total = per_source.select(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    scaled = per_source.crossJoin(F.broadcast(total)).select(
+        source_col, "n_docs", "n_tokens",
+        F.round(
+            F.lit(1e6) * F.col("n_tokens") / F.col("total_tokens")
+        ).cast("long").alias("token_share_ppm"),
+        F.round(
+            F.lit(1e9) * F.sqrt(
+                F.col("n_tokens") / F.col("total_tokens")
+            )
+        ).cast("long").alias("w_quant"),
+    )
+    wsum = scaled.select(F.sum("w_quant").alias("w_sum"))
+    return scaled.crossJoin(F.broadcast(wsum)).select(
+        source_col, "n_docs", "n_tokens", "token_share_ppm",
+        F.round(
+            F.lit(1e6) * F.col("w_quant") / F.col("w_sum")
+        ).cast("long").alias("mix_weight_ppm"),
+    )
+
+
+def sql_source_mixture_plan(
+    source_sql: str = "source", text_sql: str = "text"
+) -> str:
+    """The DuckDB twin of source_mixture_plan (identical integer
+    quantization; `\\S+` token counting via regexp_extract_all)."""
+    return f"""
+WITH per_source AS (
+  SELECT {source_sql} AS source, COUNT(*) AS n_docs,
+         SUM(CAST(len(regexp_extract_all(
+             COALESCE({text_sql}, ''), '\\S+')) AS BIGINT))
+           AS n_tokens
+  FROM documents GROUP BY {source_sql}
+),
+scaled AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(1e6 * n_tokens /
+              (SELECT SUM(n_tokens) FROM per_source)) AS BIGINT)
+           AS token_share_ppm,
+         CAST(ROUND(1e9 * SQRT(n_tokens /
+              (SELECT SUM(n_tokens) FROM per_source))) AS BIGINT)
+           AS w_quant
+  FROM per_source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       token_share_ppm,
+       CAST(ROUND(1e6 * w_quant /
+            (SELECT SUM(w_quant) FROM scaled)) AS BIGINT)
+         AS mix_weight_ppm
+FROM scaled
+"""

@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-THIRTY-SIX of these leads already have registration-ready
+THIRTY-SEVEN of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -148,7 +148,11 @@ plus domain_link_profile (the per-domain link rollup — volume,
 internal/external split, crawlable and distinct-destination counts)
 and audio_id3_audit (operators/mpegaudio.parse_id3v2_frames —
 ID3v2.3/2.4 tag frames, all four text encodings with
-encoding-aware terminators, APIC/GEOB/PRIV privacy rows)
+encoding-aware terminators, APIC/GEOB/PRIV privacy rows) and
+source_mixture_plan (operators/sampling.py — the τ=0.5
+temperature-mixing weights on REAL data, sqrt-not-pow for
+cross-engine determinism, 1e-9 integer-grid quantization before
+the normalizing sum)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

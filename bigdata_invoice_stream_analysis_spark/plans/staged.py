@@ -3507,3 +3507,35 @@ def q_audio_id3_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok", "error", "version", "frame_id", "kind", "text",
         "description", "mime", "n_bytes",
     )
+
+
+# ---------------------------------------------------------------------------
+# source_mixture_plan — temperature-scaled source mixing on REAL data
+# ---------------------------------------------------------------------------
+
+
+def _mix_oracle() -> str:
+    from bigdata_invoice_stream_analysis_spark.operators.sampling import (
+        sql_source_mixture_plan,
+    )
+
+    return sql_source_mixture_plan()
+
+
+@staged("source_mixture_plan", _mix_oracle())
+def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE MIXTURE PLAN on REAL data — the per-source sampling
+    weights multi-corpus training mixes with (w ∝ share^0.5,
+    up-weighting small high-quality sources): exact integer token
+    volumes, one-division shares, sqrt scaling (correctly rounded in
+    IEEE 754 — the reason τ is pinned at 0.5 instead of a libm pow),
+    and 1e-9-grid quantization BEFORE the normalizing sum so the
+    denominator is an exact BIGINT in both engines. Scale-covariant
+    at any sf; the DuckDB twin recomputes the plan from the same
+    table. One map-combined aggregate + two broadcast scalars."""
+    from bigdata_invoice_stream_analysis_spark.operators.sampling import (
+        source_mixture_plan,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_mixture_plan(d.select("source", "text"))

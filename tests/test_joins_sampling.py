@@ -224,3 +224,51 @@ def test_merge_upsert_rejects_duplicate_change_keys(spark):
     )
     got = sorted((r["k"], r["v"]) for r in merge_upsert(base, ok, "k").collect())
     assert got == [(1, 10), (2, 22), (3, 30)]
+
+
+# ---------------------------------------------------------------------------
+# source_mixture_plan
+# ---------------------------------------------------------------------------
+
+
+def test_source_mixture_plan_hand_computed(spark):
+    import math
+
+    from bigdata_invoice_stream_analysis_spark.operators.sampling import (
+        source_mixture_plan,
+    )
+
+    rows = [
+        ("web", "a b c d"),       # 4 tokens
+        ("web", "e f g h i j"),   # 6 → web 10
+        ("books", "k l m n o"),   # books 5
+        ("code", None),           # NULL text → 0 tokens
+        ("code", "p q r s t u v w x y"),  # code 10
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in source_mixture_plan(df).collect()}
+    totals = {"web": 10, "books": 5, "code": 10}
+    total = 25
+    wq = {s: round(1e9 * math.sqrt(n / total))
+          for s, n in totals.items()}
+    wsum = sum(wq.values())
+    for s, n in totals.items():
+        r = got[s]
+        assert r["n_tokens"] == n
+        assert r["token_share_ppm"] == round(1e6 * n / total)
+        assert r["mix_weight_ppm"] == round(1e6 * wq[s] / wsum)
+    # sqrt scaling up-weights the small source relative to raw share
+    assert got["books"]["mix_weight_ppm"] > got["books"]["token_share_ppm"]
+    assert got["code"]["n_docs"] == 2
+
+
+def test_source_mixture_plan_rejects_pow_temperatures(spark):
+    import pytest as _pytest
+
+    from bigdata_invoice_stream_analysis_spark.operators.sampling import (
+        source_mixture_plan,
+    )
+
+    df = spark.createDataFrame([("a", "x")], "source string, text string")
+    with _pytest.raises(ValueError, match="deterministic"):
+        source_mixture_plan(df, temperature=0.7)
