@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-THIRTY-SEVEN of these leads already have registration-ready
+THIRTY-EIGHT of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -152,7 +152,10 @@ encoding-aware terminators, APIC/GEOB/PRIV privacy rows) and
 source_mixture_plan (operators/sampling.py — the τ=0.5
 temperature-mixing weights on REAL data, sqrt-not-pow for
 cross-engine determinism, 1e-9 integer-grid quantization before
-the normalizing sum)
+the normalizing sum) and streaming_release_monitor (the
+reference's train-batch/score-stream architecture applied to the
+LLM gate: batch-trained LM support broadcast stream-static under
+the in-stream Gopher+PII detectors, complete-mode funnel rollup)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

@@ -3539,3 +3539,165 @@ def q_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return source_mixture_plan(d.select("source", "text"))
+
+
+# ---------------------------------------------------------------------------
+# streaming_release_monitor — batch-trained signals, streamed verdicts
+# ---------------------------------------------------------------------------
+
+
+def _stream_release_oracle() -> str:
+    # The batch release gate's verdict rollup — the streaming drain's
+    # final snapshot must equal it exactly.
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        CARD_RE,
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        SSN_RE,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.release import (
+        RARE_DENOM,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.text import (
+        sql_gopher_quality_flags,
+    )
+
+    gopher = sql_gopher_quality_flags("text")["gopher_pass"]
+    pii = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in (EMAIL_RE, IPV4_RE, PHONE_RE, SSN_RE, CARD_RE)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, u[1] AS w1, u[2] AS w2
+  FROM toks,
+  UNNEST(list_zip(t[1:length(t)-1], t[2:length(t)])) AS x(u)
+),
+model AS (
+  SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2
+),
+lm AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN cnt < 2 THEN 1 ELSE 0 END) AS n_rare
+  FROM bg JOIN model USING (w1, w2)
+  GROUP BY doc_id
+),
+verdicts AS (
+  SELECT d.doc_id,
+         {gopher} AS gopher_pass,
+         ({pii}) AS has_pii,
+         (COALESCE(lm.n_bigrams, 0) > 0 AND
+          COALESCE(lm.n_rare, 0) * {RARE_DENOM}
+            <= COALESCE(lm.n_bigrams, 0)) AS rare_ok
+  FROM documents d LEFT JOIN lm USING (doc_id)
+)
+SELECT (gopher_pass AND NOT has_pii AND rare_ok) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT gopher_pass THEN 'quality' END,
+         CASE WHEN has_pii THEN 'pii' END,
+         CASE WHEN NOT rare_ok THEN 'rare_ngrams' END) AS reasons,
+       COUNT(*) AS n_docs
+FROM verdicts
+GROUP BY 1, 2
+"""
+
+
+@staged("streaming_release_monitor", _stream_release_oracle())
+def q_streaming_release_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE RELEASE GATE UNDER THE STREAMING ENGINE — the reference's
+    own architecture (train batch, score the stream:
+    InvoicePipeline's KMeans models) applied to the LLM curation
+    gate: the bigram LM model is TRAINED IN BATCH over the corpus
+    (functions/ngram_lm.train + support join precomputed per doc),
+    then documents arrive as a parquet file-source stream, the
+    stateless Gopher + PII detectors run in-stream, the LM verdict
+    joins stream-static against the batch-computed support table,
+    and a complete-mode rollup maintains the running (keep, reasons)
+    funnel a continuous ingestion pipeline alerts on. The
+    availableNow drain's final snapshot must equal the batch
+    verdict rollup the oracle recomputes from scratch."""
+    from pyspark.sql import types as T
+
+    from bigdata_invoice_stream_analysis_spark.functions.ngram_lm import (
+        lm_support,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        pii_counts,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.release import (
+        RARE_DENOM,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from bigdata_invoice_stream_analysis_spark.plans.queries import (
+        _run_drain,
+    )
+    from bigdata_invoice_stream_analysis_spark.scratch import (
+        fresh_checkpoint,
+    )
+
+    batch_docs = load_table(spark, sf_dir, "documents")
+    # batch leg: the corpus-trained LM support table (tiny: doc_id +
+    # two ints), broadcast into the stream
+    support = lm_support(batch_docs.select("doc_id", "text"))
+
+    raw_schema = spark.read.parquet(
+        f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    col = F.coalesce(F.col("text"), F.lit(""))
+    counts = pii_counts(col)
+    has_pii = None
+    for c in counts.values():
+        has_pii = (c > 0) if has_pii is None else (has_pii | (c > 0))
+    signals = stream.select(
+        "doc_id",
+        gopher_quality_flags(col)["gopher_pass"].alias("gopher_pass"),
+        has_pii.alias("has_pii"),
+    ).join(F.broadcast(support), "doc_id")
+    rare_ok = (F.col("n_bigrams") > 0) & (
+        F.col("n_rare") * RARE_DENOM <= F.col("n_bigrams")
+    )
+    keep = F.col("gopher_pass") & ~F.col("has_pii") & rare_ok
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("gopher_pass"), F.lit("quality")),
+        F.when(F.col("has_pii"), F.lit("pii")),
+        F.when(~rare_ok, F.lit("rare_ngrams")),
+    )
+    agg = (
+        signals.select(keep.alias("keep"), reasons.alias("reasons"))
+        .groupBy("keep", "reasons")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    acc: list = []
+
+    def sink(bdf, _bid):
+        acc.clear()
+        acc.extend(bdf.collect())
+
+    ckpt = fresh_checkpoint("stream_release_ckpt_")
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    _run_drain(spark, writer)
+    schema = T.StructType([
+        T.StructField("keep", T.BooleanType(), False),
+        T.StructField("reasons", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+    ])
+    return spark.createDataFrame(list(acc), schema)
