@@ -480,9 +480,24 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         )
 
         a = parse_mp3(data) if fmt == "mp3" else parse_adts(data)
+        risk = False
+        if data[:3] == b"ID3":
+            # the audio privacy bit: embedded pictures/objects and
+            # PRIV tracker payloads in the leading ID3v2 tag (a
+            # padding-only or absent tag carries no risk; a torn tag
+            # already failed parse_mp3's skip above)
+            from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (  # noqa: E501
+                parse_id3v2_frames,
+            )
+
+            risk = any(
+                f["kind"] in ("picture", "object", "private")
+                for f in parse_id3v2_frames(data)["frames"]
+            )
         row.update(
             kind="audio", codec=a["codec_string"],
             duration_ms=a["duration_ms"], n_items=a["n_frames"],
+            has_metadata_risk=risk,
         )
 
 

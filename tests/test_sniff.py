@@ -369,3 +369,24 @@ def test_triage_av1_corrupt_quarantines():
     row = triage(b"\x12\x00" + b"\x0a\x20junk")
     assert row["format"] == "av1!error"
     assert row["detail"]
+
+
+def test_triage_mp3_id3_privacy_bit():
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        encode_mp3,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.sniff import (
+        triage,
+    )
+
+    risky = encode_id3v2([
+        ("TIT2", (0, "t")),
+        ("PRIV", ("com.example.tracker", b"\x01")),
+    ]) + encode_mp3(2)
+    row = triage(risky)
+    assert row["format"] == "mp3" and row["has_metadata_risk"] is True
+    benign = encode_id3v2([("TIT2", (0, "t"))]) + encode_mp3(2)
+    assert triage(benign)["has_metadata_risk"] is False
+    # padding-only tags (the encode_mp3 id3_size shape) carry no risk
+    assert triage(encode_mp3(2, id3_size=64))["has_metadata_risk"] is False
