@@ -31,10 +31,10 @@ from bigdata_invoice_stream_analysis_spark.plans.queries import query
 from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
-# content_triage — ONE dispatch row over a 20-format mixed codebook
+# content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 22
+_TRIAGE_K = 25
 
 
 def _triage_payload(k: int) -> bytes:
@@ -189,17 +189,43 @@ def _triage_payload(k: int) -> bytes:
 
     if k == 20:
         return encode_minimal_pdf(["triage page one", "and page two"])
-    # k == 21: encrypted PDF — detected, never decrypted
-    return encode_minimal_pdf(["hidden"]) + (
-        b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 99 0 R >>\n"
+    if k == 21:  # encrypted PDF — detected, never decrypted
+        return encode_minimal_pdf(["hidden"]) + (
+            b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 99 0 R >>\n"
+        )
+    if k == 22:  # Ogg-Opus (late-r8 dispatch widening)
+        from bigdata_invoice_stream_analysis_spark.operators.ogg import (
+            encode_minimal_opus,
+        )
+
+        return encode_minimal_opus()
+    if k == 23:  # raw AV1 low-overhead stream (.obu)
+        from bigdata_invoice_stream_analysis_spark.operators.av1 import (
+            encode_av1_stream,
+        )
+
+        return encode_av1_stream(dict(
+            seq_profile=0, max_width=1280, max_height=720,
+            operating_points=[(0, 8, 1)],
+        ), n_frames=4)
+    # k == 24: ID3-tagged MP3 with a PRIV tracker payload — the
+    # audio privacy-risk bit
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        encode_mp3,
     )
+
+    return encode_id3v2([
+        ("TIT2", (0, "t")),
+        ("PRIV", ("com.example.tracker", b"\x01\x02")),
+    ]) + encode_mp3(3)
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 22 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 25 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -227,7 +253,10 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (19, 'unknown',     NULL,      NULL, NULL, NULL, NULL,            NULL, FALSE, NULL),
   (20, 'pdf',         'document', NULL, NULL, NULL, NULL,           2,    FALSE, NULL),
   (21, 'pdf',         'document', NULL, NULL, NULL, NULL,           0,    FALSE,
-   'encrypted')
+   'encrypted'),
+  (22, 'ogg',         'audio',   NULL, NULL, 100,  'opus',          7,    FALSE, NULL),
+  (23, 'av1',         'video',   1280, 720,  NULL, 'av01.0.08H',    4,    FALSE, NULL),
+  (24, 'mp3',         'audio',   NULL, NULL, 78,   'mp4a.6b',       3,    TRUE,  NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,

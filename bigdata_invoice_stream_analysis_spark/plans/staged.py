@@ -1180,6 +1180,8 @@ _STREAM_TRIAGE_ROWS = [
     (16, "mp3", "audio", 4), (17, "adts", "audio", 5),
     (18, "jpeg!error", None, None), (19, "unknown", None, None),
     (20, "pdf", "document", 2), (21, "pdf", "document", 0),
+    (22, "ogg", "audio", 7), (23, "av1", "video", 4),
+    (24, "mp3", "audio", 3),
 ]
 
 
@@ -1192,7 +1194,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 22 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 25 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
