@@ -420,6 +420,18 @@ def parse_id3v2_frames(data: bytes) -> dict:
             fsize = _syncsafe(data[pos + 4 : pos + 8])
         else:
             fsize = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        fflags = struct.unpack(">H", data[pos + 8 : pos + 10])[0]
+        # Format-description flags mean the body is TRANSFORMED
+        # (compressed/encrypted/per-frame unsync, §4.1): decoding it
+        # as-is would silently return garbage — refuse instead (the
+        # quarantine contract). v2.3 keeps them in the high bits of
+        # byte 2; v2.4 in the low nibble area.
+        transform = 0x00C0 if vmaj == 3 else 0x000E
+        if fflags & transform:
+            raise ValueError(
+                f"ID3v2: frame {fid!r} uses transformed-body flags "
+                f"{fflags:#06x} (compression/encryption/unsync)"
+            )
         body = data[pos + 10 : pos + 10 + fsize]
         if len(body) != fsize or pos + 10 + fsize > end:
             raise ValueError(f"ID3v2: frame {fid!r} overruns tag")

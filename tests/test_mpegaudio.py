@@ -324,3 +324,25 @@ def test_id3_frames_operator(spark):
     assert all(r["ok"] for r in tagged_rows)
     bare = [r for r in rows if r["media_id"] == 1]
     assert len(bare) == 1 and bare[0]["ok"] is False
+
+
+def test_id3_transformed_frames_are_refused():
+    """Compressed/encrypted/per-frame-unsync frame bodies (§4.1
+    format flags) are transformed bytes — decoding them as-is would
+    silently return garbage, so the parser must raise (quarantine)."""
+    import pytest as _pytest
+
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        parse_id3v2_frames,
+    )
+
+    tag = bytearray(encode_id3v2([("TIT2", (0, "t"))], version=4))
+    # frame header starts at 10; flags are bytes 18-19
+    tag[19] |= 0x08  # v2.4 compression flag
+    with _pytest.raises(ValueError, match="transformed-body"):
+        parse_id3v2_frames(bytes(tag))
+    tag3 = bytearray(encode_id3v2([("TIT2", (0, "t"))], version=3))
+    tag3[19] |= 0x80  # v2.3 compression flag (bit 7 of flags byte 2)
+    with _pytest.raises(ValueError, match="transformed-body"):
+        parse_id3v2_frames(bytes(tag3))
