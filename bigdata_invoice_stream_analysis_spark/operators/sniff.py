@@ -73,6 +73,13 @@ def sniff_format(data: bytes) -> str:
         # covers POSIX (b"ustar\x00") AND GNU (b"ustar  \x00") magic —
         # default GNU tar output must not route to quarantine.
         return "tar"
+    if data[0] == 0x47 and len(data) >= 188 and (
+        len(data) == 188 or data[188] == 0x47
+    ):
+        # MPEG-TS: sync byte 0x47 repeating every 188 bytes — the
+        # same two-packet probe broadcast demuxers use ('G'-leading
+        # text never has a second sync at exactly +188).
+        return "ts"
     if data[:6] == b"WEBVTT" or data.lstrip(b"\xef\xbb\xbf")[:6] == b"WEBVTT":
         return "vtt"
     if data[:4] == b"PAR1":
@@ -325,6 +332,23 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         )
 
         row.update(kind="archive", n_items=len(parse_tar(data)))
+    elif fmt == "ts":
+        from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+            parse_ts,
+        )
+
+        m = parse_ts(data)
+        v, a = m["video"], m["audio"]
+        row.update(
+            kind="video" if v else ("audio" if a else "data"),
+            width=v["width"] if v else None,
+            height=v["height"] if v else None,
+            codec=(v["codec"] if v else (a["codec"] if a else None)),
+            duration_ms=m["duration_ms"], n_items=m["n_packets"],
+            detail=("scrambled" if m["scrambled"] else
+                    (f"cc_errors={m['n_cc_errors']}"
+                     if m["n_cc_errors"] else None)),
+        )
     elif fmt == "vtt":
         from bigdata_invoice_stream_analysis_spark.operators.subtitles import (
             parse_vtt,

@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 25
+_TRIAGE_K = 26
 
 
 def _triage_payload(k: int) -> bytes:
@@ -208,24 +208,31 @@ def _triage_payload(k: int) -> bytes:
             seq_profile=0, max_width=1280, max_height=720,
             operating_points=[(0, 8, 1)],
         ), n_frames=4)
-    # k == 24: ID3-tagged MP3 with a PRIV tracker payload — the
-    # audio privacy-risk bit
-    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
-        encode_id3v2,
-        encode_mp3,
+    if k == 24:  # ID3-tagged MP3 with a PRIV tracker payload — the
+        # audio privacy-risk bit
+        from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+            encode_id3v2,
+            encode_mp3,
+        )
+
+        return encode_id3v2([
+            ("TIT2", (0, "t")),
+            ("PRIV", ("com.example.tracker", b"\x01\x02")),
+        ]) + encode_mp3(3)
+    # k == 25: an HLS-style MPEG transport-stream segment — the third
+    # scraped-video container (H.264+AAC single program, PCR-timed)
+    from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+        encode_minimal_ts,
     )
 
-    return encode_id3v2([
-        ("TIT2", (0, "t")),
-        ("PRIV", ("com.example.tracker", b"\x01\x02")),
-    ]) + encode_mp3(3)
+    return encode_minimal_ts()
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 25 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 26 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -256,7 +263,8 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
    'encrypted'),
   (22, 'ogg',         'audio',   NULL, NULL, 100,  'opus',          7,    FALSE, NULL),
   (23, 'av1',         'video',   1280, 720,  NULL, 'av01.0.08H',    4,    FALSE, NULL),
-  (24, 'mp3',         'audio',   NULL, NULL, 78,   'mp4a.6b',       3,    TRUE,  NULL)
+  (24, 'mp3',         'audio',   NULL, NULL, 78,   'mp4a.6b',       3,    TRUE,  NULL),
+  (25, 'ts',          'video',   640,  368,  66,   'h264',          6,    FALSE, NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -270,7 +278,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    22-payload broadcast codebook (doc_id % 22) exercises every
+    26-payload broadcast codebook (doc_id % 26) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -278,11 +286,14 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     member-per-record .warc.gz, a non-WARC gzip (valid/unknown — the
     ADVICE r7 quarantine fix), ZIP, TAR, WebVTT, MP3, ADTS, a corrupt
     JPEG (quarantine category with the exact error detail), unknown
-    bytes, a two-page PDF (operators/pdf.py salvage walk) and an
-    ENCRYPTED PDF (detected, never decrypted — the honest boundary).
-    The closed-form oracle pins all 22 rows from the fixture
-    parameters, so a drift in ANY of the ~15 parsers behind the
-    dispatcher flips the hash. Plan: 22-row broadcast join + map-side
+    bytes, a two-page PDF (operators/pdf.py salvage walk), an
+    ENCRYPTED PDF (detected, never decrypted — the honest boundary),
+    Ogg-Opus, a raw AV1 .obu stream, an ID3/PRIV-tagged MP3 (audio
+    risk bit) and an HLS-style MPEG-TS segment whose H.264 geometry
+    comes through the shared SPS parser (operators/mpegts.py).
+    The closed-form oracle pins all 26 rows from the fixture
+    parameters, so a drift in ANY of the ~16 parsers behind the
+    dispatcher flips the hash. Plan: 26-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

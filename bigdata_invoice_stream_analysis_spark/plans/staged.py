@@ -1181,7 +1181,7 @@ _STREAM_TRIAGE_ROWS = [
     (18, "jpeg!error", None, None), (19, "unknown", None, None),
     (20, "pdf", "document", 2), (21, "pdf", "document", 0),
     (22, "ogg", "audio", 7), (23, "av1", "video", 4),
-    (24, "mp3", "audio", 3),
+    (24, "mp3", "audio", 3), (25, "ts", "video", 6),
 ]
 
 
@@ -1194,7 +1194,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 25 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 26 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -3703,3 +3703,116 @@ def q_streaming_release_monitor(
         T.StructField("n_docs", T.LongType(), False),
     ])
     return spark.createDataFrame(list(acc), schema)
+
+
+# ---------------------------------------------------------------------------
+# mpegts_stream_profile — the third scraped-video container (HLS .ts)
+# ---------------------------------------------------------------------------
+
+_TS_K = 6
+
+
+def _ts_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+        encode_minimal_ts,
+    )
+
+    if k == 0:  # baseline H.264+AAC single program, PCR-timed
+        return encode_minimal_ts()
+    if k == 1:  # 1080p via SPS crop, no PCR → PTS-span duration
+        return encode_minimal_ts(
+            width_mbs=120, height_map_units=68, crop_bottom_units=4,
+            n_video_pes=2, pcr0=None,
+        )
+    if k == 2:  # planted continuity gap — the capture-health signal
+        return encode_minimal_ts(cc_gap=True)
+    if k == 3:  # scrambled video: flagged, geometry never probed
+        return encode_minimal_ts(scramble_video=True)
+    if k == 4:  # HEVC stream type: named from the PMT, no SPS probe
+        return encode_minimal_ts(video_stream_type=0x24)
+    # k == 5: sync bytes without a valid packet body → quarantine row
+    return (b"\x47" + bytes(187)) * 2
+
+
+def _ts_oracle() -> str:
+    rows = []
+    for k in range(_TS_K):
+        n_pkts = len(_ts_payload(k)) // 188
+        if k == 5:
+            rows.append(
+                f"({k}, FALSE,"
+                " 'ts: reserved adaptation_field_control at 0',"
+                " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,"
+                " NULL, NULL)")
+            continue
+        width, height = (640, 368)
+        vcodec = "'h264'"
+        dur = 66  # PCR span 2 × 900900 ticks / 27000
+        cc = 1 if k == 2 else 0
+        scr = "TRUE" if k == 3 else "FALSE"
+        if k == 1:
+            width, height = (1920, 1080)
+            dur = 3003 * 1000 // 90000  # PTS span, one frame step
+        if k == 3:
+            width = height = "NULL"
+        if k == 4:
+            vcodec = "'hevc'"
+            width = height = "NULL"
+        rows.append(
+            f"({k}, TRUE, NULL, {n_pkts}, 1, {vcodec}, {width},"
+            f" {height}, 'aac-adts', {dur}, {cc}, 0, {scr})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_TS_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, n_packets, n_programs, video_codec, width, height,
+   audio_codec, duration_ms, n_cc_errors, n_psi_crc_bad, scrambled)
+  AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error,
+       CAST(n_packets AS INT) AS n_packets,
+       CAST(n_programs AS INT) AS n_programs, video_codec,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       audio_codec, CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(n_cc_errors AS INT) AS n_cc_errors,
+       CAST(n_psi_crc_bad AS INT) AS n_psi_crc_bad, scrambled
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("mpegts_stream_profile", _ts_oracle())
+def q_mpegts_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-TS SEGMENT PROFILE — the ISO/IEC 13818-1 packet walk
+    (operators/mpegts): PAT/PMT tables behind REAL MPEG CRC-32s, PES
+    PTS extraction, PCR-clock durations, per-PID continuity
+    accounting, and H.264 geometry through the SAME SPS parser the
+    MP4/CMAF gates use — so an HLS segment gets identical codec-truth
+    columns to its fMP4 sibling. The 6-variant codebook plants the
+    real capture pathologies: a continuity gap, a scrambled program
+    (flagged, never probed), an HEVC stream type, and a sync-only
+    blob that must quarantine, not crash. Oracle pins every column
+    from fixture parameters (packet counts from the ENCODER's output
+    length, durations from the PCR/PTS arithmetic). Map-side Arrow
+    mapInPandas; 0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+        ts_stream_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_ts_payload(k))) for k in range(_TS_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _TS_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    # archive_id: the unique non-null sort prefix the driver's
+    # hash-compare needs (PERF §40)
+    return ts_stream_profile(
+        files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
