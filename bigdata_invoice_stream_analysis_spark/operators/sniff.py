@@ -82,6 +82,8 @@ def sniff_format(data: bytes) -> str:
         return "ts"
     if data[:6] == b"WEBVTT" or data.lstrip(b"\xef\xbb\xbf")[:6] == b"WEBVTT":
         return "vtt"
+    if data[:7] == b"#EXTM3U" or data.lstrip(b"\xef\xbb\xbf")[:7] == b"#EXTM3U":
+        return "m3u8"
     if data[:4] == b"PAR1":
         return "parquet"
     if data[:3] == b"ORC" and len(data) >= 16:
@@ -358,6 +360,22 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         row.update(
             kind="text", n_items=len(cues),
             duration_ms=max((c["end_ms"] for c in cues), default=0),
+        )
+    elif fmt == "m3u8":
+        from bigdata_invoice_stream_analysis_spark.operators.hls import (
+            parse_m3u8,
+        )
+
+        m = parse_m3u8(data.decode("utf-8", "replace"))
+        full = [v for v in m["variants"] if not v["iframe_only"]]
+        row.update(
+            kind="text",
+            n_items=(len(full) if m["kind"] == "master"
+                     else len(m["segments"])),
+            duration_ms=(m["total_duration_ms"]
+                         if m["kind"] == "media" else None),
+            detail=m["kind"] + (
+                "+encrypted" if m["encrypted"] else ""),
         )
     elif fmt == "tiff":
         from bigdata_invoice_stream_analysis_spark.operators.exif import (

@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-THIRTY-NINE of these leads already have registration-ready
+FORTY of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -159,8 +159,12 @@ the in-stream Gopher+PII detectors, complete-mode funnel rollup)
 and mpegts_stream_profile (operators/mpegts.py — ISO/IEC 13818-1
 transport streams: PAT/PMT behind real MPEG CRC-32s, PES/PTS, PCR
 durations, continuity accounting, H.264 geometry via the SHARED SPS
-parser; content_triage now dispatches .ts segments too, both triage
-gates re-verified hash-MATCH with the widened 26-entry codebook)
+parser; content_triage now dispatches .ts segments too) and
+hls_manifest_audit (operators/hls.py — RFC 8216 playlists: the
+attribute tokenizer, the EXT-X-KEY encryption state machine,
+live-vs-VOD, master-variant geometry, URIs absolutized through the
+SHARED RFC 3986 resolver; both triage gates re-verified hash-MATCH
+with the widened 27-entry codebook)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

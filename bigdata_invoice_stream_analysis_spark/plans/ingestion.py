@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 26
+_TRIAGE_K = 27
 
 
 def _triage_payload(k: int) -> bytes:
@@ -219,20 +219,28 @@ def _triage_payload(k: int) -> bytes:
             ("TIT2", (0, "t")),
             ("PRIV", ("com.example.tracker", b"\x01\x02")),
         ]) + encode_mp3(3)
-    # k == 25: an HLS-style MPEG transport-stream segment — the third
-    # scraped-video container (H.264+AAC single program, PCR-timed)
-    from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
-        encode_minimal_ts,
-    )
+    if k == 25:  # an HLS-style MPEG transport-stream segment — the
+        # third scraped-video container (H.264+AAC program, PCR-timed)
+        from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+            encode_minimal_ts,
+        )
 
-    return encode_minimal_ts()
+        return encode_minimal_ts()
+    # k == 26: the HLS manifest above those segments — an AES-keyed
+    # VOD media playlist (RFC 8216)
+    return (
+        b"#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:6\n"
+        b"#EXTINF:5.5,\nseg0.ts\n"
+        b'#EXT-X-KEY:METHOD=AES-128,URI="k.bin"\n'
+        b"#EXTINF:4.5,\nseg1.ts\n#EXT-X-ENDLIST\n"
+    )
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 26 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 27 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -264,7 +272,9 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (22, 'ogg',         'audio',   NULL, NULL, 100,  'opus',          7,    FALSE, NULL),
   (23, 'av1',         'video',   1280, 720,  NULL, 'av01.0.08H',    4,    FALSE, NULL),
   (24, 'mp3',         'audio',   NULL, NULL, 78,   'mp4a.6b',       3,    TRUE,  NULL),
-  (25, 'ts',          'video',   640,  368,  66,   'h264',          6,    FALSE, NULL)
+  (25, 'ts',          'video',   640,  368,  66,   'h264',          6,    FALSE, NULL),
+  (26, 'm3u8',        'text',    NULL, NULL, 10000, NULL,           2,    FALSE,
+   'media+encrypted')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -278,7 +288,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    26-payload broadcast codebook (doc_id % 26) exercises every
+    27-payload broadcast codebook (doc_id % 27) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -289,11 +299,12 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, a two-page PDF (operators/pdf.py salvage walk), an
     ENCRYPTED PDF (detected, never decrypted — the honest boundary),
     Ogg-Opus, a raw AV1 .obu stream, an ID3/PRIV-tagged MP3 (audio
-    risk bit) and an HLS-style MPEG-TS segment whose H.264 geometry
-    comes through the shared SPS parser (operators/mpegts.py).
-    The closed-form oracle pins all 26 rows from the fixture
-    parameters, so a drift in ANY of the ~16 parsers behind the
-    dispatcher flips the hash. Plan: 26-row broadcast join + map-side
+    risk bit), an HLS-style MPEG-TS segment whose H.264 geometry
+    comes through the shared SPS parser (operators/mpegts.py), and
+    the AES-keyed HLS media playlist above it (operators/hls.py).
+    The closed-form oracle pins all 27 rows from the fixture
+    parameters, so a drift in ANY of the ~17 parsers behind the
+    dispatcher flips the hash. Plan: 27-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

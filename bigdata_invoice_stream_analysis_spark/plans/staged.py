@@ -1182,6 +1182,7 @@ _STREAM_TRIAGE_ROWS = [
     (20, "pdf", "document", 2), (21, "pdf", "document", 0),
     (22, "ogg", "audio", 7), (23, "av1", "video", 4),
     (24, "mp3", "audio", 3), (25, "ts", "video", 6),
+    (26, "m3u8", "text", 2),
 ]
 
 
@@ -1194,7 +1195,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 26 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 27 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -3815,4 +3816,111 @@ def q_mpegts_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-compare needs (PERF §40)
     return ts_stream_profile(
         files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# hls_manifest_audit — the manifest layer above the TS/fMP4 segments
+# ---------------------------------------------------------------------------
+
+_HLS_K = 5
+
+_HLS_BASE = "https://cdn.example.com/v1/{k}/index.m3u8"
+
+_HLS_MANIFESTS = [
+    # k=0: VOD media playlist, AES key mid-stream
+    ("#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:6\n"
+     "#EXTINF:5.960,\nseg0.ts\n#EXTINF:6.0,\nseg1.ts\n"
+     '#EXT-X-KEY:METHOD=AES-128,URI="key.bin"\n'
+     "#EXTINF:4.040,\nseg2.ts\n#EXT-X-ENDLIST\n"),
+    # k=1: LIVE media playlist (no ENDLIST), clear
+    ("#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:4\n"
+     "#EXT-X-MEDIA-SEQUENCE:812\n"
+     "#EXTINF:4.0,\nlive812.ts\n#EXTINF:4.0,\nlive813.ts\n"),
+    # k=2: master playlist with two variants + an I-frame stream
+    ("#EXTM3U\n#EXT-X-VERSION:4\n"
+     "#EXT-X-STREAM-INF:BANDWIDTH=1280000,RESOLUTION=640x360,"
+     'CODECS="avc1.42001e,mp4a.40.2"\nlow.m3u8\n'
+     "#EXT-X-STREAM-INF:BANDWIDTH=7680000,RESOLUTION=1920x1080\n"
+     "hi.m3u8\n"
+     '#EXT-X-I-FRAME-STREAM-INF:BANDWIDTH=86000,URI="if.m3u8"\n'),
+    # k=3: fMP4 media playlist with MAP + BYTERANGE sub-ranges
+    ("#EXTM3U\n#EXT-X-VERSION:7\n#EXT-X-TARGETDURATION:4\n"
+     '#EXT-X-MAP:URI="init.mp4"\n'
+     "#EXT-X-BYTERANGE:75232@0\n#EXTINF:4.0,\nmain.mp4\n"
+     "#EXT-X-BYTERANGE:82112@75232\n#EXTINF:3.5,\nmain.mp4\n"
+     "#EXT-X-ENDLIST\n"),
+    # k=4: dangling EXTINF — quarantine row
+    "#EXTM3U\n#EXT-X-TARGETDURATION:4\n#EXTINF:4.0,\n",
+]
+
+
+def _hls_oracle() -> str:
+    base = "https://cdn.example.com/v1"
+    rows = [
+        f"(0, TRUE, NULL, 'media', 3, 3, 0, 16000, 6000, FALSE, TRUE,"
+        f" NULL, NULL, '{base}/0/seg0.ts')",
+        f"(1, TRUE, NULL, 'media', 3, 2, 0, 8000, 4000, TRUE, FALSE,"
+        f" NULL, NULL, '{base}/1/live812.ts')",
+        "(2, TRUE, NULL, 'master', 4, 0, 2, 0, NULL, FALSE, FALSE,"
+        " 7680000, '1920x1080', NULL)",
+        f"(3, TRUE, NULL, 'media', 7, 2, 0, 7500, 4000, FALSE, FALSE,"
+        f" NULL, NULL, '{base}/3/main.mp4')",
+        "(4, FALSE, 'm3u8: dangling EXTINF at end of playlist', NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_HLS_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, kind, hls_version, n_segments, n_variants,
+   total_duration_ms, target_duration_ms, live, encrypted,
+   max_bandwidth, best_resolution, first_segment_uri)
+  AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error, kind,
+       CAST(hls_version AS INT) AS hls_version,
+       CAST(n_segments AS INT) AS n_segments,
+       CAST(n_variants AS INT) AS n_variants,
+       CAST(total_duration_ms AS BIGINT) AS total_duration_ms,
+       CAST(target_duration_ms AS BIGINT) AS target_duration_ms,
+       live, encrypted, CAST(max_bandwidth AS BIGINT) AS max_bandwidth,
+       best_resolution, first_segment_uri
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("hls_manifest_audit", _hls_oracle())
+def q_hls_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLS MANIFEST AUDIT — the RFC 8216 playlist walk
+    (operators/hls): attribute-list tokenizer (quoted commas), the
+    EXT-X-KEY encryption state machine, live-vs-VOD detection,
+    BYTERANGE/MAP fMP4 media, master-variant geometry/bandwidth, and
+    segment URIs made absolute against each manifest's own URL via
+    the SAME strict RFC 3986 resolver the WARC link graph uses. The
+    5-variant codebook covers an AES-keyed VOD playlist, a LIVE
+    window, a master with an I-frame stream, a byte-ranged fMP4
+    playlist, and a dangling-EXTINF quarantine case. Closed-form
+    oracle from the manifest literals. Map-side; 0 data shuffles,
+    1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.hls import (
+        hls_manifest_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, _HLS_MANIFESTS[k], _HLS_BASE.format(k=k))
+         for k in range(_HLS_K)],
+        "k int, text string, url string",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _HLS_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return hls_manifest_profile(
+        files.select("file_id", "text", "url")
     ).withColumnRenamed("file_id", "archive_id")
