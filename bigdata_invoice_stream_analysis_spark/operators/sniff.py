@@ -102,6 +102,8 @@ def sniff_format(data: bytes) -> str:
         return "lz4"
     if data[:4] == b"OggS":
         return "ogg"
+    if data[:4] == b"fLaC":
+        return "flac"
     if data[:2] == b"\x12\x00":
         # AV1 low-overhead bitstream: every stream opens with a
         # temporal-delimiter OBU (type 2, has_size=1, size 0) —
@@ -487,6 +489,18 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             codec=st["codec"] if st else None,
             duration_ms=st["duration_ms"] if st else None,
             n_items=meta["n_pages"],
+        )
+    elif fmt == "flac":
+        from bigdata_invoice_stream_analysis_spark.operators.flacmeta import (  # noqa: E501
+            parse_flac,
+        )
+
+        m = parse_flac(data)
+        row.update(
+            kind="audio", codec="flac",
+            duration_ms=m["duration_ms"],
+            n_items=m["total_samples"],
+            has_metadata_risk=m["has_picture"],
         )
     elif fmt == "av1":
         from bigdata_invoice_stream_analysis_spark.operators.av1 import (

@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY of these leads already have registration-ready
+FORTY-ONE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -163,8 +163,11 @@ parser; content_triage now dispatches .ts segments too) and
 hls_manifest_audit (operators/hls.py — RFC 8216 playlists: the
 attribute tokenizer, the EXT-X-KEY encryption state machine,
 live-vs-VOD, master-variant geometry, URIs absolutized through the
-SHARED RFC 3986 resolver; both triage gates re-verified hash-MATCH
-with the widened 27-entry codebook)
+SHARED RFC 3986 resolver) and flac_stream_audit
+(operators/flacmeta.py — RFC 9639 metadata blocks: packed
+STREAMINFO geometry, little-endian Vorbis comments, the PCM-MD5
+encoder-independent dedup key, cover-art risk bit; both triage
+gates re-verified hash-MATCH with the widened 28-entry codebook)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

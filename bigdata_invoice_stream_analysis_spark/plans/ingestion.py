@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 27
+_TRIAGE_K = 28
 
 
 def _triage_payload(k: int) -> bytes:
@@ -226,13 +226,24 @@ def _triage_payload(k: int) -> bytes:
         )
 
         return encode_minimal_ts()
-    # k == 26: the HLS manifest above those segments — an AES-keyed
-    # VOD media playlist (RFC 8216)
-    return (
-        b"#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:6\n"
-        b"#EXTINF:5.5,\nseg0.ts\n"
-        b'#EXT-X-KEY:METHOD=AES-128,URI="k.bin"\n'
-        b"#EXTINF:4.5,\nseg1.ts\n#EXT-X-ENDLIST\n"
+    if k == 26:  # the HLS manifest above those segments — an
+        # AES-keyed VOD media playlist (RFC 8216)
+        return (
+            b"#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:6\n"
+            b"#EXTINF:5.5,\nseg0.ts\n"
+            b'#EXT-X-KEY:METHOD=AES-128,URI="k.bin"\n'
+            b"#EXTINF:4.5,\nseg1.ts\n#EXT-X-ENDLIST\n"
+        )
+    # k == 27: native FLAC with embedded cover art — the lossless
+    # sibling of the MP3/ADTS rows, art = the audio risk bit
+    from bigdata_invoice_stream_analysis_spark.operators.flacmeta import (
+        encode_flac,
+    )
+
+    return encode_flac(
+        sample_rate=48000, channels=1, total_samples=96000,
+        tags={"TITLE": "triage"},
+        picture=("image/jpeg", 64, 64, bytes(24)),
     )
 
 
@@ -240,7 +251,7 @@ def _triage_payload(k: int) -> bytes:
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 27 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 28 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -274,7 +285,8 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (24, 'mp3',         'audio',   NULL, NULL, 78,   'mp4a.6b',       3,    TRUE,  NULL),
   (25, 'ts',          'video',   640,  368,  66,   'h264',          6,    FALSE, NULL),
   (26, 'm3u8',        'text',    NULL, NULL, 10000, NULL,           2,    FALSE,
-   'media+encrypted')
+   'media+encrypted'),
+  (27, 'flac',        'audio',   NULL, NULL, 2000, 'flac',          96000, TRUE, NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -288,7 +300,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    27-payload broadcast codebook (doc_id % 27) exercises every
+    28-payload broadcast codebook (doc_id % 28) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -301,10 +313,12 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ogg-Opus, a raw AV1 .obu stream, an ID3/PRIV-tagged MP3 (audio
     risk bit), an HLS-style MPEG-TS segment whose H.264 geometry
     comes through the shared SPS parser (operators/mpegts.py), and
-    the AES-keyed HLS media playlist above it (operators/hls.py).
-    The closed-form oracle pins all 27 rows from the fixture
-    parameters, so a drift in ANY of the ~17 parsers behind the
-    dispatcher flips the hash. Plan: 27-row broadcast join + map-side
+    the AES-keyed HLS media playlist above it (operators/hls.py),
+    and a native FLAC with embedded cover art (operators/flacmeta.py
+    — the art IS the audio risk bit, like ID3 APIC).
+    The closed-form oracle pins all 28 rows from the fixture
+    parameters, so a drift in ANY of the ~18 parsers behind the
+    dispatcher flips the hash. Plan: 28-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

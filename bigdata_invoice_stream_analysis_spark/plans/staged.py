@@ -1182,7 +1182,7 @@ _STREAM_TRIAGE_ROWS = [
     (20, "pdf", "document", 2), (21, "pdf", "document", 0),
     (22, "ogg", "audio", 7), (23, "av1", "video", 4),
     (24, "mp3", "audio", 3), (25, "ts", "video", 6),
-    (26, "m3u8", "text", 2),
+    (26, "m3u8", "text", 2), (27, "flac", "audio", 96000),
 ]
 
 
@@ -1195,7 +1195,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 27 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 28 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -3923,4 +3923,111 @@ def q_hls_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(codebook), "k")
     return hls_manifest_profile(
         files.select("file_id", "text", "url")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# flac_stream_audit — the lossless-audio metadata prologue
+# ---------------------------------------------------------------------------
+
+_FLAC_K = 5
+
+
+def _flac_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.flacmeta import (
+        encode_flac,
+    )
+
+    if k == 0:  # tagged stereo CD-quality file with known PCM MD5
+        return encode_flac(
+            md5=bytes(range(16)),
+            tags={"TITLE": "First Take", "ARTIST": "Quartet"},
+        )
+    if k == 1:  # hi-res mono with embedded cover art (risk bit)
+        return encode_flac(
+            sample_rate=96000, channels=1, bits_per_sample=24,
+            total_samples=960000,
+            picture=("image/png", 120, 80, bytes(48)),
+        )
+    if k == 2:  # streaming capture: unknown total samples, padding
+        return encode_flac(total_samples=0, padding=2048,
+                           seekpoints=4)
+    if k == 3:  # 8-channel boundary geometry
+        return encode_flac(
+            sample_rate=192000, channels=8, bits_per_sample=32,
+            total_samples=192000, tags={},
+        )
+    # k == 4: fLaC marker but a lying STREAMINFO length — quarantine
+    raw = bytearray(encode_flac())
+    raw[5:8] = (33).to_bytes(3, "big")
+    return bytes(raw)
+
+
+def _flac_oracle() -> str:
+    md5_0 = bytes(range(16)).hex()
+    rows = [
+        f"(0, TRUE, NULL, 44100, 2, 16, 441000, 10000, '{md5_0}',"
+        " 2, 2, 'First Take', FALSE, NULL, 0)",
+        f"(1, TRUE, NULL, 96000, 1, 24, 960000, 10000, '{'00' * 16}',"
+        " 2, 0, NULL, TRUE, 'image/png', 0)",
+        f"(2, TRUE, NULL, 44100, 2, 16, 0, NULL, '{'00' * 16}',"
+        " 3, 0, NULL, FALSE, NULL, 2048)",
+        f"(3, TRUE, NULL, 192000, 8, 32, 192000, 1000, '{'00' * 16}',"
+        " 2, 0, NULL, FALSE, NULL, 0)",
+        "(4, FALSE, 'flac: STREAMINFO length 33 != 34', NULL, NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_FLAC_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, sample_rate, channels, bits_per_sample,
+   total_samples, duration_ms, pcm_md5, n_blocks, n_tags, title,
+   has_picture, picture_mime, padding_bytes) AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error,
+       CAST(sample_rate AS INT) AS sample_rate,
+       CAST(channels AS INT) AS channels,
+       CAST(bits_per_sample AS INT) AS bits_per_sample,
+       CAST(total_samples AS BIGINT) AS total_samples,
+       CAST(duration_ms AS BIGINT) AS duration_ms, pcm_md5,
+       CAST(n_blocks AS INT) AS n_blocks,
+       CAST(n_tags AS INT) AS n_tags, title, has_picture,
+       picture_mime, CAST(padding_bytes AS BIGINT) AS padding_bytes
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("flac_stream_audit", _flac_oracle())
+def q_flac_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC METADATA AUDIT — the RFC 9639 block walk
+    (operators/flacmeta): packed STREAMINFO geometry (20-bit rates,
+    36-bit sample counts), the PCM MD5 fingerprint (the
+    encoder-independent dedup key lossless corpora want),
+    little-endian Vorbis comments inside the big-endian container,
+    and the embedded-cover-art risk bit. The 5-variant codebook
+    covers tagged CD-quality, hi-res-with-art, a streaming capture
+    with UNKNOWN total samples (duration stays NULL, never a
+    divide), boundary 8ch/32-bit geometry, and a lying STREAMINFO
+    length that must quarantine. Closed-form oracle from fixture
+    parameters. Map-side; 0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.flacmeta import (
+        flac_stream_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_flac_payload(k))) for k in range(_FLAC_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _FLAC_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return flac_stream_profile(
+        files.select("file_id", "payload")
     ).withColumnRenamed("file_id", "archive_id")
