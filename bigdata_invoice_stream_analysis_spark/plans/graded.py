@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-ONE of these leads already have registration-ready
+FORTY-TWO of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -168,6 +168,10 @@ SHARED RFC 3986 resolver) and flac_stream_audit
 STREAMINFO geometry, little-endian Vorbis comments, the PCM-MD5
 encoder-independent dedup key, cover-art risk bit; both triage
 gates re-verified hash-MATCH with the widened 28-entry codebook)
+and unicode_integrity_audit (functions/unicodesec.py — the
+trojan-source/invisible/mixed-script text-security gate: typed
+regexp_count counters with a DuckDB twin emitted from the same
+pattern constants, zero Python, Gopher-shaped funnel columns)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

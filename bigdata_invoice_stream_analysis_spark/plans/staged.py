@@ -4031,3 +4031,93 @@ def q_flac_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flac_stream_profile(
         files.select("file_id", "payload")
     ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# unicode_integrity_audit — the trojan-source / invisible-char gate
+# ---------------------------------------------------------------------------
+
+_USEC_K = 6
+
+_USEC_TEXTS = [
+    # k=0: clean
+    "perfectly ordinary ascii text",
+    # k=1: trojan-source bidi sandwich (RLO + isolates)
+    'access = "user‮ ⁦// admin only⁩ ⁦"',
+    # k=2: invisible characters inside identifiers
+    "pay​pal.com sign‍in here﻿ now",
+    # k=3: decode damage + a stray soft hyphen
+    "broken � text � with­ artifacts",
+    # k=4: control-character paste + a BMP noncharacter
+    "log dump \x00\x07\x1b[0m done ﷐",
+    # k=5: mixed-script spoof tokens (Cyrillic а / в in Latin words)
+    "вisit pаypal.example now",
+]
+
+# closed-form per-k counts, in COUNT_PATTERNS order:
+# (n_bidi, n_invisible, n_control, n_replacement, n_private_use,
+#  n_noncharacter, n_mixed_script_tokens)
+_USEC_COUNTS = [
+    (0, 0, 0, 0, 0, 0, 0),
+    (4, 0, 0, 0, 0, 0, 0),
+    (0, 3, 0, 0, 0, 0, 0),
+    (0, 1, 0, 2, 0, 0, 0),
+    (0, 0, 3, 0, 0, 1, 0),
+    (0, 0, 0, 0, 0, 0, 2),
+]
+
+
+def _usec_oracle() -> str:
+    rows = []
+    for k, c in enumerate(_USEC_COUNTS):
+        clean = "TRUE" if all(v == 0 for v in c) else "FALSE"
+        rows.append(f"({k}, {', '.join(map(str, c))}, {clean})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_USEC_K} AS INT) AS k FROM documents
+),
+cb(k, n_bidi, n_invisible, n_control, n_replacement, n_private_use,
+   n_noncharacter, n_mixed_script_tokens, unicode_clean)
+  AS (VALUES {values})
+SELECT doc_id,
+       CAST(n_bidi AS INT) AS n_bidi,
+       CAST(n_invisible AS INT) AS n_invisible,
+       CAST(n_control AS INT) AS n_control,
+       CAST(n_replacement AS INT) AS n_replacement,
+       CAST(n_private_use AS INT) AS n_private_use,
+       CAST(n_noncharacter AS INT) AS n_noncharacter,
+       CAST(n_mixed_script_tokens AS INT) AS n_mixed_script_tokens,
+       unicode_clean
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("unicode_integrity_audit", _usec_oracle())
+def q_unicode_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE INTEGRITY AUDIT — the pre-tokenization text-security
+    gate (functions/unicodesec): trojan-source bidi controls
+    (CVE-2021-42574), zero-width/default-ignorable characters,
+    C0/C1 control paste, U+FFFD decode damage, private-use and
+    noncharacter code points, and TR #39-style mixed-script spoof
+    tokens — each hazard class its own typed counter plus the
+    ``unicode_clean`` conjunction, same funnel shape as the Gopher
+    rules. The 6-variant codebook plants one attack per class; the
+    oracle pins the closed-form counts. Pure regexp_count Column
+    algebra: zero Python, zero shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.functions.unicodesec import (
+        unicode_integrity_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, _USEC_TEXTS[k]) for k in range(_USEC_K)],
+        "k int, probe_text string",
+    )
+    docs = d.select(
+        "doc_id", (F.col("doc_id") % _USEC_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    flags = unicode_integrity_flags(F.col("probe_text"))
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in flags.items()],
+    )
