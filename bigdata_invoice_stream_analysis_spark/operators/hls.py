@@ -341,3 +341,65 @@ def hls_manifest_profile(files):
             yield pd.DataFrame(out)
 
     return files.mapInPandas(batches, schema=out_schema)
+
+
+def hls_segments(files):
+    """(file_id, text, url) → ONE row per media segment: sequence
+    number (EXT-X-MEDIA-SEQUENCE + position), absolute uri, declared
+    EXTINF duration, key method, byterange and init-segment pointer
+    — the frontier feed that joins against fetched segment bytes.
+    Master playlists contribute zero rows (their variants are
+    playlist refs, not segments); parse failures quarantine as a
+    single seq=-1 row so the file stays visible downstream."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("uri", T.StringType(), True),
+        T.StructField("declared_ms", T.LongType(), True),
+        T.StructField("key_method", T.StringType(), True),
+        T.StructField("byterange", T.StringType(), True),
+        T.StructField("map_uri", T.StringType(), True),
+        T.StructField("discontinuity", T.BooleanType(), True),
+        T.StructField("error", T.StringType(), True),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def batches(it):
+        import pandas as pd
+
+        from bigdata_invoice_stream_analysis_spark.operators.hls import (
+            parse_m3u8,
+        )
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+
+            def emit(fid, seq, **kw):
+                row = dict.fromkeys(cols)
+                row["file_id"] = fid
+                row["seq"] = seq
+                row.update(kw)
+                for k in cols:
+                    out[k].append(row[k])
+
+            urls = (pdf["url"] if "url" in pdf.columns
+                    else [None] * len(pdf))
+            for fid, text, url in zip(pdf["file_id"], pdf["text"],
+                                      urls):
+                try:
+                    m = parse_m3u8(text, base_url=url)
+                except (ValueError, OverflowError) as exc:
+                    emit(fid, -1, error=str(exc)[:120])
+                    continue
+                for i, s in enumerate(m["segments"]):
+                    emit(fid, m["media_sequence"] + i,
+                         uri=s["uri"], declared_ms=s["duration_ms"],
+                         key_method=s["key_method"],
+                         byterange=s["byterange"],
+                         map_uri=s["map_uri"],
+                         discontinuity=s["discontinuity"])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(batches, schema=out_schema)

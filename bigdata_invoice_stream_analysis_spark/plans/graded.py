@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-TWO of these leads already have registration-ready
+FORTY-THREE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -172,6 +172,10 @@ and unicode_integrity_audit (functions/unicodesec.py — the
 trojan-source/invisible/mixed-script text-security gate: typed
 regexp_count counters with a DuckDB twin emitted from the same
 pattern constants, zero Python, Gopher-shaped funnel columns)
+and hls_segment_alignment (hls.hls_segments ⋈ mpegts PCR truth —
+manifest EXTINF claims cross-checked against the 27 MHz container
+clock, a planted lying EXTINF caught; the MP4/SPS lie-detection
+shape applied ACROSS files)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

@@ -4121,3 +4121,128 @@ def q_unicode_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", *[c.alias(n) for n, c in flags.items()],
     )
+
+
+# ---------------------------------------------------------------------------
+# hls_segment_alignment — manifest CLAIMS vs container TRUTH
+# ---------------------------------------------------------------------------
+
+_ALN_K = 3
+
+# the shared segment-bytes side: PCR-measured durations 4000/4000/1000
+_ALN_SEG_MS = {"seg0.ts": 4000, "seg1.ts": 4000, "seg2.ts": 1000}
+
+
+def _aln_segment_payload(uri: str) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+        encode_minimal_ts,
+    )
+
+    # PCR span = 2 × pcr_step ticks at 27 MHz → ms = pcr_step / 13500
+    return encode_minimal_ts(
+        pcr_step=_ALN_SEG_MS[uri] * 13500)
+
+
+def _aln_manifest(k: int) -> str:
+    if k == 0:  # truthful declarations
+        return ("#EXTM3U\n#EXT-X-TARGETDURATION:4\n"
+                "#EXTINF:4.0,\nseg0.ts\n#EXTINF:4.0,\nseg1.ts\n"
+                "#EXTINF:1.0,\nseg2.ts\n#EXT-X-ENDLIST\n")
+    if k == 1:  # the third EXTINF lies: declares 4 s, container says 1
+        return ("#EXTM3U\n#EXT-X-TARGETDURATION:4\n"
+                "#EXTINF:4.0,\nseg0.ts\n#EXTINF:4.0,\nseg1.ts\n"
+                "#EXTINF:4.0,\nseg2.ts\n#EXT-X-ENDLIST\n")
+    # k == 2: truthful + AES-keyed from the second segment on
+    return ("#EXTM3U\n#EXT-X-TARGETDURATION:4\n"
+            "#EXTINF:4.0,\nseg0.ts\n"
+            '#EXT-X-KEY:METHOD=AES-128,URI="k.bin"\n'
+            "#EXTINF:4.0,\nseg1.ts\n"
+            "#EXTINF:1.0,\nseg2.ts\n#EXT-X-ENDLIST\n")
+
+
+def _aln_oracle() -> str:
+    rows = []
+    for k in range(_ALN_K):
+        declared = [4000, 4000, 4000 if k == 1 else 1000]
+        keys = (["NONE", "AES-128", "AES-128"] if k == 2
+                else ["NONE"] * 3)
+        for seq in range(3):
+            uri = f"seg{seq}.ts"
+            measured = _ALN_SEG_MS[uri]
+            aligned = abs(declared[seq] - measured) <= 500
+            rows.append(
+                f"({k}, {seq}, 'seg{seq}.ts', {declared[seq]},"
+                f" {measured}, {str(aligned).upper()},"
+                f" '{keys[seq]}')")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_ALN_K} AS INT) AS k FROM documents
+),
+cb(k, seq, uri, declared_ms, measured_ms, aligned, key_method)
+  AS (VALUES {values})
+SELECT doc_id, CAST(seq AS INT) AS seq, uri,
+       CAST(declared_ms AS BIGINT) AS declared_ms,
+       CAST(measured_ms AS BIGINT) AS measured_ms,
+       aligned, key_method
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("hls_segment_alignment", _aln_oracle())
+def q_hls_segment_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST CLAIMS vs CONTAINER TRUTH across the streaming
+    stack: HLS manifests explode to per-segment rows
+    (operators/hls.hls_segments — EXTINF-declared durations, the
+    encryption state machine), the segment BYTES side is measured by
+    the ISO 13818-1 walk (operators/mpegts — PCR-clock durations),
+    and the join on segment uri flags every segment whose manifest
+    claim diverges from the 27 MHz truth by >500 ms — the same
+    lie-detection shape as the MP4/SPS cross-checks, applied across
+    two FILES instead of two layers of one file. One manifest
+    variant plants a lying EXTINF. At corpus scale the segment side
+    is a real table and this join shuffles on normalized uri; here
+    both sides come from bounded broadcast codebooks, so the plan
+    stays shuffle-free. Closed-form oracle from the fixture
+    parameters of BOTH sides."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.hls import (
+        hls_segments,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.mpegts import (
+        ts_stream_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    manifest_cb = spark.createDataFrame(
+        [(k, _aln_manifest(k)) for k in range(_ALN_K)],
+        "k int, text string",
+    )
+    manifests = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _ALN_K).cast("int").alias("k"),
+    ).join(F.broadcast(manifest_cb), "k")
+    declared = hls_segments(manifests.select("file_id", "text"))
+    uris = sorted(_ALN_SEG_MS)
+    seg_cb = spark.createDataFrame(
+        [(i, uri, bytearray(_aln_segment_payload(uri)))
+         for i, uri in enumerate(uris)],
+        "sid long, uri string, payload binary",
+    )
+    measured = ts_stream_profile(
+        seg_cb.select(F.col("sid").alias("file_id"), "payload")
+    ).join(
+        seg_cb.select(F.col("sid").alias("file_id"), "uri"),
+        "file_id",
+    ).select("uri", F.col("duration_ms").alias("measured_ms"))
+    joined = declared.join(F.broadcast(measured), "uri")
+    return joined.select(
+        F.col("file_id").alias("doc_id"), "seq", "uri",
+        F.col("declared_ms"), F.col("measured_ms"),
+        (F.abs(F.col("declared_ms") - F.col("measured_ms"))
+         <= F.lit(500)).alias("aligned"),
+        "key_method",
+    )

@@ -6,6 +6,7 @@ import pytest
 
 from bigdata_invoice_stream_analysis_spark.operators.hls import (
     hls_manifest_profile,
+    hls_segments,
     parse_attribute_list,
     parse_m3u8,
 )
@@ -185,3 +186,29 @@ def test_profile_operator(spark):
     plan = hls_manifest_profile(files)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_segments_exploder(spark):
+    files = spark.createDataFrame(
+        [
+            (0, MEDIA, "https://cdn.example.com/a/pl.m3u8"),
+            (1, MASTER, None),
+            (2, "#EXTM3U\n#EXTINF:4.0,\n", None),  # dangling
+        ],
+        "file_id long, text string, url string",
+    )
+    rows = hls_segments(files).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file_id"], []).append(r)
+    segs = sorted(by_file[0], key=lambda r: r["seq"])
+    # sequence numbers continue EXT-X-MEDIA-SEQUENCE
+    assert [r["seq"] for r in segs] == [264, 265, 266]
+    assert segs[0]["uri"] == "https://cdn.example.com/a/seg264.ts"
+    assert segs[0]["declared_ms"] == 5960
+    assert segs[2]["key_method"] == "AES-128"
+    # a master playlist has no media segments → zero rows
+    assert 1 not in by_file
+    # a broken playlist stays visible as one quarantine row
+    assert by_file[2][0]["seq"] == -1
+    assert "dangling EXTINF" in by_file[2][0]["error"]
