@@ -48,6 +48,8 @@ def sniff_format(data: bytes) -> str:
         return "webp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[4:8] in (b"ftyp", b"moov"):
         return "mp4"
     if data[4:8] in (b"styp", b"moof"):
@@ -249,6 +251,23 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             kind="audio", codec="pcm",
             duration_ms=a["n_samples"] * 1000 // a["sample_rate"],
             n_items=a["n_samples"],
+        )
+    elif fmt == "avi":
+        from bigdata_invoice_stream_analysis_spark.operators.avi import (
+            parse_avi,
+        )
+
+        m = parse_avi(data)
+        video = next((s for s in m["streams"]
+                      if s["type"] == "vids"), None)
+        row.update(
+            kind="video", width=m["width"], height=m["height"],
+            duration_ms=m["duration_ms"],
+            codec=((video["compression"] or video["handler"])
+                   if video else None),
+            n_items=m["n_frames"],
+            detail=None if (m["dims_match"] and m["frames_match"])
+            else "header-mismatch",
         )
     elif fmt == "mp4":
         from bigdata_invoice_stream_analysis_spark.operators.mp4 import (

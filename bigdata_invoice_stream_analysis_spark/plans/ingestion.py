@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 28
+_TRIAGE_K = 29
 
 
 def _triage_payload(k: int) -> bytes:
@@ -234,24 +234,31 @@ def _triage_payload(k: int) -> bytes:
             b'#EXT-X-KEY:METHOD=AES-128,URI="k.bin"\n'
             b"#EXTINF:4.5,\nseg1.ts\n#EXT-X-ENDLIST\n"
         )
-    # k == 27: native FLAC with embedded cover art — the lossless
-    # sibling of the MP3/ADTS rows, art = the audio risk bit
-    from bigdata_invoice_stream_analysis_spark.operators.flacmeta import (
-        encode_flac,
+    if k == 27:  # native FLAC with embedded cover art — the lossless
+        # sibling of the MP3/ADTS rows, art = the audio risk bit
+        from bigdata_invoice_stream_analysis_spark.operators.flacmeta import (  # noqa: E501
+            encode_flac,
+        )
+
+        return encode_flac(
+            sample_rate=48000, channels=1, total_samples=96000,
+            tags={"TITLE": "triage"},
+            picture=("image/jpeg", 64, 64, bytes(24)),
+        )
+    # k == 28: AVI with a LYING avih width — the legacy video
+    # container, header-mismatch surfaced in detail
+    from bigdata_invoice_stream_analysis_spark.operators.avi import (
+        encode_avi,
     )
 
-    return encode_flac(
-        sample_rate=48000, channels=1, total_samples=96000,
-        tags={"TITLE": "triage"},
-        picture=("image/jpeg", 64, 64, bytes(24)),
-    )
+    return encode_avi(n_frames=8, lie_dims=True)
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 28 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 29 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -286,7 +293,9 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (25, 'ts',          'video',   640,  368,  66,   'h264',          6,    FALSE, NULL),
   (26, 'm3u8',        'text',    NULL, NULL, 10000, NULL,           2,    FALSE,
    'media+encrypted'),
-  (27, 'flac',        'audio',   NULL, NULL, 2000, 'flac',          96000, TRUE, NULL)
+  (27, 'flac',        'audio',   NULL, NULL, 2000, 'flac',          96000, TRUE, NULL),
+  (28, 'avi',         'video',   336,  240,  266,  'mjpg',          8,    FALSE,
+   'header-mismatch')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -300,7 +309,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    28-payload broadcast codebook (doc_id % 28) exercises every
+    29-payload broadcast codebook (doc_id % 29) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -314,11 +323,13 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     risk bit), an HLS-style MPEG-TS segment whose H.264 geometry
     comes through the shared SPS parser (operators/mpegts.py), and
     the AES-keyed HLS media playlist above it (operators/hls.py),
-    and a native FLAC with embedded cover art (operators/flacmeta.py
-    — the art IS the audio risk bit, like ID3 APIC).
-    The closed-form oracle pins all 28 rows from the fixture
-    parameters, so a drift in ANY of the ~18 parsers behind the
-    dispatcher flips the hash. Plan: 28-row broadcast join + map-side
+    a native FLAC with embedded cover art (operators/flacmeta.py —
+    the art IS the audio risk bit, like ID3 APIC), and an AVI whose
+    avih main header LIES about the width (operators/avi.py —
+    header-mismatch surfaced in detail).
+    The closed-form oracle pins all 29 rows from the fixture
+    parameters, so a drift in ANY of the ~19 parsers behind the
+    dispatcher flips the hash. Plan: 29-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

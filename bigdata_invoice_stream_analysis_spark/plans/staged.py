@@ -1183,6 +1183,7 @@ _STREAM_TRIAGE_ROWS = [
     (22, "ogg", "audio", 7), (23, "av1", "video", 4),
     (24, "mp3", "audio", 3), (25, "ts", "video", 6),
     (26, "m3u8", "text", 2), (27, "flac", "audio", 96000),
+    (28, "avi", "video", 8),
 ]
 
 
@@ -1195,7 +1196,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 28 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 29 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4246,3 +4247,101 @@ def q_hls_segment_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
          <= F.lit(500)).alias("aligned"),
         "key_method",
     )
+
+
+# ---------------------------------------------------------------------------
+# avi_stream_audit — the legacy video container, lie bits included
+# ---------------------------------------------------------------------------
+
+_AVI_K = 5
+
+
+def _avi_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.avi import (
+        encode_avi,
+    )
+
+    if k == 0:  # truthful MJPEG+PCM stereo with index
+        return encode_avi()
+    if k == 1:  # avih lies about dimensions
+        return encode_avi(lie_dims=True)
+    if k == 2:  # avih lies about the frame count
+        return encode_avi(lie_frames=True, handler=b"xvid")
+    if k == 3:  # video-only, unindexed (the unseekable pathology)
+        return encode_avi(audio=None, with_idx1=False, n_frames=12,
+                          us_per_frame=40000)
+    # k == 4: RIFF/AVI magic but a chunk overrunning its parent
+    raw = bytearray(encode_avi(n_frames=2))
+    import struct as _s
+    raw[16:20] = _s.pack("<I", 1 << 30)
+    return bytes(raw)
+
+
+def _avi_oracle() -> str:
+    rows = [
+        "(0, TRUE, NULL, 320, 240, 30, 1001, 'mjpg', 2, 44100, 30,"
+        " TRUE, TRUE, TRUE)",
+        "(1, TRUE, NULL, 336, 240, 30, 1001, 'mjpg', 2, 44100, 30,"
+        " TRUE, FALSE, TRUE)",
+        "(2, TRUE, NULL, 320, 240, 35, 1001, 'xvid', 2, 44100, 30,"
+        " TRUE, TRUE, FALSE)",
+        # 12 frames at scale/rate 1000/24997 (40 ms/frame nominal)
+        f"(3, TRUE, NULL, 320, 240, 12,"
+        f" {12 * 1000 * 1000 // (1_000_000 * 1000 // 40000)},"
+        " 'mjpg', NULL, NULL, 12, FALSE, TRUE, TRUE)",
+        "(4, FALSE, 'avi: chunk ''LIST'' overruns its parent', NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_AVI_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, width, height, n_frames, duration_ms, video_codec,
+   audio_channels, audio_rate, n_movi_chunks, has_idx1, dims_match,
+   frames_match) AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(duration_ms AS BIGINT) AS duration_ms, video_codec,
+       CAST(audio_channels AS INT) AS audio_channels,
+       CAST(audio_rate AS INT) AS audio_rate,
+       CAST(n_movi_chunks AS INT) AS n_movi_chunks,
+       has_idx1, dims_match, frames_match
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("avi_stream_audit", _avi_oracle())
+def q_avi_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI CONTAINER AUDIT — the legacy scraped-video walk
+    (operators/avi): RIFF/LIST recursion with WORD alignment,
+    avih/strh/strf header extraction, rational dwScale/dwRate
+    durations, movi chunk counting without payload decode, idx1
+    presence, and the TWO container-lie bits this format affords
+    (avih dimensions vs BITMAPINFOHEADER, avih total frames vs strh
+    length) — completing the lie-detection matrix across all four
+    video containers. The 5-variant codebook plants both lies, the
+    unindexed pathology, and a chunk-overrun quarantine case.
+    Closed-form oracle from fixture parameters. Map-side; 0 data
+    shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.avi import (
+        avi_stream_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_avi_payload(k))) for k in range(_AVI_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _AVI_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return avi_stream_profile(
+        files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
