@@ -4236,7 +4236,10 @@ def q_hls_segment_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured = ts_stream_profile(
         seg_cb.select(F.col("sid").alias("file_id"), "payload")
     ).join(
-        seg_cb.select(F.col("sid").alias("file_id"), "uri"),
+        # 3-row uri lookup: broadcast, or AQE plans two pointless
+        # hash exchanges around a 3x3 join
+        F.broadcast(seg_cb.select(
+            F.col("sid").alias("file_id"), "uri")),
         "file_id",
     ).select("uri", F.col("duration_ms").alias("measured_ms"))
     joined = declared.join(F.broadcast(measured), "uri")
