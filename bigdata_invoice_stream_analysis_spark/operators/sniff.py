@@ -65,6 +65,16 @@ def sniff_format(data: bytes) -> str:
         return "pdf"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:2] == b"BM" and len(data) >= 18 and int.from_bytes(
+        data[14:18], "little"
+    ) in (12, 40, 52, 56, 64, 108, 124):
+        # 'BM' alone is weak (text collides); requiring a known DIB
+        # header size at offset 14 is the probe real sniffers use.
+        return "bmp"
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and (
+        len(data) >= 6 and 0 < int.from_bytes(data[4:6], "little") < 256
+    ):
+        return "ico"
     if data[:2] == b"\x1f\x8b":
         # gzip: a .warc.gz is the only gzip this repo claims; deeper
         # sniffing would need a decompress, which triage avoids.
@@ -408,6 +418,30 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             kind="image", codec="tiff", n_items=1,
             width=prof["image_width"], height=prof["image_height"],
             has_metadata_risk=prof["has_gps"],
+        )
+    elif fmt == "bmp":
+        from bigdata_invoice_stream_analysis_spark.operators.bmp import (
+            parse_bmp,
+        )
+
+        m = parse_bmp(data)
+        row.update(
+            kind="image", width=m["width"], height=m["height"],
+            codec=f"bmp-{m['compression']}", n_items=1,
+            detail=None if m["size_consistent"] else "truncated-pixels",
+        )
+    elif fmt == "ico":
+        from bigdata_invoice_stream_analysis_spark.operators.bmp import (
+            parse_ico,
+        )
+
+        m = parse_ico(data)
+        best = max(m["images"], key=lambda im: im["width"])
+        row.update(
+            kind="image", width=m["max_width"],
+            height=m["max_height"],
+            codec=f"ico-{best['payload_format']}",
+            n_items=m["n_images"],
         )
     elif fmt == "pdf":
         from bigdata_invoice_stream_analysis_spark.operators.pdf import (

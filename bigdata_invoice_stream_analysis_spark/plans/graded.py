@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-FOUR of these leads already have registration-ready
+FORTY-FIVE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -177,9 +177,11 @@ manifest EXTINF claims cross-checked against the 27 MHz container
 clock, a planted lying EXTINF caught; the MP4/SPS lie-detection
 shape applied ACROSS files) and avi_stream_audit (operators/avi.py
 — the legacy RIFF video container with its own two lie bits: avih
-dims vs BITMAPINFOHEADER, avih frames vs strh length; triage
-dispatches RIFF/AVI, both gates re-verified with the 29-entry
-codebook)
+dims vs BITMAPINFOHEADER, avih frames vs strh length) and
+icon_image_audit (operators/bmp.py — BMP row-alignment arithmetic
++ the size-consistency lie, ICO/CUR directories with PNG-vs-DIB
+payload sniffing; triage now also dispatches bmp/ico, both gates
+re-verified with the 31-entry codebook)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

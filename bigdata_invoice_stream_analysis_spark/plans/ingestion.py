@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 29
+_TRIAGE_K = 31
 
 
 def _triage_payload(k: int) -> bytes:
@@ -245,20 +245,31 @@ def _triage_payload(k: int) -> bytes:
             tags={"TITLE": "triage"},
             picture=("image/jpeg", 64, 64, bytes(24)),
         )
-    # k == 28: AVI with a LYING avih width — the legacy video
-    # container, header-mismatch surfaced in detail
-    from bigdata_invoice_stream_analysis_spark.operators.avi import (
-        encode_avi,
+    if k == 28:  # AVI with a LYING avih width — the legacy video
+        # container, header-mismatch surfaced in detail
+        from bigdata_invoice_stream_analysis_spark.operators.avi import (
+            encode_avi,
+        )
+
+        return encode_avi(n_frames=8, lie_dims=True)
+    from bigdata_invoice_stream_analysis_spark.operators.bmp import (
+        encode_bmp,
+        encode_ico,
     )
 
-    return encode_avi(n_frames=8, lie_dims=True)
+    if k == 29:  # BMP with a truncated pixel array (the size lie)
+        return encode_bmp(16, 16, lie_size=True)
+    # k == 30: a modern favicon — PNG payload inside an ICO
+    return encode_ico(
+        [(256, 256, b"\x89PNG\r\n\x1a\n" + bytes(16)),
+         (16, 16, b"\x28\x00\x00\x00" + bytes(36))])
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 29 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 31 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -295,7 +306,10 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
    'media+encrypted'),
   (27, 'flac',        'audio',   NULL, NULL, 2000, 'flac',          96000, TRUE, NULL),
   (28, 'avi',         'video',   336,  240,  266,  'mjpg',          8,    FALSE,
-   'header-mismatch')
+   'header-mismatch'),
+  (29, 'bmp',         'image',   16,   16,   NULL, 'bmp-rgb',       1,    FALSE,
+   'truncated-pixels'),
+  (30, 'ico',         'image',   256,  256,  NULL, 'ico-png',       2,    FALSE, NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -309,7 +323,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    29-payload broadcast codebook (doc_id % 29) exercises every
+    31-payload broadcast codebook (doc_id % 31) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -324,12 +338,13 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes through the shared SPS parser (operators/mpegts.py), and
     the AES-keyed HLS media playlist above it (operators/hls.py),
     a native FLAC with embedded cover art (operators/flacmeta.py —
-    the art IS the audio risk bit, like ID3 APIC), and an AVI whose
+    the art IS the audio risk bit, like ID3 APIC), an AVI whose
     avih main header LIES about the width (operators/avi.py —
-    header-mismatch surfaced in detail).
-    The closed-form oracle pins all 29 rows from the fixture
-    parameters, so a drift in ANY of the ~19 parsers behind the
-    dispatcher flips the hash. Plan: 29-row broadcast join + map-side
+    header-mismatch surfaced in detail), a BMP with a truncated
+    pixel array, and a PNG-payload favicon ICO (operators/bmp.py).
+    The closed-form oracle pins all 31 rows from the fixture
+    parameters, so a drift in ANY of the ~20 parsers behind the
+    dispatcher flips the hash. Plan: 31-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

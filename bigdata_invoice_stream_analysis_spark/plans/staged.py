@@ -1183,7 +1183,8 @@ _STREAM_TRIAGE_ROWS = [
     (22, "ogg", "audio", 7), (23, "av1", "video", 4),
     (24, "mp3", "audio", 3), (25, "ts", "video", 6),
     (26, "m3u8", "text", 2), (27, "flac", "audio", 96000),
-    (28, "avi", "video", 8),
+    (28, "avi", "video", 8), (29, "bmp", "image", 1),
+    (30, "ico", "image", 2),
 ]
 
 
@@ -1196,7 +1197,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 29 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 31 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4346,5 +4347,92 @@ def q_avi_stream_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _AVI_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return avi_stream_profile(
+        files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# icon_image_audit — BMP/ICO: the favicon layer of a web crawl
+# ---------------------------------------------------------------------------
+
+_ICON_K = 5
+
+
+def _icon_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.bmp import (
+        encode_bmp,
+        encode_ico,
+    )
+
+    if k == 0:  # plain bottom-up 24-bit BMP
+        return encode_bmp(40, 30)
+    if k == 1:  # top-down DIB with a truncated pixel array
+        return encode_bmp(32, 32, top_down=True, lie_size=True)
+    if k == 2:  # modern favicon: PNG payload at 256 + DIB at 16
+        return encode_ico(
+            [(256, 256, b"\x89PNG\r\n\x1a\n" + bytes(20)),
+             (16, 16, b"\x28\x00\x00\x00" + bytes(36))])
+    if k == 3:  # cursor file, single DIB entry
+        return encode_ico(
+            [(48, 48, b"\x28\x00\x00\x00" + bytes(36))],
+            cursor=True)
+    # k == 4: ICONDIR whose entry overruns the file — quarantine
+    import struct as _s
+    raw = bytearray(_icon_payload(2))
+    _s.pack_into("<I", raw, 6 + 8, 1 << 20)
+    return bytes(raw)
+
+
+def _icon_oracle() -> str:
+    rows = [
+        "(0, TRUE, NULL, 'bmp', 40, 30, 24, 1, 'rgb', TRUE)",
+        "(1, TRUE, NULL, 'bmp', 32, 32, 24, 1, 'rgb', FALSE)",
+        "(2, TRUE, NULL, 'icon', 256, 256, 32, 2, 'png', TRUE)",
+        "(3, TRUE, NULL, 'cursor', 48, 48, 32, 1, 'dib', TRUE)",
+        "(4, FALSE, 'ico: image 0 payload overruns file', NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_ICON_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, kind, width, height, bpp, n_images,
+   payload_format, size_consistent) AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error, kind,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(bpp AS INT) AS bpp, CAST(n_images AS INT) AS n_images,
+       payload_format, size_consistent
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("icon_image_audit", _icon_oracle())
+def q_icon_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP/ICO AUDIT — the favicon layer (operators/bmp): DIB header
+    eras with 4-byte row-alignment arithmetic, top-down DIBs, the
+    size-consistency lie (header promises a pixel array the file
+    doesn't contain), ICONDIR walks with 0-means-256 geometry, PNG
+    vs DIB payload sniffing, cursor files, and an entry-overrun
+    quarantine case. Closed-form oracle from fixture parameters.
+    Map-side; 0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.bmp import (
+        icon_image_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_icon_payload(k))) for k in range(_ICON_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _ICON_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return icon_image_profile(
         files.select("file_id", "payload")
     ).withColumnRenamed("file_id", "archive_id")
