@@ -50,6 +50,12 @@ def sniff_format(data: bytes) -> str:
         return "wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
+    if data[4:8] == b"ftyp" and data[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1"
+    ):
+        # HEIF-family brands are IMAGES in an ISO-BMFF shell — they
+        # must route to the meta-box walker, not the movie demuxer.
+        return "heif"
     if data[4:8] in (b"ftyp", b"moov"):
         return "mp4"
     if data[4:8] in (b"styp", b"moof"):
@@ -298,6 +304,18 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
                        codec=prof["codec_string"])
         except ValueError:
             row["codec"] = "mp4/unindexed"  # raw-stsd fixtures etc.
+    elif fmt == "heif":
+        from bigdata_invoice_stream_analysis_spark.operators.heif import (
+            parse_heif,
+        )
+
+        m = parse_heif(data)
+        row.update(
+            kind="image", width=m["width"], height=m["height"],
+            codec=m["codec"], n_items=m["n_items"],
+            has_metadata_risk=m["has_exif"] or m["has_xmp"],
+            detail=None if m["dims_match"] else "header-mismatch",
+        )
     elif fmt == "mp4_segment":
         # Valid DASH/CMAF media segment: codec metadata lives in the
         # init segment, so the row records the category and nothing

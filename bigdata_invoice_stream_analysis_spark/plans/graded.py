@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-FIVE of these leads already have registration-ready
+FORTY-SIX of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -180,8 +180,12 @@ shape applied ACROSS files) and avi_stream_audit (operators/avi.py
 dims vs BITMAPINFOHEADER, avih frames vs strh length) and
 icon_image_audit (operators/bmp.py — BMP row-alignment arithmetic
 + the size-consistency lie, ICO/CUR directories with PNG-vs-DIB
-payload sniffing; triage now also dispatches bmp/ico, both gates
-re-verified with the 31-entry codebook)
+payload sniffing) and heif_image_audit (operators/heif.py — the
+MODERN image formats: the 23008-12 meta-box walk REUSING the shared
+BMFF/AV1/HEVC parsers, ispe-vs-bitstream lie detection, Exif/XMP
+privacy items, grid/irot structure; triage routes HEIF brands
+before the movie demuxer, both gates re-verified with the 33-entry
+codebook)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 31
+_TRIAGE_K = 33
 
 
 def _triage_payload(k: int) -> bytes:
@@ -259,17 +259,25 @@ def _triage_payload(k: int) -> bytes:
 
     if k == 29:  # BMP with a truncated pixel array (the size lie)
         return encode_bmp(16, 16, lie_size=True)
-    # k == 30: a modern favicon — PNG payload inside an ICO
-    return encode_ico(
-        [(256, 256, b"\x89PNG\r\n\x1a\n" + bytes(16)),
-         (16, 16, b"\x28\x00\x00\x00" + bytes(36))])
+    if k == 30:  # a modern favicon — PNG payload inside an ICO
+        return encode_ico(
+            [(256, 256, b"\x89PNG\r\n\x1a\n" + bytes(16)),
+             (16, 16, b"\x28\x00\x00\x00" + bytes(36))])
+    from bigdata_invoice_stream_analysis_spark.operators.heif import (
+        encode_minimal_heif,
+    )
+
+    if k == 31:  # AVIF whose ispe LIES vs the av1C sequence header
+        return encode_minimal_heif(lie_dims=True)
+    # k == 32: HEIC phone photo with an Exif item — the privacy bit
+    return encode_minimal_heif(codec="hvc1", with_exif=True)
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 31 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 33 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -309,7 +317,10 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
    'header-mismatch'),
   (29, 'bmp',         'image',   16,   16,   NULL, 'bmp-rgb',       1,    FALSE,
    'truncated-pixels'),
-  (30, 'ico',         'image',   256,  256,  NULL, 'ico-png',       2,    FALSE, NULL)
+  (30, 'ico',         'image',   256,  256,  NULL, 'ico-png',       2,    FALSE, NULL),
+  (31, 'heif',        'image',   648,  480,  NULL, 'av01.0.08M',    1,    FALSE,
+   'header-mismatch'),
+  (32, 'heif',        'image',   640,  480,  NULL, 'hvc1.1.L93',    2,    TRUE,  NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -323,7 +334,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    31-payload broadcast codebook (doc_id % 31) exercises every
+    33-payload broadcast codebook (doc_id % 33) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -341,10 +352,13 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the art IS the audio risk bit, like ID3 APIC), an AVI whose
     avih main header LIES about the width (operators/avi.py —
     header-mismatch surfaced in detail), a BMP with a truncated
-    pixel array, and a PNG-payload favicon ICO (operators/bmp.py).
-    The closed-form oracle pins all 31 rows from the fixture
-    parameters, so a drift in ANY of the ~20 parsers behind the
-    dispatcher flips the hash. Plan: 31-row broadcast join + map-side
+    pixel array, a PNG-payload favicon ICO (operators/bmp.py), an
+    AVIF whose ispe claim LIES against the av1C sequence header, and
+    an Exif-carrying HEIC phone photo (operators/heif.py — the
+    meta-box walker reusing the shared BMFF/AV1/HEVC parsers).
+    The closed-form oracle pins all 33 rows from the fixture
+    parameters, so a drift in ANY of the ~21 parsers behind the
+    dispatcher flips the hash. Plan: 33-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

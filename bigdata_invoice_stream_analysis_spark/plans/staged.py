@@ -1184,7 +1184,8 @@ _STREAM_TRIAGE_ROWS = [
     (24, "mp3", "audio", 3), (25, "ts", "video", 6),
     (26, "m3u8", "text", 2), (27, "flac", "audio", 96000),
     (28, "avi", "video", 8), (29, "bmp", "image", 1),
-    (30, "ico", "image", 2),
+    (30, "ico", "image", 2), (31, "heif", "image", 1),
+    (32, "heif", "image", 2),
 ]
 
 
@@ -1197,7 +1198,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 31 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 33 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4434,5 +4435,99 @@ def q_icon_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _ICON_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return icon_image_profile(
+        files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# heif_image_audit — the MODERN image formats (AVIF/HEIC)
+# ---------------------------------------------------------------------------
+
+_HEIF_K = 6
+
+
+def _heif_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.heif import (
+        encode_minimal_heif,
+    )
+
+    if k == 0:  # plain AVIF, truthful
+        return encode_minimal_heif()
+    if k == 1:  # AVIF whose ispe claim lies vs the sequence header
+        return encode_minimal_heif(lie_dims=True)
+    if k == 2:  # HEIC phone photo with Exif + XMP (privacy items)
+        return encode_minimal_heif(codec="hvc1", with_exif=True,
+                                   with_xmp=True)
+    if k == 3:  # grid-derived AVIF (multi-tile panorama shape)
+        return encode_minimal_heif(grid=True, width=1280,
+                                   height=720, seq_level=12)
+    if k == 4:  # rotated capture — naive w×h filters get this wrong
+        return encode_minimal_heif(rotation=90)
+    # k == 5: BMFF but not a HEIF brand — quarantine
+    return b"\x00\x00\x00\x10ftypmp42mp42"
+
+
+def _heif_oracle() -> str:
+    rows = [
+        "(0, TRUE, NULL, 'avif', 'av01', 640, 480, 'av01.0.08M',"
+        " 640, 480, TRUE, 1, FALSE, FALSE, 0)",
+        "(1, TRUE, NULL, 'avif', 'av01', 648, 480, 'av01.0.08M',"
+        " 640, 480, FALSE, 1, FALSE, FALSE, 0)",
+        "(2, TRUE, NULL, 'heic', 'hvc1', 640, 480, 'hvc1.1.L93',"
+        " 640, 480, TRUE, 3, TRUE, TRUE, 0)",
+        "(3, TRUE, NULL, 'avif', 'grid', 1280, 720, 'av01.0.12M',"
+        " 1280, 720, TRUE, 2, FALSE, FALSE, 0)",
+        "(4, TRUE, NULL, 'avif', 'av01', 640, 480, 'av01.0.08M',"
+        " 640, 480, TRUE, 1, FALSE, FALSE, 90)",
+        "(5, FALSE, 'heif: not a HEIF brand ''mp42''', NULL, NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_HEIF_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, brand, primary_type, width, height, codec,
+   bitstream_width, bitstream_height, dims_match, n_items, has_exif,
+   has_xmp, rotation) AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error, brand, primary_type,
+       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       codec, CAST(bitstream_width AS INT) AS bitstream_width,
+       CAST(bitstream_height AS INT) AS bitstream_height,
+       dims_match, CAST(n_items AS INT) AS n_items, has_exif,
+       has_xmp, CAST(rotation AS INT) AS rotation
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("heif_image_audit", _heif_oracle())
+def q_heif_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEIF/AVIF AUDIT — the modern image formats (operators/heif):
+    the 23008-12 meta-box walk over the SHARED BMFF box grammar,
+    with codec truth through the SHARED AV1 sequence-header and HEVC
+    SPS parsers — ispe container claims cross-checked against the
+    embedded bitstream (one variant plants a lying ispe), Exif/XMP
+    metadata ITEMS (the phone-photo privacy surface), grid-derived
+    images, and irot rotation (the property that breaks naive w×h
+    filters). Closed-form oracle from fixture parameters. Map-side;
+    0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.heif import (
+        heif_image_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_heif_payload(k))) for k in range(_HEIF_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _HEIF_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return heif_image_profile(
         files.select("file_id", "payload")
     ).withColumnRenamed("file_id", "archive_id")
