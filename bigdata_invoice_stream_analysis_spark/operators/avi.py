@@ -134,10 +134,16 @@ def parse_avi(data: bytes) -> dict:
     def _count_movi(pos: int, stop: int) -> int:
         n = 0
         while pos + 8 <= stop:
+            cc = data[pos:pos + 4]
             size = struct.unpack_from("<I", data, pos + 4)[0]
             if pos + 8 + size > stop:
                 raise ValueError("avi: movi chunk overruns")
-            n += 1
+            if cc == b"LIST" and data[pos + 8:pos + 12] == b"rec ":
+                # interleaved AVIs group ~1 s of frames in 'rec '
+                # LISTs — count the GRANDCHILDREN, not the wrapper
+                n += _count_movi(pos + 12, pos + 8 + size)
+            else:
+                n += 1
             pos += 8 + size + (size & 1)
         return n
 

@@ -109,3 +109,27 @@ def test_profile_operator(spark):
     plan = avi_stream_profile(files)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_rec_grouped_movi_counts_grandchildren():
+    # interleaved AVIs wrap ~1 s of frames in 'LIST rec ' groups:
+    # the frame count must come from the grandchildren
+    import struct as _s
+
+    from bigdata_invoice_stream_analysis_spark.operators.avi import (
+        _chunk,
+        _list,
+    )
+
+    raw = bytearray(encode_avi(n_frames=2, audio=None,
+                               with_idx1=False))
+    # rebuild the movi LIST body as one 'rec ' group of 3 frames
+    frames = b"".join(_chunk(b"00dc", bytes(10)) for _ in range(3))
+    rec = _list(b"rec ", frames)
+    i = raw.find(b"movi") - 8
+    old_size = _s.unpack_from("<I", raw, i + 4)[0]
+    new_movi = _s.pack("<I", 4 + len(rec)) + b"movi" + rec
+    raw = raw[:i + 4] + new_movi + raw[i + 8 + old_size:]
+    _s.pack_into("<I", raw, 4, len(raw) - 8)  # fix RIFF size
+    m = parse_avi(bytes(raw))
+    assert m["n_movi_chunks"] == 3

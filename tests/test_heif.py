@@ -109,3 +109,34 @@ def test_profile_operator(spark):
     plan = heif_image_profile(files)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ipma_15bit_indices_flag():
+    # ipma flags&1 widens each association to essential(1)+index(15):
+    # rewrite the encoder's 7-bit ipma into the wide layout
+    import struct as _s
+
+    from bigdata_invoice_stream_analysis_spark.operators.heif import (
+        _fullbox,
+    )
+
+    raw = bytearray(encode_minimal_heif())
+    i = raw.rfind(b"ipma") - 4
+    old_size = _s.unpack_from(">I", raw, i)[0]
+    wide = _fullbox(
+        b"ipma",
+        _s.pack(">I", 1) + _s.pack(">H", 1) + bytes([2])
+        + _s.pack(">HH", 0x8001, 0x8002),
+        flags=1)
+    raw2 = raw[:i] + wide + raw[i + old_size:]
+    # fix the enclosing iprp and meta sizes
+    delta = len(wide) - old_size
+    j = raw2.rfind(b"iprp") - 4
+    _s.pack_into(">I", raw2, j,
+                 _s.unpack_from(">I", raw2, j)[0] + delta)
+    k = raw2.find(b"meta") - 4
+    _s.pack_into(">I", raw2, k,
+                 _s.unpack_from(">I", raw2, k)[0] + delta)
+    m = parse_heif(bytes(raw2))
+    assert (m["width"], m["height"]) == (640, 480)
+    assert m["codec"] == "av01.0.08M"

@@ -217,3 +217,34 @@ def test_profile_operator(spark, sf_dir):
     assert not rows[3]["ok"] and rows[3]["error"]
     plan = ts_stream_profile(files)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-side: zero shuffles
+
+
+def test_psi_section_spanning_packets():
+    # a PMT with enough streams that its section exceeds one packet:
+    # the reassembly path (pointer_field, continuation packets) must
+    # produce the same table as the single-packet path
+    streams = [(0x1B, 0x100 + i) for i in range(50)]
+    pmt = encode_pmt(1, 0x100, streams)
+    assert len(pmt) > 184  # really spans packets
+    ts = (packetize(0, encode_pat({1: 0x80}), psi=True)
+          + packetize(0x80, pmt, psi=True))
+    m = parse_ts(ts)
+    assert len(m["programs"][0]["streams"]) == 50
+    assert m["n_psi_crc_bad"] == 0
+    assert m["pids"][0x80]["n_packets"] >= 2
+
+
+def test_two_sections_in_one_packet():
+    # two PATs back-to-back in one payload: the drain loop must
+    # parse BOTH (the version-bump pattern live muxers emit), then
+    # the PMT on the pid only the second PAT announced must resolve
+    pat1 = encode_pat({1: 0x100}, tsid=5, version=0)
+    pat2 = encode_pat({1: 0x100, 2: 0x200}, tsid=5, version=1)
+    ts = (packetize(0, pat1 + pat2, psi=True)
+          + packetize(0x200, encode_pmt(2, 0x201, [(0x0F, 0x201)]),
+                      psi=True))
+    m = parse_ts(ts)
+    assert m["transport_stream_id"] == 5
+    assert m["n_psi_crc_bad"] == 0
+    assert [p["program_number"] for p in m["programs"]] == [2]
+    assert m["audio"]["pid"] == 0x201

@@ -33,6 +33,10 @@ SAMPLES = [
     # BOTH ω-tokens mix Greek with Latin letters — 2 findings
     ("ω-metric here and ωlatin too",
      {"n_mixed_script_tokens": 2}),
+    # supplementary-plane PUA (plane 15): BOTH engines must count
+    # the astral code point once (surrogate-pair vs code-point trap)
+    ("astral \U000F0001 glyph and bmp  glyph",
+     {"n_private_use": 2}),
 ]
 
 
