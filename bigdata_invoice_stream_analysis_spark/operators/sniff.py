@@ -376,7 +376,26 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             parse_zip,
         )
 
-        row.update(kind="archive", n_items=len(parse_zip(data)))
+        members = parse_zip(data)
+        names = {m["name"] for m in members}
+        if "[Content_Types].xml" in names:
+            # an OOXML package shipped as .zip bytes: route it to the
+            # document pipeline, with the macro bit as the risk
+            from bigdata_invoice_stream_analysis_spark.operators.ooxml import (  # noqa: E501
+                parse_ooxml,
+            )
+
+            m = parse_ooxml(data)
+            row.update(
+                format="ooxml", kind="document",
+                codec=m["kind"], n_items=m["n_units"],
+                has_metadata_risk=bool(
+                    m["has_macros"] or m["creator"]
+                    or m["last_modified_by"]),
+                detail="macros" if m["has_macros"] else None,
+            )
+        else:
+            row.update(kind="archive", n_items=len(members))
     elif fmt == "tar":
         from bigdata_invoice_stream_analysis_spark.operators.wds import (
             parse_tar,

@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-SIX of these leads already have registration-ready
+FORTY-SEVEN of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -184,8 +184,11 @@ payload sniffing) and heif_image_audit (operators/heif.py — the
 MODERN image formats: the 23008-12 meta-box walk REUSING the shared
 BMFF/AV1/HEVC parsers, ispe-vs-bitstream lie detection, Exif/XMP
 privacy items, grid/irot structure; triage routes HEIF brands
-before the movie demuxer, both gates re-verified with the 33-entry
-codebook)
+before the movie demuxer) and ooxml_document_audit
+(operators/ooxml.py — DOCX/XLSX/PPTX text through the graded ZIP
+layer, entity-safe without an XML parser, author-metadata privacy
+bit + vbaProject macro bit; triage upgrades OOXML zips to the
+document path, both gates re-verified with the 34-entry codebook)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 33
+_TRIAGE_K = 34
 
 
 def _triage_payload(k: int) -> bytes:
@@ -269,15 +269,24 @@ def _triage_payload(k: int) -> bytes:
 
     if k == 31:  # AVIF whose ispe LIES vs the av1C sequence header
         return encode_minimal_heif(lie_dims=True)
-    # k == 32: HEIC phone photo with an Exif item — the privacy bit
-    return encode_minimal_heif(codec="hvc1", with_exif=True)
+    if k == 32:  # HEIC phone photo with an Exif item — privacy bit
+        return encode_minimal_heif(codec="hvc1", with_exif=True)
+    # k == 33: a macro-carrying DOCX (a .docm renamed .docx — the
+    # classic malware shape) with author metadata
+    from bigdata_invoice_stream_analysis_spark.operators.ooxml import (
+        encode_minimal_docx,
+    )
+
+    return encode_minimal_docx(
+        ["quarterly numbers", "see attached"],
+        creator="A. Person", with_macro=True)
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 33 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 34 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -320,7 +329,9 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (30, 'ico',         'image',   256,  256,  NULL, 'ico-png',       2,    FALSE, NULL),
   (31, 'heif',        'image',   648,  480,  NULL, 'av01.0.08M',    1,    FALSE,
    'header-mismatch'),
-  (32, 'heif',        'image',   640,  480,  NULL, 'hvc1.1.L93',    2,    TRUE,  NULL)
+  (32, 'heif',        'image',   640,  480,  NULL, 'hvc1.1.L93',    2,    TRUE,  NULL),
+  (33, 'ooxml',       'document', NULL, NULL, NULL, 'docx',         2,    TRUE,
+   'macros')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -334,7 +345,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    33-payload broadcast codebook (doc_id % 33) exercises every
+    34-payload broadcast codebook (doc_id % 34) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -353,12 +364,14 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     avih main header LIES about the width (operators/avi.py —
     header-mismatch surfaced in detail), a BMP with a truncated
     pixel array, a PNG-payload favicon ICO (operators/bmp.py), an
-    AVIF whose ispe claim LIES against the av1C sequence header, and
-    an Exif-carrying HEIC phone photo (operators/heif.py — the
-    meta-box walker reusing the shared BMFF/AV1/HEVC parsers).
-    The closed-form oracle pins all 33 rows from the fixture
-    parameters, so a drift in ANY of the ~21 parsers behind the
-    dispatcher flips the hash. Plan: 33-row broadcast join + map-side
+    AVIF whose ispe claim LIES against the av1C sequence header, an
+    Exif-carrying HEIC phone photo (operators/heif.py — the
+    meta-box walker reusing the shared BMFF/AV1/HEVC parsers), and a
+    macro-carrying DOCX with author metadata (operators/ooxml.py —
+    the zip branch upgrades OOXML packages to the document path).
+    The closed-form oracle pins all 34 rows from the fixture
+    parameters, so a drift in ANY of the ~22 parsers behind the
+    dispatcher flips the hash. Plan: 34-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

@@ -1185,7 +1185,7 @@ _STREAM_TRIAGE_ROWS = [
     (26, "m3u8", "text", 2), (27, "flac", "audio", 96000),
     (28, "avi", "video", 8), (29, "bmp", "image", 1),
     (30, "ico", "image", 2), (31, "heif", "image", 1),
-    (32, "heif", "image", 2),
+    (32, "heif", "image", 2), (33, "ooxml", "document", 2),
 ]
 
 
@@ -1198,7 +1198,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 33 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 34 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4529,5 +4529,111 @@ def q_heif_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _HEIF_K).cast("int").alias("k"),
     ).join(F.broadcast(codebook), "k")
     return heif_image_profile(
+        files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# ooxml_document_audit — office documents through the ZIP layer
+# ---------------------------------------------------------------------------
+
+_OOX_K = 5
+
+
+def _oox_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.ooxml import (
+        encode_minimal_docx,
+        encode_minimal_pptx,
+        encode_minimal_xlsx,
+    )
+
+    if k == 0:  # clean docx with entity-escaped text
+        return encode_minimal_docx(
+            ["Hello & <world>", "Second paragraph"], title="Memo")
+    if k == 1:  # author metadata + macro (the renamed-.docm shape)
+        return encode_minimal_docx(
+            ["quarterly numbers"], creator="A. Person",
+            last_modified_by="B. Other", with_macro=True, media=2)
+    if k == 2:  # spreadsheet: shared strings + 3 sheets
+        from bigdata_invoice_stream_analysis_spark.operators.ooxml import (  # noqa: E501
+            encode_minimal_xlsx,
+        )
+
+        return encode_minimal_xlsx(["alpha", "beta"], n_sheets=3)
+    if k == 3:  # slides
+        return encode_minimal_pptx([["one", "two"], ["three"]])
+    # k == 4: a valid ZIP that is NOT an OOXML package — quarantine
+    # at THIS operator (triage would keep it as archive)
+    from bigdata_invoice_stream_analysis_spark.operators.zip import (
+        encode_zip,
+    )
+
+    return encode_zip([("data.txt", b"just a zip")])
+
+
+def _oox_oracle() -> str:
+    nl = "' || chr(10) || '"
+    rows = [
+        f"(0, TRUE, NULL, 'docx', 'Hello & <world>{nl}Second"
+        " paragraph', 2, 32, NULL, NULL, 'Memo', FALSE, FALSE,"
+        " 0, 2)",
+        "(1, TRUE, NULL, 'docx', 'quarterly numbers', 1, 17,"
+        " 'A. Person', 'B. Other', NULL, TRUE, TRUE, 2, 1)",
+        f"(2, TRUE, NULL, 'xlsx', 'alpha{nl}beta', 2, 10, NULL,"
+        " NULL, NULL, FALSE, FALSE, 0, 3)",
+        f"(3, TRUE, NULL, 'pptx', 'one{nl}two{nl}three', 3, 13,"
+        " NULL, NULL, NULL, FALSE, FALSE, 0, 2)",
+        "(4, FALSE, 'ooxml: no [Content_Types].xml part', NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,"
+        " NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_OOX_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, kind, text, n_paragraphs, n_chars, creator,
+   last_modified_by, title, has_author_metadata, has_macros,
+   n_media, n_units) AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error, kind, text,
+       CAST(n_paragraphs AS INT) AS n_paragraphs,
+       CAST(n_chars AS INT) AS n_chars, creator, last_modified_by,
+       title, has_author_metadata, has_macros,
+       CAST(n_media AS INT) AS n_media,
+       CAST(n_units AS INT) AS n_units
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("ooxml_document_audit", _oox_oracle())
+def q_ooxml_document_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFICE DOCUMENT AUDIT — DOCX/XLSX/PPTX text extraction
+    (operators/ooxml) COMPOSED on the graded ZIP layer (central
+    directory + real inflate + CRC): entity-aware text without an
+    XML parser (entity bombs structurally impossible — nothing
+    expands), author metadata as the privacy bit (creator /
+    lastModifiedBy are real names, the EXIF-GPS of documents), the
+    vbaProject macro bit (renamed .docm = the classic malware
+    shape), embedded-media counts, sheet/slide counting. Closed-form
+    oracle from fixture parameters. Map-side; 0 data shuffles,
+    1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.ooxml import (
+        ooxml_document_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_oox_payload(k))) for k in range(_OOX_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _OOX_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return ooxml_document_profile(
         files.select("file_id", "payload")
     ).withColumnRenamed("file_id", "archive_id")
