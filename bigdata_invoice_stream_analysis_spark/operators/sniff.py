@@ -102,6 +102,12 @@ def sniff_format(data: bytes) -> str:
         return "vtt"
     if data[:7] == b"#EXTM3U" or data.lstrip(b"\xef\xbb\xbf")[:7] == b"#EXTM3U":
         return "m3u8"
+    head = data.lstrip(b"\xef\xbb\xbf \t\r\n")[:16]
+    if (head.startswith((b"<?xml", b"<svg", b"<!DOCTYPE svg"))
+            and b"<svg" in data[:1024]):
+        # requiring the <svg root keeps generic XML (sitemaps, feeds)
+        # out of the image path
+        return "svg"
     if data[:4] == b"PAR1":
         return "parquet"
     if data[:3] == b"ORC" and len(data) >= 16:
@@ -455,6 +461,23 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             kind="image", codec="tiff", n_items=1,
             width=prof["image_width"], height=prof["image_height"],
             has_metadata_risk=prof["has_gps"],
+        )
+    elif fmt == "svg":
+        from bigdata_invoice_stream_analysis_spark.operators.svg import (
+            parse_svg,
+        )
+
+        m = parse_svg(data.decode("utf-8", "replace"))
+        w = m["width"] if m["width"] is not None else m["viewbox_width"]
+        h = (m["height"] if m["height"] is not None
+             else m["viewbox_height"])
+        row.update(
+            kind="image",
+            width=int(w) if w is not None else None,
+            height=int(h) if h is not None else None,
+            codec="svg", n_items=m["n_elements"],
+            has_metadata_risk=m["svg_risky"],
+            detail="scripted" if m["svg_risky"] else None,
         )
     elif fmt == "bmp":
         from bigdata_invoice_stream_analysis_spark.operators.bmp import (

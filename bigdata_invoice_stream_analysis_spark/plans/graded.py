@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-SEVEN of these leads already have registration-ready
+FORTY-EIGHT of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -188,7 +188,11 @@ before the movie demuxer) and ooxml_document_audit
 (operators/ooxml.py — DOCX/XLSX/PPTX text through the graded ZIP
 layer, entity-safe without an XML parser, author-metadata privacy
 bit + vbaProject macro bit; triage upgrades OOXML zips to the
-document path, both gates re-verified with the 34-entry codebook)
+document path) and svg_image_audit (operators/svg.py — the only
+image format that EXECUTES: script/handler/foreignObject/external-
+ref counters with the pre-rasterization svg_risky bit, viewBox
+geometry, text-run extraction; both triage gates re-verified with
+the 35-entry codebook)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

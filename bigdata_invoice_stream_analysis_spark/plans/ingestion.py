@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 34
+_TRIAGE_K = 35
 
 
 def _triage_payload(k: int) -> bytes:
@@ -271,22 +271,28 @@ def _triage_payload(k: int) -> bytes:
         return encode_minimal_heif(lie_dims=True)
     if k == 32:  # HEIC phone photo with an Exif item — privacy bit
         return encode_minimal_heif(codec="hvc1", with_exif=True)
-    # k == 33: a macro-carrying DOCX (a .docm renamed .docx — the
-    # classic malware shape) with author metadata
-    from bigdata_invoice_stream_analysis_spark.operators.ooxml import (
-        encode_minimal_docx,
-    )
+    if k == 33:  # a macro-carrying DOCX (a .docm renamed .docx —
+        # the classic malware shape) with author metadata
+        from bigdata_invoice_stream_analysis_spark.operators.ooxml import (  # noqa: E501
+            encode_minimal_docx,
+        )
 
-    return encode_minimal_docx(
-        ["quarterly numbers", "see attached"],
-        creator="A. Person", with_macro=True)
+        return encode_minimal_docx(
+            ["quarterly numbers", "see attached"],
+            creator="A. Person", with_macro=True)
+    # k == 34: a SCRIPTED SVG — the only image format that executes
+    return (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="48" '
+        b'height="32" onload="run()"><script>x()</script>'
+        b"<rect/><text>logo</text></svg>"
+    )
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 34 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 35 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -331,7 +337,9 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
    'header-mismatch'),
   (32, 'heif',        'image',   640,  480,  NULL, 'hvc1.1.L93',    2,    TRUE,  NULL),
   (33, 'ooxml',       'document', NULL, NULL, NULL, 'docx',         2,    TRUE,
-   'macros')
+   'macros'),
+  (34, 'svg',         'image',   48,   32,   NULL, 'svg',           4,    TRUE,
+   'scripted')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -345,7 +353,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    34-payload broadcast codebook (doc_id % 34) exercises every
+    35-payload broadcast codebook (doc_id % 35) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -368,10 +376,12 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exif-carrying HEIC phone photo (operators/heif.py — the
     meta-box walker reusing the shared BMFF/AV1/HEVC parsers), and a
     macro-carrying DOCX with author metadata (operators/ooxml.py —
-    the zip branch upgrades OOXML packages to the document path).
-    The closed-form oracle pins all 34 rows from the fixture
-    parameters, so a drift in ANY of the ~22 parsers behind the
-    dispatcher flips the hash. Plan: 34-row broadcast join + map-side
+    the zip branch upgrades OOXML packages to the document path),
+    and a SCRIPTED SVG (operators/svg.py — the only image format
+    that executes; risk bit + 'scripted' detail).
+    The closed-form oracle pins all 35 rows from the fixture
+    parameters, so a drift in ANY of the ~23 parsers behind the
+    dispatcher flips the hash. Plan: 35-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

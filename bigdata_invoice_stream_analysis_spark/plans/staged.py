@@ -1186,6 +1186,7 @@ _STREAM_TRIAGE_ROWS = [
     (28, "avi", "video", 8), (29, "bmp", "image", 1),
     (30, "ico", "image", 2), (31, "heif", "image", 1),
     (32, "heif", "image", 2), (33, "ooxml", "document", 2),
+    (34, "svg", "image", 4),
 ]
 
 
@@ -1198,7 +1199,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 34 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 35 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4636,4 +4637,100 @@ def q_ooxml_document_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(codebook), "k")
     return ooxml_document_profile(
         files.select("file_id", "payload")
+    ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# svg_image_audit — the only image format that can execute
+# ---------------------------------------------------------------------------
+
+_SVG_K = 5
+
+_SVG_DOCS = [
+    # k=0: clean icon with text runs and a viewBox
+    ('<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg"'
+     ' width="120" height="80" viewBox="0 0 240 160">'
+     "<rect/><text>Hello &amp; label</text>"
+     "<text><tspan>nested</tspan></text></svg>"),
+    # k=1: the attack surface — onload + script + foreignObject
+    ('<svg onload="run()" width="10" height="10">'
+     "<script>x()</script><foreignObject/></svg>"),
+    # k=2: tracker refs + data URI, no executable content
+    ('<svg width="64" height="64">'
+     '<image href="https://tracker.example/p.png"/>'
+     '<image href="data:image/png;base64,AAAA"/></svg>'),
+    # k=3: percentage width — viewBox is the real geometry
+    '<svg width="100%" viewBox="0 0 512 256"><circle/></svg>',
+    # k=4: XML but not SVG — quarantine
+    '<?xml version="1.0"?><urlset><url/></urlset>',
+]
+
+
+def _svg_oracle() -> str:
+    rows = [
+        "(0, TRUE, NULL, 120.0, 80.0, 240.0, 160.0, 5,"
+        " 'Hello & label' || chr(10) || 'nested', 0, 0, 0, FALSE,"
+        " FALSE)",
+        "(1, TRUE, NULL, 10.0, 10.0, NULL, NULL, 3, '', 1, 1, 0,"
+        " TRUE, TRUE)",
+        "(2, TRUE, NULL, 64.0, 64.0, NULL, NULL, 3, '', 0, 0, 1,"
+        " FALSE, FALSE)",
+        "(3, TRUE, NULL, 100.0, NULL, 512.0, 256.0, 2, '', 0, 0, 0,"
+        " FALSE, FALSE)",
+        "(4, FALSE, 'svg: no <svg> root element', NULL, NULL, NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_SVG_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, width, height, viewbox_width, viewbox_height,
+   n_elements, text, n_scripts, n_event_handlers, n_external_refs,
+   has_foreign_object, svg_risky) AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error,
+       CAST(width AS DOUBLE) AS width,
+       CAST(height AS DOUBLE) AS height,
+       CAST(viewbox_width AS DOUBLE) AS viewbox_width,
+       CAST(viewbox_height AS DOUBLE) AS viewbox_height,
+       CAST(n_elements AS INT) AS n_elements, text,
+       CAST(n_scripts AS INT) AS n_scripts,
+       CAST(n_event_handlers AS INT) AS n_event_handlers,
+       CAST(n_external_refs AS INT) AS n_external_refs,
+       has_foreign_object, svg_risky
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("svg_image_audit", _svg_oracle())
+def q_svg_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG SECURITY TRIAGE — the only image format that can carry
+    executable code (operators/svg): script tags, on*= handler
+    attributes, foreignObject HTML, external href fetches and data:
+    URIs each get their own counter, with svg_risky as the
+    quarantine bit an image pipeline applies BEFORE rasterization;
+    geometry comes from width/height with the viewBox fallback, and
+    <text>/<tspan> runs are extracted entity-decoded through the
+    same bounded scanner as the OOXML gate. Closed-form oracle from
+    the document literals. Map-side; 0 data shuffles, 1 bounded
+    broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.svg import (
+        svg_image_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, _SVG_DOCS[k]) for k in range(_SVG_K)],
+        "k int, text string",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _SVG_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    return svg_image_profile(
+        files.select("file_id", "text")
     ).withColumnRenamed("file_id", "archive_id")
