@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-EIGHT of these leads already have registration-ready
+FORTY-NINE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -192,7 +192,10 @@ document path) and svg_image_audit (operators/svg.py — the only
 image format that EXECUTES: script/handler/foreignObject/external-
 ref counters with the pre-rasterization svg_risky bit, viewBox
 geometry, text-run extraction; both triage gates re-verified with
-the 35-entry codebook)
+the 35-entry codebook) and document_release_funnel (four layers in
+one plan: ZIP → OOXML text → unicodesec/Gopher/PII gates → the
+(keep, reasons) verdict with 'unicode' and 'macros' reason codes —
+office text proven to flow through the SAME funnel as web text)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After

@@ -4734,3 +4734,129 @@ def q_svg_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return svg_image_profile(
         files.select("file_id", "text")
     ).withColumnRenamed("file_id", "archive_id")
+
+
+# ---------------------------------------------------------------------------
+# document_release_funnel — office docs through the text release gates
+# ---------------------------------------------------------------------------
+
+_DRF_K = 5
+
+_DRF_LONG = (
+    "The quarterly review shows steady progress across all the "
+    "regional teams and their delivery programs. Customer demand "
+    "for the core product line remains strong, and the operations "
+    "group has kept fulfilment times stable through the seasonal "
+    "peak. Hiring plans for the support organization were approved "
+    "by the board with minor adjustments to the training budget."
+)
+
+
+def _drf_payload(k: int) -> bytes:
+    from bigdata_invoice_stream_analysis_spark.operators.ooxml import (
+        encode_minimal_docx,
+    )
+
+    if k == 0:  # clean long document — ships
+        return encode_minimal_docx([_DRF_LONG])
+    if k == 1:  # PII: a contact email inside the body
+        return encode_minimal_docx(
+            [_DRF_LONG, "Contact billing.lead@example.com for terms."])
+    if k == 2:  # trojan-source bidi control inside the body
+        return encode_minimal_docx(
+            [_DRF_LONG, "approved‮ reviewer note"])
+    if k == 3:  # clean text but a macro payload — blocked at the
+        # document layer, not the text layer
+        return encode_minimal_docx([_DRF_LONG], with_macro=True)
+    # k == 4: too short for the Gopher word-count rule
+    return encode_minimal_docx(["Approved."])
+
+
+def _drf_oracle() -> str:
+    rows = [
+        "(0, TRUE,  '')",
+        "(1, FALSE, 'pii')",
+        "(2, FALSE, 'unicode')",
+        "(3, FALSE, 'macros')",
+        "(4, FALSE, 'quality')",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_DRF_K} AS INT) AS k FROM documents
+),
+cb(k, keep, reasons) AS (VALUES {values})
+SELECT doc_id, CAST('docx' AS VARCHAR) AS kind, keep, reasons
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("document_release_funnel", _drf_oracle())
+def q_document_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFICE DOCUMENTS THROUGH THE RELEASE GATES — four layers in
+    one plan: ZIP (central directory + inflate) → OOXML text
+    extraction (operators/ooxml, macro bit) → the text-security and
+    quality gates (functions/unicodesec bidi/invisible audit,
+    functions/text Gopher rules, functions/pii detectors) → one
+    (keep, reasons) verdict per document with the release gate's
+    fixed-order reason codes plus 'unicode' and 'macros'. The
+    codebook plants one failure per layer: a PII email, a
+    trojan-source bidi control, a vbaProject macro, and a
+    too-short body — proving extracted office text flows through
+    the SAME funnel as web text. Plan: one mapInPandas extraction +
+    pure Column gates; 0 data shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.pii import (
+        pii_counts,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.text import (
+        gopher_quality_flags,
+    )
+    from bigdata_invoice_stream_analysis_spark.functions.unicodesec import (
+        unicode_integrity_flags,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.ooxml import (
+        ooxml_document_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, bytearray(_drf_payload(k))) for k in range(_DRF_K)],
+        "k int, payload binary",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _DRF_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    docs = ooxml_document_profile(
+        files.select("file_id", "payload"))
+    col = F.coalesce(F.col("text"), F.lit(""))
+    counts = pii_counts(col)
+    has_pii = None
+    for c in counts.values():
+        has_pii = (c > 0) if has_pii is None else (has_pii | (c > 0))
+    gates = docs.select(
+        F.col("file_id").alias("doc_id"),
+        F.col("kind"),
+        gopher_quality_flags(col)["gopher_pass"].alias("gopher_pass"),
+        has_pii.alias("has_pii"),
+        unicode_integrity_flags(col)["unicode_clean"]
+        .alias("unicode_clean"),
+        F.col("has_macros"),
+    )
+    keep = (F.col("gopher_pass") & ~F.col("has_pii")
+            & F.col("unicode_clean") & ~F.col("has_macros"))
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("gopher_pass"), F.lit("quality")),
+        F.when(F.col("has_pii"), F.lit("pii")),
+        F.when(~F.col("unicode_clean"), F.lit("unicode")),
+        F.when(F.col("has_macros"), F.lit("macros")),
+    )
+    return gates.select(
+        "doc_id", "kind", keep.alias("keep"),
+        reasons.alias("reasons"),
+    )
