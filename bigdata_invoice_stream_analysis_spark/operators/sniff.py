@@ -108,6 +108,23 @@ def sniff_format(data: bytes) -> str:
         # requiring the <svg root keeps generic XML (sitemaps, feeds)
         # out of the image path
         return "svg"
+    if head.startswith((b"<?xml", b"<rss", b"<feed")) and (
+        b"<rss" in data[:1024] or b"<feed" in data[:1024]
+    ):
+        return "feed"
+    if head.startswith(b"{"):
+        # JSON-Lines: the dominant LLM interchange format. Sniff =
+        # the first line parses as a JSON object (bounded: one line,
+        # capped at 64 KiB).
+        nl = data.find(b"\n")
+        first = data[: nl if 0 <= nl <= 65536 else 65536]
+        try:
+            import json as _json
+
+            if isinstance(_json.loads(first), dict):
+                return "jsonl"
+        except ValueError:
+            pass
     if data[:4] == b"PAR1":
         return "parquet"
     if data[:3] == b"ORC" and len(data) >= 16:
@@ -462,6 +479,28 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
             width=prof["image_width"], height=prof["image_height"],
             has_metadata_risk=prof["has_gps"],
         )
+    elif fmt == "feed":
+        from bigdata_invoice_stream_analysis_spark.operators.feeds import (
+            parse_feed,
+        )
+
+        m = parse_feed(data.decode("utf-8", "replace"))
+        row.update(kind="web", codec=m["kind"],
+                   n_items=m["n_entries"], detail=m["title"])
+    elif fmt == "jsonl":
+        import json as _json
+
+        good = bad = 0
+        for line in data.decode("utf-8", "replace").splitlines():
+            if not line.strip():
+                continue
+            try:
+                _json.loads(line)
+                good += 1
+            except ValueError:
+                bad += 1
+        row.update(kind="table", codec="jsonl", n_items=good,
+                   detail=f"bad_lines={bad}" if bad else None)
     elif fmt == "svg":
         from bigdata_invoice_stream_analysis_spark.operators.svg import (
             parse_svg,

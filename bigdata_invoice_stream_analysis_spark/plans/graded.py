@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FORTY-NINE of these leads already have registration-ready
+FIFTY of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -196,12 +196,31 @@ the 35-entry codebook) and document_release_funnel (four layers in
 one plan: ZIP → OOXML text → unicodesec/Gopher/PII gates → the
 (keep, reasons) verdict with 'unicode' and 'macros' reason codes —
 office text proven to flow through the SAME funnel as web text)
+and feed_frontier (operators/feeds.py — RSS/Atom crawl discovery
+with both link conventions and the shared RFC 3986 resolver; triage
+now also dispatches feeds and JSON-Lines shards — torn jsonl
+records counted, never fatal — with the 37-entry codebook
+re-verified hash-MATCH)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with
 window slots. After
 r8 the r04 cohort (37 rows) becomes r9's mandatory set — budget slots
 accordingly: 50 − 37 mandatory leaves ~13 for pins + new; restore the
 thinned §2 pins first, then register the leads above as slots allow.
+SUGGESTED r9 priority over the 49 staged leads (one row grading many
+parsers, REAL-data gates, and new capability families first):
+(1) document_release_funnel (grades zip+ooxml+unicodesec+gopher+pii
+in ONE row), (2) corpus_release_gate + lm_support_audit (REAL-data),
+(3) streaming_content_triage (the ingestion layer under the
+streaming engine — its codebook now spans 35 formats),
+(4) hls_segment_alignment (cross-FILE lie check: hls+mpegts),
+(5) heif_image_audit (modern images through the shared codec
+parsers), (6) unicode_integrity_audit, (7) pii_audit,
+(8) mpegts_stream_profile, (9) svg_image_audit (the executable
+image), (10) variant_order_shred + variant_schema_drift (REAL-data
+Spark-4 VARIANT), (11) pdf_text_extract, (12) warc_link_graph,
+(13) bpe_corpus_tokens; roll the remaining ~36 forward with the
+same freshness bookkeeping.
 Rotate per round: queries displaced this round keep their green rows
 from CORRECTNESS_r01-r07 and remain locally parity-gated by
 tests/test_oracle_parity.py over ALL registered oracles.

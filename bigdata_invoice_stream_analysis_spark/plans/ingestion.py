@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 35
+_TRIAGE_K = 37
 
 
 def _triage_payload(k: int) -> bytes:
@@ -280,11 +280,27 @@ def _triage_payload(k: int) -> bytes:
         return encode_minimal_docx(
             ["quarterly numbers", "see attached"],
             creator="A. Person", with_macro=True)
-    # k == 34: a SCRIPTED SVG — the only image format that executes
+    if k == 34:  # a SCRIPTED SVG — the only image format that executes
+        return (
+            b'<svg xmlns="http://www.w3.org/2000/svg" width="48" '
+            b'height="32" onload="run()"><script>x()</script>'
+            b"<rect/><text>logo</text></svg>"
+        )
+    if k == 35:  # an RSS feed — the crawl-discovery layer
+        return (
+            b'<?xml version="1.0"?><rss version="2.0"><channel>'
+            b"<title>Feed Title</title>"
+            b"<item><title>a</title><link>/a</link></item>"
+            b"<item><title>b</title><link>/b</link></item>"
+            b"</channel></rss>"
+        )
+    # k == 36: JSON-Lines with one torn record — the dominant LLM
+    # interchange format
     return (
-        b'<svg xmlns="http://www.w3.org/2000/svg" width="48" '
-        b'height="32" onload="run()"><script>x()</script>'
-        b"<rect/><text>logo</text></svg>"
+        b'{"id": 1, "text": "alpha"}\n'
+        b'{"id": 2, "text": "beta"}\n'
+        b'{"id": 3, "text": "gam\n'
+        b'{"id": 4, "text": "delta"}\n'
     )
 
 
@@ -292,7 +308,7 @@ def _triage_payload(k: int) -> bytes:
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 35 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 37 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -339,7 +355,11 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (33, 'ooxml',       'document', NULL, NULL, NULL, 'docx',         2,    TRUE,
    'macros'),
   (34, 'svg',         'image',   48,   32,   NULL, 'svg',           4,    TRUE,
-   'scripted')
+   'scripted'),
+  (35, 'feed',        'web',     NULL, NULL, NULL, 'rss',           2,    FALSE,
+   'Feed Title'),
+  (36, 'jsonl',       'table',   NULL, NULL, NULL, 'jsonl',         3,    FALSE,
+   'bad_lines=1')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -353,7 +373,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    35-payload broadcast codebook (doc_id % 35) exercises every
+    37-payload broadcast codebook (doc_id % 37) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -377,11 +397,14 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta-box walker reusing the shared BMFF/AV1/HEVC parsers), and a
     macro-carrying DOCX with author metadata (operators/ooxml.py —
     the zip branch upgrades OOXML packages to the document path),
-    and a SCRIPTED SVG (operators/svg.py — the only image format
-    that executes; risk bit + 'scripted' detail).
-    The closed-form oracle pins all 35 rows from the fixture
-    parameters, so a drift in ANY of the ~23 parsers behind the
-    dispatcher flips the hash. Plan: 35-row broadcast join + map-side
+    a SCRIPTED SVG (operators/svg.py — the only image format
+    that executes; risk bit + 'scripted' detail), an RSS feed
+    (operators/feeds.py — the crawl-discovery layer), and a
+    JSON-Lines shard with one torn record (the dominant LLM
+    interchange format; bad lines counted, never fatal).
+    The closed-form oracle pins all 37 rows from the fixture
+    parameters, so a drift in ANY of the ~24 parsers behind the
+    dispatcher flips the hash. Plan: 37-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

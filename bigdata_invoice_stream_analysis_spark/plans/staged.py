@@ -1186,7 +1186,8 @@ _STREAM_TRIAGE_ROWS = [
     (28, "avi", "video", 8), (29, "bmp", "image", 1),
     (30, "ico", "image", 2), (31, "heif", "image", 1),
     (32, "heif", "image", 2), (33, "ooxml", "document", 2),
-    (34, "svg", "image", 4),
+    (34, "svg", "image", 4), (35, "feed", "web", 2),
+    (36, "jsonl", "table", 3),
 ]
 
 
@@ -1199,7 +1200,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 35 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 37 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4859,4 +4860,113 @@ def q_document_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gates.select(
         "doc_id", "kind", keep.alias("keep"),
         reasons.alias("reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# feed_frontier — RSS/Atom discovery beside the sitemap gate
+# ---------------------------------------------------------------------------
+
+_FEED_K = 3
+
+_FEED_BASE = "https://site{k}.example.com/feed.xml"
+
+_FEED_DOCS = [
+    # k=0: RSS with a relative and an absolute item link
+    ('<?xml version="1.0"?><rss version="2.0"><channel>'
+     "<title>Example Blog</title>"
+     "<link>https://site0.example.com/</link>"
+     "<item><title>First &amp; finest</title><link>/posts/1</link>"
+     "<pubDate>Mon, 10 Aug 2026 09:00:00 GMT</pubDate>"
+     "<guid>post-1</guid></item>"
+     "<item><title>Second</title>"
+     "<link>https://site0.example.com/posts/2</link></item>"
+     "</channel></rss>"),
+    # k=1: Atom — links are ATTRIBUTES, rel=alternate preferred
+    ('<?xml version="1.0"?>'
+     '<feed xmlns="http://www.w3.org/2005/Atom">'
+     "<title>Example Feed</title>"
+     '<link rel="self" href="https://site1.example.com/feed.xml"/>'
+     "<entry><title>Entry one</title>"
+     '<link href="entries/1"/>'
+     "<published>2026-08-10T09:00:00Z</published>"
+     "<id>urn:e1</id></entry>"
+     "<entry><title>Entry two</title>"
+     '<link rel="enclosure" href="https://cdn.example.com/a.mp3"/>'
+     '<link rel="alternate" href="https://site1.example.com/e/2"/>'
+     "<updated>2026-08-11T09:00:00Z</updated></entry>"
+     "</feed>"),
+    # k=2: XML but not a feed — quarantine row
+    '<?xml version="1.0"?><html><body>page</body></html>',
+]
+
+
+def _feed_oracle() -> str:
+    rows = [
+        "(0, 0, 'rss', 'Example Blog', 'First & finest',"
+        " 'https://site0.example.com/posts/1',"
+        " 'Mon, 10 Aug 2026 09:00:00 GMT', 'post-1', NULL)",
+        "(0, 1, 'rss', 'Example Blog', 'Second',"
+        " 'https://site0.example.com/posts/2', NULL, NULL, NULL)",
+        "(1, 0, 'atom', 'Example Feed', 'Entry one',"
+        " 'https://site1.example.com/entries/1',"
+        " '2026-08-10T09:00:00Z', 'urn:e1', NULL)",
+        "(1, 1, 'atom', 'Example Feed', 'Entry two',"
+        " 'https://site1.example.com/e/2',"
+        " '2026-08-11T09:00:00Z', NULL, NULL)",
+        "(2, -1, NULL, NULL, NULL, NULL, NULL, NULL,"
+        " 'feed: neither <rss> nor <feed> root')",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_FEED_K} AS INT) AS k FROM documents
+),
+cb(k, seq, kind, feed_title, title, link, published, guid, error)
+  AS (VALUES {values})
+SELECT doc_id * 16 + seq + 1 AS archive_id, doc_id,
+       CAST(seq AS INT) AS seq, kind, feed_title, title,
+       link, published, guid, error
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("feed_frontier", _feed_oracle())
+def q_feed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/ATOM FRONTIER FEED — crawl discovery beside the sitemap
+    gate (operators/feeds): one row per feed ENTRY with both link
+    conventions handled (RSS element text vs Atom href attributes
+    with rel=alternate preference), entity-decoded titles, and links
+    made absolute through the SAME RFC 3986 resolver as the WARC
+    link graph and HLS gates. One variant is XML-but-not-a-feed and
+    must quarantine as a seq=-1 row. Closed-form oracle from the
+    document literals. Map-side; 0 data shuffles, 1 bounded
+    broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.feeds import (
+        feed_entries,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, _FEED_DOCS[k], _FEED_BASE.format(k=k))
+         for k in range(_FEED_K)],
+        "k int, text string, url string",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _FEED_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    out = feed_entries(
+        files.select("file_id", "text", "url")
+    ).withColumnRenamed("file_id", "doc_id")
+    # archive_id: the UNIQUE NON-NULL sort prefix the driver's
+    # hash-compare needs (multi-entry feeds share doc_id, and the
+    # nullable guid/published columns must never tie-break)
+    return out.select(
+        (F.col("doc_id") * 16 + F.col("seq") + 1).alias("archive_id"),
+        "*",
     )
