@@ -112,6 +112,13 @@ def sniff_format(data: bytes) -> str:
         b"<rss" in data[:1024] or b"<feed" in data[:1024]
     ):
         return "feed"
+    if head.startswith((b"From:", b"Received:", b"Return-Path:",
+                        b"Delivered-To:", b"Message-ID:",
+                        b"MIME-Version:")):
+        # an RFC 5322 message head: the characteristic first header
+        # lines of .eml captures (a bare "Date:"/"Subject:" lead is
+        # too ambiguous to claim)
+        return "eml"
     if head.startswith(b"{"):
         # JSON-Lines: the dominant LLM interchange format. Sniff =
         # the first line parses as a JSON object (bounded: one line,
@@ -487,6 +494,19 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         m = parse_feed(data.decode("utf-8", "replace"))
         row.update(kind="web", codec=m["kind"],
                    n_items=m["n_entries"], detail=m["title"])
+    elif fmt == "eml":
+        from bigdata_invoice_stream_analysis_spark.operators.eml import (
+            parse_eml,
+        )
+
+        m = parse_eml(data.decode("utf-8", "replace"))
+        row.update(
+            kind="document", codec="rfc5322",
+            n_items=m["n_parts"],
+            has_metadata_risk=m["has_addresses"],
+            detail=(f"attachments={m['n_attachments']}"
+                    if m["n_attachments"] else None),
+        )
     elif fmt == "jsonl":
         import json as _json
 

@@ -104,7 +104,7 @@ ogg as well (content_triage re-verified hash-MATCH after each
 change).
 The whole cohort is additionally fuzz-pinned to the ValueError
 quarantine contract (tests/test_parser_contract.py), and
-FIFTY of these leads already have registration-ready
+FIFTY-ONE of these leads already have registration-ready
 query+oracle builders passing the driver's own compare at sf0.001
 AND sf0.01 in plans/staged.py (tests/test_staged_parity.py) —
 including a STREAMING content-triage drain gate, late-r8 builders
@@ -199,7 +199,11 @@ office text proven to flow through the SAME funnel as web text)
 and feed_frontier (operators/feeds.py — RSS/Atom crawl discovery
 with both link conventions and the shared RFC 3986 resolver; triage
 now also dispatches feeds and JSON-Lines shards — torn jsonl
-records counted, never fatal — with the 37-entry codebook
+records counted, never fatal) and eml_corpus_audit
+(operators/eml.py — RFC 5322/MIME from scratch: 2047 encoded-words,
+QP/base64 decodes, bounded multipart recursion, the first-
+text/plain training-text policy, attachment inventory, address PII
+bit; triage dispatches .eml heads, the 38-entry codebook
 re-verified hash-MATCH)
 — so r9 registration is a
 mechanical move of STAGED_QUERIES entries into the registry with

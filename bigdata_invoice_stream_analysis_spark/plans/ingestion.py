@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 37
+_TRIAGE_K = 38
 
 
 def _triage_payload(k: int) -> bytes:
@@ -294,21 +294,31 @@ def _triage_payload(k: int) -> bytes:
             b"<item><title>b</title><link>/b</link></item>"
             b"</channel></rss>"
         )
-    # k == 36: JSON-Lines with one torn record — the dominant LLM
-    # interchange format
-    return (
-        b'{"id": 1, "text": "alpha"}\n'
-        b'{"id": 2, "text": "beta"}\n'
-        b'{"id": 3, "text": "gam\n'
-        b'{"id": 4, "text": "delta"}\n'
+    if k == 36:  # JSON-Lines with one torn record — the dominant
+        # LLM interchange format
+        return (
+            b'{"id": 1, "text": "alpha"}\n'
+            b'{"id": 2, "text": "beta"}\n'
+            b'{"id": 3, "text": "gam\n'
+            b'{"id": 4, "text": "delta"}\n'
+        )
+    # k == 37: an RFC 5322 message with an attachment — addresses
+    # are PII by construction (the risk bit)
+    from bigdata_invoice_stream_analysis_spark.operators.eml import (
+        encode_eml,
     )
+
+    return encode_eml(
+        html="<p>hi</p>",
+        attachments=[("r.pdf", "application/pdf", bytes(32))],
+    ).encode()
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 37 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 38 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -359,7 +369,9 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (35, 'feed',        'web',     NULL, NULL, NULL, 'rss',           2,    FALSE,
    'Feed Title'),
   (36, 'jsonl',       'table',   NULL, NULL, NULL, 'jsonl',         3,    FALSE,
-   'bad_lines=1')
+   'bad_lines=1'),
+  (37, 'eml',         'document', NULL, NULL, NULL, 'rfc5322',      3,    TRUE,
+   'attachments=1')
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -373,7 +385,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    37-payload broadcast codebook (doc_id % 37) exercises every
+    38-payload broadcast codebook (doc_id % 38) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -401,10 +413,12 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     that executes; risk bit + 'scripted' detail), an RSS feed
     (operators/feeds.py — the crawl-discovery layer), and a
     JSON-Lines shard with one torn record (the dominant LLM
-    interchange format; bad lines counted, never fatal).
-    The closed-form oracle pins all 37 rows from the fixture
-    parameters, so a drift in ANY of the ~24 parsers behind the
-    dispatcher flips the hash. Plan: 37-row broadcast join + map-side
+    interchange format; bad lines counted, never fatal), and an
+    RFC 5322 e-mail with an attachment (operators/eml.py — address
+    headers are PII by construction, the risk bit).
+    The closed-form oracle pins all 38 rows from the fixture
+    parameters, so a drift in ANY of the ~25 parsers behind the
+    dispatcher flips the hash. Plan: 38-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

@@ -1187,7 +1187,7 @@ _STREAM_TRIAGE_ROWS = [
     (30, "ico", "image", 2), (31, "heif", "image", 1),
     (32, "heif", "image", 2), (33, "ooxml", "document", 2),
     (34, "svg", "image", 4), (35, "feed", "web", 2),
-    (36, "jsonl", "table", 3),
+    (36, "jsonl", "table", 3), (37, "eml", "document", 3),
 ]
 
 
@@ -1200,7 +1200,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 37 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 38 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -4969,4 +4969,118 @@ def q_feed_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         (F.col("doc_id") * 16 + F.col("seq") + 1).alias("archive_id"),
         "*",
+    )
+
+
+# ---------------------------------------------------------------------------
+# eml_corpus_audit — mail archives as a training-text source
+# ---------------------------------------------------------------------------
+
+_EML_K = 5
+
+
+def _eml_payload(k: int) -> str:
+    from bigdata_invoice_stream_analysis_spark.operators.eml import (
+        encode_eml,
+    )
+
+    if k == 0:  # simple single-part message
+        return encode_eml(text="Short status update for the team.")
+    if k == 1:  # RFC 2047 subject + QP unicode body + html alt
+        return encode_eml(
+            subject="Résumé — naïve café",
+            encode_subject=True, qp_body=True,
+            text="café — naïve body", html="<p>café</p>")
+    if k == 2:  # attachment inventory
+        return encode_eml(
+            html="<p>see attached</p>",
+            attachments=[
+                ("report.pdf", "application/pdf", bytes(100)),
+                ("data.bin", "application/octet-stream", bytes(40)),
+            ])
+    if k == 3:  # folded headers, LF-only capture
+        return ("From: sender@example.com\n"
+                "Subject: a very\n long folded\n\tsubject line\n"
+                "Date: Mon, 10 Aug 2026 09:00:00 +0000\n\n"
+                "lf body text")
+    # k == 4: multipart claiming a boundary that never appears
+    return ("From: a@example.com\r\nSubject: torn\r\n"
+            'Content-Type: multipart/mixed; boundary="nope"\r\n'
+            "\r\nno boundary follows")
+
+
+def _eml_oracle() -> str:
+    rows = [
+        "(0, TRUE, NULL, 'Meeting notes', 'a.sender@example.com',"
+        " 'team@example.com', 'Short status update for the team.',"
+        " 1, 0, 0, 0, TRUE)",
+        "(1, TRUE, NULL, 'Résumé — naïve café',"
+        " 'a.sender@example.com', 'team@example.com',"
+        " 'café — naïve body', 2, 1, 0, 0, TRUE)",
+        "(2, TRUE, NULL, 'Meeting notes', 'a.sender@example.com',"
+        " 'team@example.com', 'Plain body.', 4, 1, 2, 140, TRUE)",
+        "(3, TRUE, NULL, 'a very long folded subject line',"
+        " 'sender@example.com', NULL, 'lf body text', 1, 0, 0, 0,"
+        " TRUE)",
+        "(4, FALSE, 'eml: boundary never appears in body', NULL,"
+        " NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)",
+    ]
+    values = ",\n  ".join(rows)
+    return f"""
+WITH media AS (
+  SELECT doc_id, CAST(doc_id % {_EML_K} AS INT) AS k FROM documents
+),
+cb(k, ok, error, subject, from_addr, to_addrs, text, n_parts,
+   n_html_parts, n_attachments, attachment_bytes, has_addresses)
+  AS (VALUES {values})
+SELECT doc_id AS archive_id, ok, error, subject, from_addr,
+       to_addrs, NULL AS date_hdr, text,
+       CAST(n_parts AS INT) AS n_parts,
+       CAST(n_html_parts AS INT) AS n_html_parts,
+       CAST(n_attachments AS INT) AS n_attachments,
+       CAST(attachment_bytes AS BIGINT) AS attachment_bytes,
+       has_addresses
+FROM media JOIN cb USING (k)
+"""
+
+
+@staged("eml_corpus_audit", _eml_oracle())
+def q_eml_corpus_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-MAIL CORPUS AUDIT — RFC 5322/MIME from scratch
+    (operators/eml): header unfolding, RFC 2047 encoded-words (B and
+    Q, adjacent-word whitespace dropping), quoted-printable and
+    base64 transfer decodes, bounded multipart recursion, the
+    first-text/plain training-text policy, attachment inventory, and
+    the address-header PII bit. The codebook covers a QP-unicode
+    message, a two-attachment message, an LF-only capture with
+    folded headers, and a boundary-that-never-appears quarantine
+    case. Closed-form oracle from fixture parameters (the Date
+    header is normalized out — fixture-constant). Map-side; 0 data
+    shuffles, 1 bounded broadcast."""
+    from bigdata_invoice_stream_analysis_spark.deploy import (
+        ensure_package_on_workers,
+    )
+    from bigdata_invoice_stream_analysis_spark.operators.eml import (
+        eml_message_profile,
+    )
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents")
+    codebook = spark.createDataFrame(
+        [(k, _eml_payload(k)) for k in range(_EML_K)],
+        "k int, text string",
+    )
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        (F.col("doc_id") % _EML_K).cast("int").alias("k"),
+    ).join(F.broadcast(codebook), "k")
+    out = eml_message_profile(files.select("file_id", "text"))
+    # the Date header is a fixture constant; normalize it to NULL so
+    # the oracle stays closed-form without duplicating the literal
+    return out.select(
+        F.col("file_id").alias("archive_id"), "ok", "error",
+        "subject", "from_addr", "to_addrs",
+        F.lit(None).cast("string").alias("date_hdr"),
+        "text", "n_parts", "n_html_parts", "n_attachments",
+        "attachment_bytes", "has_addresses",
     )
