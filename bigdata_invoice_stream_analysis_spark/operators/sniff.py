@@ -112,6 +112,12 @@ def sniff_format(data: bytes) -> str:
         b"<rss" in data[:1024] or b"<feed" in data[:1024]
     ):
         return "feed"
+    if head.startswith(b"From ") and b"\nFrom:" in data[:4096] or (
+        head.startswith(b"From ") and b"\nSubject:" in data[:4096]
+    ):
+        # an mbox envelope line ("From " + sender + date — note the
+        # SPACE) followed by real message headers
+        return "mbox"
     if head.startswith((b"From:", b"Received:", b"Return-Path:",
                         b"Delivered-To:", b"Message-ID:",
                         b"MIME-Version:")):
@@ -494,6 +500,14 @@ def _fill(row: dict, fmt: str, data: bytes) -> None:
         m = parse_feed(data.decode("utf-8", "replace"))
         row.update(kind="web", codec=m["kind"],
                    n_items=m["n_entries"], detail=m["title"])
+    elif fmt == "mbox":
+        from bigdata_invoice_stream_analysis_spark.operators.eml import (
+            split_mbox,
+        )
+
+        msgs = split_mbox(data.decode("utf-8", "replace"))
+        row.update(kind="document", codec="mbox",
+                   n_items=len(msgs), has_metadata_risk=True)
     elif fmt == "eml":
         from bigdata_invoice_stream_analysis_spark.operators.eml import (
             parse_eml,

@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 38
+_TRIAGE_K = 39
 
 
 def _triage_payload(k: int) -> bytes:
@@ -302,15 +302,22 @@ def _triage_payload(k: int) -> bytes:
             b'{"id": 3, "text": "gam\n'
             b'{"id": 4, "text": "delta"}\n'
         )
-    # k == 37: an RFC 5322 message with an attachment — addresses
-    # are PII by construction (the risk bit)
     from bigdata_invoice_stream_analysis_spark.operators.eml import (
         encode_eml,
     )
 
-    return encode_eml(
-        html="<p>hi</p>",
-        attachments=[("r.pdf", "application/pdf", bytes(32))],
+    if k == 37:  # an RFC 5322 message with an attachment — addresses
+        # are PII by construction (the risk bit)
+        return encode_eml(
+            html="<p>hi</p>",
+            attachments=[("r.pdf", "application/pdf", bytes(32))],
+        ).encode()
+    # k == 38: a two-message mbox archive — how mail corpora ship
+    return (
+        "From alice@example.com Mon Aug 10 09:00:00 2026\r\n"
+        + encode_eml(subject="first")
+        + "\r\nFrom bob@example.com Mon Aug 10 10:00:00 2026\r\n"
+        + encode_eml(subject="second")
     ).encode()
 
 
@@ -318,7 +325,7 @@ def _triage_payload(k: int) -> bytes:
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 38 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 39 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -371,7 +378,8 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
   (36, 'jsonl',       'table',   NULL, NULL, NULL, 'jsonl',         3,    FALSE,
    'bad_lines=1'),
   (37, 'eml',         'document', NULL, NULL, NULL, 'rfc5322',      3,    TRUE,
-   'attachments=1')
+   'attachments=1'),
+  (38, 'mbox',        'document', NULL, NULL, NULL, 'mbox',         2,    TRUE, NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -385,7 +393,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    38-payload broadcast codebook (doc_id % 38) exercises every
+    39-payload broadcast codebook (doc_id % 39) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -415,10 +423,12 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON-Lines shard with one torn record (the dominant LLM
     interchange format; bad lines counted, never fatal), and an
     RFC 5322 e-mail with an attachment (operators/eml.py — address
-    headers are PII by construction, the risk bit).
-    The closed-form oracle pins all 38 rows from the fixture
-    parameters, so a drift in ANY of the ~25 parsers behind the
-    dispatcher flips the hash. Plan: 38-row broadcast join + map-side
+    headers are PII by construction, the risk bit), and a
+    two-message MBOX archive (envelope-line splitting, mboxrd
+    unescape — how mail corpora actually ship).
+    The closed-form oracle pins all 39 rows from the fixture
+    parameters, so a drift in ANY of the ~26 parsers behind the
+    dispatcher flips the hash. Plan: 39-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

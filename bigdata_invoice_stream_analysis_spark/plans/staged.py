@@ -1188,6 +1188,7 @@ _STREAM_TRIAGE_ROWS = [
     (32, "heif", "image", 2), (33, "ooxml", "document", 2),
     (34, "svg", "image", 4), (35, "feed", "web", 2),
     (36, "jsonl", "table", 3), (37, "eml", "document", 3),
+    (38, "mbox", "document", 2),
 ]
 
 
@@ -1200,7 +1201,7 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 38 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % 39 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,

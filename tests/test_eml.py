@@ -140,3 +140,65 @@ def test_profile_operator(spark):
     plan = eml_message_profile(files)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+MBOX = (
+    "From alice@example.com Mon Aug 10 09:00:00 2026\r\n"
+    + encode_eml(subject="first")
+    + "\r\nFrom bob@example.com Mon Aug 10 10:00:00 2026\r\n"
+    + "From: bob@example.com\r\nSubject: second\r\n\r\n"
+    + ">From here the body quotes an envelope line\r\n"
+    + ">>From deeper quoting stays untouched? no: one > drops\r\n"
+)
+
+
+def test_mbox_split_and_unescape():
+    from bigdata_invoice_stream_analysis_spark.operators.eml import (
+        split_mbox,
+    )
+
+    msgs = split_mbox(MBOX)
+    assert len(msgs) == 2
+    assert msgs[0].startswith("From:")
+    # mboxrd: exactly one '>' drops at every quoting depth
+    assert "\nFrom here the body" in msgs[1].replace("\r\n", "\n")
+    assert ">From deeper" in msgs[1]
+
+
+def test_mbox_requires_envelope():
+    from bigdata_invoice_stream_analysis_spark.operators.eml import (
+        split_mbox,
+    )
+
+    with pytest.raises(ValueError, match="envelope"):
+        split_mbox("From: not-an-envelope\r\n\r\nx")
+
+
+def test_mbox_operator(spark):
+    from bigdata_invoice_stream_analysis_spark.operators.eml import (
+        mbox_corpus_profile,
+    )
+
+    broken_msg_mbox = (
+        "From x@example.com Mon Aug 10 09:00:00 2026\r\n"
+        "From: a@b.c\r\n"
+        'Content-Type: multipart/mixed; boundary="gone"\r\n\r\nx\r\n'
+        "From y@example.com Mon Aug 10 09:05:00 2026\r\n"
+        + encode_eml(subject="survivor")
+    )
+    files = spark.createDataFrame(
+        [(0, MBOX), (1, broken_msg_mbox), (2, "not an mbox")],
+        "file_id long, text string",
+    )
+    rows = mbox_corpus_profile(files).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["file_id"], []).append(r)
+    assert len(by[0]) == 2
+    assert {r["subject"] for r in by[0] if r["ok"]} == \
+        {"first", "second"}
+    # one broken message must not cost its neighbor
+    one = sorted(by[1], key=lambda r: r["msg_idx"])
+    assert not one[0]["ok"] and "boundary" in one[0]["error"]
+    assert one[1]["ok"] and one[1]["subject"] == "survivor"
+    assert by[2][0]["msg_idx"] == -1
