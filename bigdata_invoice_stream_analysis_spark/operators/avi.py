@@ -39,6 +39,12 @@ from __future__ import annotations
 import struct
 
 
+# LIST nesting bound: real AVIs are 2-3 deep; a crafted file of
+# nested LISTs must be a ValueError (quarantine), not RecursionError
+# (task death). Same rationale as eml._MAX_DEPTH.
+_MAX_DEPTH = 16
+
+
 def _fourcc(b: bytes) -> str:
     return b.decode("latin-1")
 
@@ -60,8 +66,14 @@ def parse_avi(data: bytes) -> dict:
     n_movi = 0
     has_idx1 = False
 
-    def walk(pos: int, stop: int, parent: str) -> None:
+    def walk(pos: int, stop: int, parent: str, depth: int = 0) -> None:
         nonlocal main, n_movi, has_idx1
+        # Depth bound (ADVICE r8): a crafted AVI of nested LISTs would
+        # otherwise recurse once per level and escape the quarantine
+        # contract as RecursionError. Real AVIs nest 2-3 deep
+        # (RIFF → hdrl → strl / movi → rec ); 16 is generous.
+        if depth > _MAX_DEPTH:
+            raise ValueError("avi: LIST nesting exceeds depth bound")
         while pos + 8 <= stop:
             cc = _fourcc(data[pos:pos + 4])
             size = struct.unpack_from("<I", data, pos + 4)[0]
@@ -75,9 +87,9 @@ def parse_avi(data: bytes) -> dict:
                     raise ValueError("avi: LIST without a type")
                 ltype = _fourcc(data[body:body + 4])
                 if ltype == "movi":
-                    n_movi += _count_movi(body + 4, body + size)
+                    n_movi += _count_movi(body + 4, body + size, depth + 1)
                 else:
-                    walk(body + 4, body + size, ltype)
+                    walk(body + 4, body + size, ltype, depth + 1)
             elif cc == "avih":
                 if size < 40:
                     raise ValueError("avi: truncated avih header")
@@ -131,7 +143,9 @@ def parse_avi(data: bytes) -> dict:
                 has_idx1 = True
             pos = nxt
 
-    def _count_movi(pos: int, stop: int) -> int:
+    def _count_movi(pos: int, stop: int, depth: int = 0) -> int:
+        if depth > _MAX_DEPTH:
+            raise ValueError("avi: LIST nesting exceeds depth bound")
         n = 0
         while pos + 8 <= stop:
             cc = data[pos:pos + 4]
@@ -141,7 +155,7 @@ def parse_avi(data: bytes) -> dict:
             if cc == b"LIST" and data[pos + 8:pos + 12] == b"rec ":
                 # interleaved AVIs group ~1 s of frames in 'rec '
                 # LISTs — count the GRANDCHILDREN, not the wrapper
-                n += _count_movi(pos + 12, pos + 8 + size)
+                n += _count_movi(pos + 12, pos + 8 + size, depth + 1)
             else:
                 n += 1
             pos += 8 + size + (size & 1)

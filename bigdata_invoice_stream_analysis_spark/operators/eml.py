@@ -176,8 +176,14 @@ def _walk_part(text: str, depth: int, leaves: list[dict]) -> None:
         boundary = params.get("boundary")
         if not boundary:
             raise ValueError("eml: multipart without boundary")
-        marker = "--" + boundary
-        chunks = body.split(marker)
+        # §5.1.1: the delimiter is CRLF + "--" + boundary and MUST
+        # start at a line boundary (the CRLF belongs to the delimiter,
+        # not the part body); only the very first delimiter may open
+        # the body without one. A plain substring split would
+        # fragment a valid part whose TEXT contains '--boundary'
+        # mid-line and quarantine the message (ADVICE r8).
+        chunks = re.split(
+            r"(?:\A|\r?\n)--" + re.escape(boundary), body)
         # chunks[0] is the preamble; a chunk starting with '--' is
         # the terminator
         found = False
@@ -185,13 +191,9 @@ def _walk_part(text: str, depth: int, leaves: list[dict]) -> None:
             if chunk[:2] == "--":
                 found = True
                 break
-            # §5.1.1: the CRLF preceding the boundary belongs to the
-            # BOUNDARY delimiter, not to the part body
-            if chunk.endswith("\r\n"):
-                chunk = chunk[:-2]
-            elif chunk.endswith("\n"):
-                chunk = chunk[:-1]
-            part = chunk.lstrip("\r\n")
+            # boundary-line transport padding, then the CRLF that
+            # opens the part
+            part = re.sub(r"\A[ \t]*\r?\n", "", chunk)
             if part.strip():
                 _walk_part(part, depth + 1, leaves)
             found = True

@@ -393,6 +393,8 @@ def parse_id3v2_frames(data: bytes) -> dict:
     on no tag, v2.2, unsynchronised tags, or torn frames."""
     if data[:3] != b"ID3":
         raise ValueError("ID3v2: no tag")
+    if len(data) < 10:
+        raise ValueError("ID3v2: truncated tag header")
     vmaj = data[3]
     if vmaj not in (3, 4):
         raise ValueError(f"ID3v2.{vmaj}: unsupported version")

@@ -91,12 +91,17 @@ def sniff_format(data: bytes) -> str:
         # covers POSIX (b"ustar\x00") AND GNU (b"ustar  \x00") magic —
         # default GNU tar output must not route to quarantine.
         return "tar"
-    if data[0] == 0x47 and len(data) >= 188 and (
-        len(data) == 188 or data[188] == 0x47
+    if (
+        data[0] == 0x47
+        and len(data) > 188
+        and data[188] == 0x47
+        and (len(data) <= 376 or data[376] == 0x47)
     ):
-        # MPEG-TS: sync byte 0x47 repeating every 188 bytes — the
-        # same two-packet probe broadcast demuxers use ('G'-leading
-        # text never has a second sync at exactly +188).
+        # MPEG-TS: sync byte 0x47 repeating every 188 bytes. At least
+        # TWO sync bytes required (three when the blob is long enough)
+        # — a lone 188-byte blob starting with 'G' (e.g. a short text
+        # snippet) must fall through to the text/unknown paths instead
+        # of misrouting to the demuxer (ADVICE r8).
         return "ts"
     if data[:6] == b"WEBVTT" or data.lstrip(b"\xef\xbb\xbf")[:6] == b"WEBVTT":
         return "vtt"
@@ -229,8 +234,12 @@ def triage(data: bytes) -> dict:
         _fill(row, fmt, data)
     except (
         ValueError, struct.error, zlib.error, ZeroDivisionError,
-        IndexError, OverflowError,
+        IndexError, OverflowError, RecursionError,
     ) as exc:
+        # RecursionError is defense in depth (ADVICE r8): parsers
+        # bound their own nesting (avi/eml _MAX_DEPTH), but a missed
+        # recursion path must still quarantine one blob, not kill the
+        # task.
         # Parsers raise ValueError by contract, but adversarial bytes
         # can surface the lower-level types before a parser's own
         # validation runs — at corpus scale ALL of them mean the same

@@ -173,7 +173,13 @@ def read_zip_member(data: bytes, member: dict) -> bytes:
     if member["method"] == STORED:
         out = raw
     elif member["method"] == DEFLATED:
-        out = zlib.decompress(raw, wbits=-15)
+        try:
+            out = zlib.decompress(raw, wbits=-15)
+        except zlib.error as exc:
+            # corrupt deflate must quarantine one member, not leak
+            # zlib.error past the ValueError contract (r9 fuzz find)
+            raise ValueError(
+                f"bad deflate in {member['name']!r}: {exc}") from exc
     else:
         raise ValueError(f"unsupported compression method {member['method']}")
     if len(out) != member["uncompressed_size"]:
