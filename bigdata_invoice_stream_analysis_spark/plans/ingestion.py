@@ -34,7 +34,7 @@ from bigdata_invoice_stream_analysis_spark.sources.tables import load_table
 # content_triage — ONE dispatch row over the full mixed codebook
 # ---------------------------------------------------------------------------
 
-_TRIAGE_K = 39
+_TRIAGE_K = 43
 
 
 def _triage_payload(k: int) -> bytes:
@@ -312,20 +312,58 @@ def _triage_payload(k: int) -> bytes:
             html="<p>hi</p>",
             attachments=[("r.pdf", "application/pdf", bytes(32))],
         ).encode()
-    # k == 38: a two-message mbox archive — how mail corpora ship
-    return (
-        "From alice@example.com Mon Aug 10 09:00:00 2026\r\n"
-        + encode_eml(subject="first")
-        + "\r\nFrom bob@example.com Mon Aug 10 10:00:00 2026\r\n"
-        + encode_eml(subject="second")
-    ).encode()
+    if k == 38:  # a two-message mbox archive — how mail corpora ship
+        return (
+            "From alice@example.com Mon Aug 10 09:00:00 2026\r\n"
+            + encode_eml(subject="first")
+            + "\r\nFrom bob@example.com Mon Aug 10 10:00:00 2026\r\n"
+            + encode_eml(subject="second")
+        ).encode()
+    # k 39-42: the r9 staging retirements folded in as dispatch
+    # variants (VERDICT r8 item 6) — the gif/webp/id3 fixture shapes
+    # that used to back the standalone gif_structure_profile /
+    # webp_structure_profile / audio_id3_audit staged rows now grade
+    # through this one row instead of holding three window slots.
+    if k == 39:  # interlaced 87a still GIF — the pre-89a branch +
+        # the interlace bit of the block walk
+        from bigdata_invoice_stream_analysis_spark.operators.gif import (
+            encode_minimal_gif,
+        )
+
+        return encode_minimal_gif(
+            [0], loop_count=None, interlaced=True, version=b"87a",
+            width=64, height=64,
+        )
+    from bigdata_invoice_stream_analysis_spark.operators.webp import (
+        encode_webp,
+    )
+
+    if k == 40:  # simple-lossless VP8L with alpha (14-bit packed dims)
+        return encode_webp(64, 48, variant="lossless", alpha=True)
+    if k == 41:  # ANIMATED extended WebP with EXIF+XMP — both the
+        # ANMF frame walk and the metadata risk bit
+        return encode_webp(
+            100, 80, variant="lossy", frames=[40, 60, 100],
+            has_exif=True, has_xmp=True,
+        )
+    # k == 42: ID3v2.3-tagged MP3 with APIC cover art — the v2.3
+    # plain-size branch (k=24 pins v2.4 syncsafe) and art-as-risk
+    from bigdata_invoice_stream_analysis_spark.operators.mpegaudio import (
+        encode_id3v2,
+        encode_mp3,
+    )
+
+    return encode_id3v2([
+        ("TIT2", (1, "cover t")),
+        ("APIC", (0, "image/jpeg", "front", bytes(40))),
+    ], version=3) + encode_mp3(2)
 
 
 @query(
     "content_triage",
     oracle="""
 WITH media AS (
-  SELECT doc_id AS blob_id, CAST(doc_id % 39 AS INT) AS k FROM documents
+  SELECT doc_id AS blob_id, CAST(doc_id % 43 AS INT) AS k FROM documents
 ),
 cb(k, format, kind, width, height, duration_ms, codec, n_items,
    has_metadata_risk, detail) AS (VALUES
@@ -379,7 +417,11 @@ cb(k, format, kind, width, height, duration_ms, codec, n_items,
    'bad_lines=1'),
   (37, 'eml',         'document', NULL, NULL, NULL, 'rfc5322',      3,    TRUE,
    'attachments=1'),
-  (38, 'mbox',        'document', NULL, NULL, NULL, 'mbox',         2,    TRUE, NULL)
+  (38, 'mbox',        'document', NULL, NULL, NULL, 'mbox',         2,    TRUE, NULL),
+  (39, 'gif',         'image',   64,   64,   NULL, 'gif',           1,    FALSE, NULL),
+  (40, 'webp',        'image',   64,   48,   NULL, 'webp-lossless', 1,    FALSE, NULL),
+  (41, 'webp',        'image',   100,  80,   200,  'webp-extended', 3,    TRUE,  NULL),
+  (42, 'mp3',         'audio',   NULL, NULL, 52,   'mp4a.6b',       2,    TRUE,  NULL)
 )
 SELECT blob_id, format, kind,
        CAST(width AS INT) AS width, CAST(height AS INT) AS height,
@@ -393,7 +435,7 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB blob bucket: one magic-byte dispatch row per payload with
     the uniform (format, kind, dims, duration, codec, item count,
     privacy bit) projection every downstream router filters on. The
-    39-payload broadcast codebook (doc_id % 39) exercises every
+    43-payload broadcast codebook (doc_id % 43) exercises every
     dispatch branch in one graded row: JPEG-with-GPS (risk bit), PNG,
     animated GIF, lossy + extended-with-EXIF WebP, WAV, avc1 MP4, a
     moof-led CMAF MEDIA segment (category, not error), video WebM, a
@@ -426,9 +468,14 @@ def q_content_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     headers are PII by construction, the risk bit), and a
     two-message MBOX archive (envelope-line splitting, mboxrd
     unescape — how mail corpora actually ship).
-    The closed-form oracle pins all 39 rows from the fixture
+    Round 9 folds in the staging retirements as dispatch variants
+    (VERDICT r8 item 6): an interlaced 87a GIF, a lossless VP8L WebP,
+    an ANIMATED EXIF+XMP WebP, and an ID3v2.3 APIC-cover MP3 — the
+    fixture shapes of the retired gif_structure_profile /
+    webp_structure_profile / audio_id3_audit staged rows.
+    The closed-form oracle pins all 43 rows from the fixture
     parameters, so a drift in ANY of the ~26 parsers behind the
-    dispatcher flips the hash. Plan: 39-row broadcast join + map-side
+    dispatcher flips the hash. Plan: 43-row broadcast join + map-side
     Arrow mapInPandas, zero data shuffle (operators/sniff.py)."""
     from bigdata_invoice_stream_analysis_spark.deploy import (
         ensure_package_on_workers,

@@ -1189,6 +1189,10 @@ _STREAM_TRIAGE_ROWS = [
     (34, "svg", "image", 4), (35, "feed", "web", 2),
     (36, "jsonl", "table", 3), (37, "eml", "document", 3),
     (38, "mbox", "document", 2),
+    # r9 staging retirements folded into the codebook (VERDICT r8
+    # item 6): interlaced 87a GIF, lossless + animated WebP, v2.3 MP3
+    (39, "gif", "image", 1), (40, "webp", "image", 1),
+    (41, "webp", "image", 3), (42, "mp3", "audio", 2),
 ]
 
 
@@ -1201,7 +1205,8 @@ def _stream_triage_oracle() -> str:
     values = ",\n  ".join(rows)
     return f"""
 WITH media AS (
-  SELECT CAST(doc_id % 39 AS INT) AS k FROM documents
+  SELECT CAST(doc_id % {len(_STREAM_TRIAGE_ROWS)} AS INT) AS k
+  FROM documents
 ),
 cb(k, format, kind, n_items) AS (VALUES {values})
 SELECT format, kind, COUNT(*) AS n_blobs,
@@ -1236,6 +1241,7 @@ def q_streaming_content_triage(
         _triage_payload,
     )
     from bigdata_invoice_stream_analysis_spark.plans.queries import (
+        _drain_input_diet,
         _run_drain,
     )
     from bigdata_invoice_stream_analysis_spark.scratch import (
@@ -1250,6 +1256,7 @@ def q_streaming_content_triage(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    stream = _drain_input_diet(stream)
     codebook = spark.createDataFrame(
         [(k, bytearray(_triage_payload(k))) for k in range(_TRIAGE_K)],
         "k int, payload binary",
@@ -2599,6 +2606,7 @@ def q_streaming_pii_monitor(
         pii_audit,
     )
     from bigdata_invoice_stream_analysis_spark.plans.queries import (
+        _drain_input_diet,
         _run_drain,
     )
     from bigdata_invoice_stream_analysis_spark.scratch import (
@@ -2612,6 +2620,7 @@ def q_streaming_pii_monitor(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    stream = _drain_input_diet(stream)
     codebook = spark.createDataFrame(
         list(enumerate(_PII_TEXTS)), "k int, text string",
     )
@@ -3647,6 +3656,7 @@ def q_streaming_release_monitor(
         gopher_quality_flags,
     )
     from bigdata_invoice_stream_analysis_spark.plans.queries import (
+        _drain_input_diet,
         _run_drain,
     )
     from bigdata_invoice_stream_analysis_spark.scratch import (
@@ -3665,6 +3675,7 @@ def q_streaming_release_monitor(
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    stream = _drain_input_diet(stream)
     col = F.coalesce(F.col("text"), F.lit(""))
     counts = pii_counts(col)
     has_pii = None
