@@ -1598,3 +1598,6 @@ from bigdata_invoice_stream_analysis_spark.plans import warehouse  # noqa: E402,
 from bigdata_invoice_stream_analysis_spark.plans import eventlog  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import drains  # noqa: E402,F401
 from bigdata_invoice_stream_analysis_spark.plans import pipelines  # noqa: E402,F401
+# promoted must come last: it moves round-9 staged conversions into
+# this registry (and pops them from the staging area)
+from bigdata_invoice_stream_analysis_spark.plans import promoted  # noqa: E402,F401

@@ -1,16 +1,23 @@
-"""Round-9 staging area: graded-row candidates for the late-r8
-operator surface, built to the exact house pattern (bounded
-deterministic codebooks keyed by ``doc_id % K``; closed-form DuckDB
-oracles computed from fixture PARAMETERS or an independent reference
-implementation — never by running the parser under test) but NOT
-registered: the r8 window is full, and the registry-closing
-invariant says new registrations enter WITH a window slot.
+"""Staging area: graded-row candidates built to the exact house
+pattern (bounded deterministic codebooks keyed by ``doc_id % K``;
+closed-form DuckDB oracles computed from fixture PARAMETERS or an
+independent reference implementation — never by running the parser
+under test) but not yet registered: the registry-closing invariant
+says new registrations enter WITH a grading-window slot.
 
 ``STAGED_QUERIES`` / ``STAGED_ORACLES`` mirror the live registry's
 shape; ``tests/test_staged_parity.py`` runs the driver's own
-compare over them at sf0.001, so round 9's registration is a
-mechanical move: add ``@query`` (or re-export into plans/queries)
-and a ``GRADED_50`` slot.
+compare over them at sf0.001, so each round's registration is a
+mechanical move (plans/promoted.py pops entries into the registry
+and plans/graded.py assigns the slot).
+
+Count history (monotonically decreasing per VERDICT r8 item 3):
+r8 close: 51 staged. Round 9: 23 promoted (judge priority list +
+builder balance — see plans/promoted.py), 5 retired as twins
+(gif/webp/id3 fixtures folded into content_triage's codebook
+k=39..42; zip/wds offsets-only twins subsumed by their graded
+extraction rows) ⇒ 23 remain for the r10/r11 conversion waves.
+Zero new parsers were staged in r9 (the freeze, VERDICT item 3).
 
 Where a candidate can gate on REAL table data instead of a codebook
 (the VARIANT shred over orders, the drift histogram over events),

@@ -17,13 +17,16 @@ import __spark_entry__ as entry
 from bigdata_invoice_stream_analysis_spark.plans.graded import GRADED_50
 from bigdata_invoice_stream_analysis_spark.plans.queries import ORACLES, QUERIES
 
-# Every round-5 window entry must carry an oracle: the three iterative
-# ML fits (kmeans_anomalies / bisecting_anomalies / kmeans_elbow_sweep
-# — no SQL-expressible oracle, so the driver could only record a
-# rows-only check) all rotated out with four identical rows-only
-# driver rows each (r01-r04); their slots went to hash-gated
-# never-graded queries.
-ROWS_ONLY: set[str] = set()
+# The three iterative-ML fits (kmeans_anomalies / bisecting_anomalies
+# / kmeans_elbow_sweep) have no SQL-expressible oracle, so the driver
+# records a rows-only check. They are back in the r9 window: their
+# newest grade is r04 and rows-only evidence keeps them on the FAST
+# 4-round cadence by policy (plans/tiers.py::ROWS_ONLY_FAST).
+ROWS_ONLY: set[str] = {
+    "kmeans_anomalies",
+    "bisecting_anomalies",
+    "kmeans_elbow_sweep",
+}
 
 
 def test_window_is_the_checked_in_list():
@@ -43,10 +46,20 @@ def test_window_entries_have_oracles_except_iterative_ml():
 
 
 def test_reorder_loses_no_queries_or_oracles():
+    """The driver-facing registry is QUERIES minus the deliberate
+    driver retirements (plans/tiers.py) — nothing else may leak out,
+    and retired rows must still exist in QUERIES/ORACLES for the
+    local parity suite."""
+    from bigdata_invoice_stream_analysis_spark.plans.tiers import (
+        RETIRED_FROM_DRIVER,
+    )
+
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert set(qs) == set(QUERIES)
-    assert set(os_) == set(ORACLES)
+    assert set(qs) == set(QUERIES) - RETIRED_FROM_DRIVER
+    assert set(os_) == set(ORACLES) - RETIRED_FROM_DRIVER
     assert set(os_) <= set(qs)
+    assert RETIRED_FROM_DRIVER <= set(QUERIES)
+    assert RETIRED_FROM_DRIVER <= set(ORACLES)
 
 
 def test_rotation_covers_every_never_graded_query():
@@ -69,22 +82,28 @@ def test_rotation_covers_every_never_graded_query():
         rnd = int(re.search(r"r(\d+)", p.name).group(1))
         if rnd < GRADED_ROUND:
             ever |= set(json.loads(p.read_text()))
-    never = sorted(set(QUERIES) - ever)
+    never = sorted(set(entry.queries()) - ever)
     left_out = [n for n in never if n not in GRADED_50]
     assert not left_out, f"never-graded queries missing a slot: {left_out}"
 
 
-def test_no_row_goes_stale_beyond_four_rounds():
-    """Freshness invariant (VERDICT r6 item 6): every registered query
-    must either be in this round's window or have a driver grade at
-    most 4 rounds old — the rotation must visit the whole registry on
-    a bounded cadence, not just the squeaky wheels. A query whose
-    newest row is from round GRADED_ROUND-5 or older and is NOT being
-    re-graded this round fails."""
+def test_no_row_goes_stale_beyond_its_tier_bound():
+    """Tier-aware freshness invariant (plans/tiers.py, the round-9
+    registry-ceiling policy): every driver-facing row must either be
+    in this round's window or have a driver grade at most FAST_BOUND
+    (fast tier: §2 pins + rows-only ML) / STABLE_BOUND (everything
+    else) rounds old. The rotation must still visit the whole
+    registry on a bounded cadence — the stable tier loosens the
+    bound, it does not remove it."""
     import json
     import re
 
     from bigdata_invoice_stream_analysis_spark.plans.graded import GRADED_ROUND
+    from bigdata_invoice_stream_analysis_spark.plans.tiers import (
+        FAST_BOUND,
+        FAST_TIER,
+        STABLE_BOUND,
+    )
 
     root = Path(__file__).resolve().parents[1]
     newest: dict[str, int] = {}
@@ -93,9 +112,13 @@ def test_no_row_goes_stale_beyond_four_rounds():
         if rnd < GRADED_ROUND:
             for name in json.loads(p.read_text()):
                 newest[name] = max(newest.get(name, 0), rnd)
+    facing = set(entry.queries())
     stale = sorted(
         n
         for n, rnd in newest.items()
-        if n in QUERIES and GRADED_ROUND - rnd > 4 and n not in GRADED_50
+        if n in facing
+        and GRADED_ROUND - rnd > (FAST_BOUND if n in FAST_TIER
+                                  else STABLE_BOUND)
+        and n not in GRADED_50
     )
-    assert not stale, f"rows stale >4 rounds and not in the window: {stale}"
+    assert not stale, f"rows stale beyond tier bound, not in window: {stale}"
