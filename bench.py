@@ -93,6 +93,9 @@ WORKLOAD_CHANGED_SINCE_R01: dict[str, int] = {
     # 12→16 (+Opus, +FLAC) — earlier rows timed smaller codebooks.
     "media_codec_profile": 8,
     "media_audio_codec_profile": 8,
+    # r9 codebook widening: content_triage 39→43 (the folded gif/webp/
+    # id3 staging retirements) — r8 rows timed the smaller dispatch.
+    "content_triage": 9,
 }
 
 
@@ -246,6 +249,14 @@ def main() -> None:
     # runs at other SFs don't clobber the committed sf0.1 map (the
     # drift comparison already ignores SF-mismatched priors; this
     # keeps the FILE itself intact too).
+    # PRIOR-PROTECTION PROTOCOL (r8 lesson: the driver's per-round run
+    # overwrote the committed quiet-window detail before the committed
+    # run could read it, destroying the cross-round per-query prior):
+    # the builder's quiet-window runs set
+    # SPARK_GRAFT_DETAIL_PATH=$PWD/BENCH_DETAIL_QUIET.json — a file the
+    # driver never writes (it uses this default path) — so quiet
+    # artifacts chain quiet-to-quiet and driver artifacts chain
+    # driver-to-driver; each seat compares against its own prior.
     detail_path = os.environ.get(
         "SPARK_GRAFT_DETAIL_PATH", os.path.join(_HERE, "BENCH_DETAIL.json")
     )
