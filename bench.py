@@ -60,6 +60,13 @@ only) diets their INPUT deterministically. The driver's correctness
 run and the parity tests never set it, so the graded plan/oracle
 comparison always sees full volume. The dedicated streaming-throughput
 leg stays uncapped.
+
+Since r9 the detail artifact also records a SEAT block: a
+deterministic CPU probe at bench start and end (_seat_probe) plus the
+/proc/stat cpu-time split over the whole run, so a uniform cross-round
+drift can be attributed to the measurement seat mechanically
+(scripts/bench_compare.py prints the seat ratio when both artifacts
+carry a probe) instead of being re-adjudicated from plan shapes.
 """
 
 from __future__ import annotations
@@ -97,6 +104,73 @@ WORKLOAD_CHANGED_SINCE_R01: dict[str, int] = {
     # id3 staging retirements) — r8 rows timed the smaller dispatch.
     "content_triage": 9,
 }
+
+
+def _seat_probe() -> dict:
+    """Deterministic CPU probe recorded with every detail artifact, so
+    cross-round drift can be normalized by SEAT SPEED instead of
+    re-adjudicated from plan shapes each round. Motivation (r8/r9
+    evidence): the r8 driver artifact ran zero-churn trivial queries
+    1.4-1.9x slower than the committed quiet artifact on identical
+    code, and the r9 quiet run measured a 1.46x MEDIAN ratio on 186
+    unchanged batch rows vs the r8 quiet seat — a uniform multiplier
+    across pure-metadata scans that no plan regression can produce.
+    Three numbers, ~1.5 s total:
+
+    * sha256 over 64 MiB — single-thread memory+ALU throughput (the
+      GIL is released on >2 KiB buffers, so this is pure C speed);
+    * a 3M-iteration Python arithmetic loop — interpreter dispatch
+      speed (tracks the Python-worker side of Arrow UDF stages);
+    * the same sha256 fanned across all CPUs — exposes cgroup quota /
+      hypervisor steal that single-thread probes miss entirely.
+    """
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(64):
+        h.update(buf)
+    sha_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(3_000_000):
+        acc += i * i
+    loop_s = time.perf_counter() - t0
+
+    def _sha_task(_i: int) -> bytes:
+        hh = hashlib.sha256()
+        for _ in range(16):
+            hh.update(buf)
+        return hh.digest()
+
+    n = os.cpu_count() or 1
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(_sha_task, range(n * 4)))
+    par_s = time.perf_counter() - t0
+    return {
+        "sha256_64mib_s": round(sha_s, 4),
+        "pyloop_3m_s": round(loop_s, 4),
+        "sha256_parallel_64mib_x_cpus_s": round(par_s, 4),
+        "cpus": n,
+    }
+
+
+def _proc_stat_jiffies() -> dict[str, int] | None:
+    """Aggregate cpu jiffies; deltas over the bench lifetime expose
+    hypervisor steal / external contention DURING the run (a point
+    sample after the run always reads ~idle and proves nothing)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        keys = ("user", "nice", "system", "idle", "iowait", "irq",
+                "softirq", "steal")
+        return dict(zip(keys, map(int, parts[1:9])))
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _warmup(spark, sf_dir: str, names) -> None:
@@ -225,6 +299,8 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    seat_probe_start = _seat_probe()
+    stat_start = _proc_stat_jiffies()
     # Bench-only drain-gate input diet (see module docstring). setdefault
     # so an explicit caller override (including "1" = full volume) wins.
     os.environ.setdefault("SPARK_GRAFT_DRAIN_KEEP_1_IN", "8")
@@ -464,6 +540,21 @@ def main() -> None:
     total_full_volume = sum(t for n, t in timings.items() if n not in dieted)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Seat record: probe at both ends (a mode flip mid-run shows as a
+    # start/end disagreement) + cpu-time split over the whole run.
+    seat: dict = {
+        "probe_start": seat_probe_start,
+        "probe_end": _seat_probe(),
+    }
+    stat_end = _proc_stat_jiffies()
+    if stat_start and stat_end:
+        delta = {k: stat_end[k] - stat_start[k] for k in stat_start}
+        tot = sum(delta.values()) or 1
+        seat["cpu_pct_over_run"] = {
+            k: round(100.0 * v / tot, 2) for k, v in delta.items()
+        }
+
     # Full per-query map → repo artifact (diffable round-over-round).
     with open(detail_path, "w") as fh:
         json.dump(
@@ -487,6 +578,7 @@ def main() -> None:
                 "streaming_in_bench": streaming_in_bench,
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "seat": seat,
             },
             fh,
             indent=1,

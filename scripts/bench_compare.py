@@ -121,6 +121,27 @@ def main() -> int:
         f"{cur_total:.1f}s = {cur_total / max(base_total, 0.001):.2f}x  "
         f"over-{args.threshold}x: {len(over)} {over or ''}"
     )
+
+    # Informational seat note (never changes the exit status): when
+    # both artifacts carry bench.py's seat probe (recorded since r9),
+    # print the seat-speed ratio so a uniform drift can be attributed
+    # to the box instead of re-adjudicated from plan shapes. The
+    # parallel-sha number is the proxy closest to Spark's multi-core
+    # work; r9 evidence: a 1.46x median drift on 186 zero-churn rows
+    # tracked the seat, not the code.
+    def _seat_speed(a: dict) -> float | None:
+        probe = (a.get("seat") or {}).get("probe_start") or {}
+        v = probe.get("sha256_parallel_64mib_x_cpus_s")
+        return float(v) if v else None
+
+    sb, sc = _seat_speed(base_art), _seat_speed(cur_art)
+    if sb and sc:
+        seat_ratio = sc / sb
+        print(
+            f"seat: parallel-sha {sb:.3f}s -> {sc:.3f}s = "
+            f"{seat_ratio:.2f}x slower seat; seat-normalized total = "
+            f"{cur_total / max(base_total, 0.001) / seat_ratio:.2f}x"
+        )
     return 1 if over else 0
 
 
