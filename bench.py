@@ -219,6 +219,7 @@ def _subset_main() -> None:
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown subset queries: {unknown}")
+    subset_probe_start = _seat_probe()
     spark = get_spark(app_name="bench-subset")
     _warmup(spark, sf_dir, names)
     out: dict[str, list[float]] = {n: [] for n in names}
@@ -232,7 +233,14 @@ def _subset_main() -> None:
         for name in names:
             print(f"[bench-subset] {name} #{r + 1}", file=sys.stderr, flush=True)
             out[name].append(round(_run_once(spark, name, sf_dir), 3))
-    print(json.dumps({"subset": out}))
+    # Per-pass seat probe: the parent keys each drain pass's probe to
+    # its samples, so a poisoned min-of-3 pass (r9 evidence: one pass
+    # of streaming_custom_state at 78.6 s vs 30.0 s under 6.4% steal)
+    # is identifiable mechanically instead of by inference.
+    print(json.dumps({
+        "subset": out,
+        "seat_probe": {"start": subset_probe_start, "end": _seat_probe()},
+    }))
     spark.stop()
 
 
@@ -455,6 +463,7 @@ def main() -> None:
     drain_error = None
     drain_min: dict[str, float] = {}
     drain_drift_flagged: set[str] = set()
+    drain_pass_probes: list[dict] = []
     if drain_names:
         collected: dict[str, list[float]] = {n: [] for n in drain_names}
         k = len(drain_names)
@@ -483,6 +492,8 @@ def main() -> None:
                 break
             for name, samples in parsed["subset"].items():
                 collected[name].extend(samples)
+            if isinstance(parsed.get("seat_probe"), dict):
+                drain_pass_probes.append(parsed["seat_probe"])
         for name, samples in collected.items():
             if not samples:
                 continue
@@ -547,6 +558,11 @@ def main() -> None:
         "probe_start": seat_probe_start,
         "probe_end": _seat_probe(),
     }
+    if drain_pass_probes:
+        # One {start, end} probe pair per drain subprocess pass, in
+        # pass order: correlates each min-of-3 pass with the seat it
+        # actually ran on.
+        seat["drain_passes"] = drain_pass_probes
     stat_end = _proc_stat_jiffies()
     if stat_start and stat_end:
         delta = {k: stat_end[k] - stat_start[k] for k in stat_start}
