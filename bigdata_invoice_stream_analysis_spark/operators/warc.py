@@ -388,12 +388,17 @@ _UNRESERVED = set(
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 
 
-def _normalize_pct(s: str) -> str:
+def _normalize_pct(s: str, lower_decoded: bool = False) -> str:
     """§6.2.2.2: decode percent-triplets for unreserved characters,
-    uppercase the hex of the rest."""
+    uppercase the hex of the rest. ``lower_decoded`` applies the host
+    case-normalization (§6.2.2.1) to characters the decode step itself
+    uncovers — ``%50`` in a host must come out as ``p``, not ``P``,
+    or normalization is not idempotent."""
     def sub(m: re.Match) -> str:
         ch = chr(int(m.group(1), 16))
-        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+        if ch in _UNRESERVED:
+            return ch.lower() if lower_decoded else ch
+        return "%" + m.group(1).upper()
 
     return _PCT_RE.sub(sub, s)
 
@@ -437,7 +442,7 @@ def normalize_url(url: str) -> str | None:
         userinfo, auth = auth.rsplit("@", 1)
         userinfo += "@"
     host, _, port = auth.partition(":")
-    host = _normalize_pct(host.lower())
+    host = _normalize_pct(host.lower(), lower_decoded=True)
     if port and port != _DEFAULT_PORTS.get(scheme):
         host += ":" + port
     path = _normalize_pct(remove_dot_segments(m.group("path"))) or "/"
