@@ -23,6 +23,7 @@ from bigdata_invoice_stream_analysis_spark.plans.queries import (
     SQL_FIELDS,
     SQL_INVALID,
     _drain_input_diet,
+    _drain_state_partitions,
     _run_drain,
     purchase_rows,
     query,
@@ -327,7 +328,10 @@ def rocksdb_provider(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
-def _drive_until_drained(spark: SparkSession, writer, drained, what: str):
+def _drive_until_drained(
+    spark: SparkSession, writer, drained, what: str,
+    partitions: int | None = None,
+):
     """Start ``writer`` on an UNBOUNDED trigger and stop it from the
     driver once the sink signals ``drained``. ProcessingTime timeMode
     (required for TTL state and timers) keeps scheduling empty
@@ -338,7 +342,7 @@ def _drive_until_drained(spark: SparkSession, writer, drained, what: str):
     right-sized around the run exactly as _run_drain does (one state
     store per shuffle partition per micro-batch)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    n = min(32, spark.sparkContext.defaultParallelism)
+    n = partitions or _drain_state_partitions(spark)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         q = writer.start()
@@ -414,16 +418,22 @@ def run_custom_state_drain(
     data_batches = [0]
 
     def sink(bdf, bid):
-        rows = bdf.collect()
-        if rows:
+        # Arrow batch transfer + vectorized column access instead of a
+        # py4j row collect: the snapshot is ~10k rows per micro-batch
+        # at bench volume, and row-at-a-time Row access was ~1 s of
+        # every gate's drain (guide §6 "Arrow for driver transfers").
+        # Same values — floats cross as the identical IEEE doubles.
+        pdf = bdf.toPandas()
+        if len(pdf):
             data_batches[0] += 1
-        for r in rows:
-            acc[r["InvoiceNo"]] = (
-                r["MinUnitPrice"],
-                r["MaxUnitPrice"],
-                r["NumberItems"],
-                r["Lines"],
-            )
+        for inv, mn, mx, ni, ln in zip(
+            pdf["InvoiceNo"],
+            pdf["MinUnitPrice"],
+            pdf["MaxUnitPrice"],
+            pdf["NumberItems"],
+            pdf["Lines"],
+        ):
+            acc[inv] = (float(mn), float(mx), float(ni), int(ln))
         if bid >= n_files - 1 and data_batches[0] >= n_files:
             drained.set()
 
@@ -433,11 +443,62 @@ def run_custom_state_drain(
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
     )
+    # Python keyed-state gates size to owned cores, not the JVM-gate
+    # default: their bottleneck is per-group Python processing
+    # (measured 6.9 s at 32 partitions vs 12.5 s at 8 on this drain).
+    n_parts = _drain_state_partitions(spark, python_state=True)
     if stop_after_files:
-        _drive_until_drained(spark, writer, drained, "TTL")
+        _drive_until_drained(spark, writer, drained, "TTL", partitions=n_parts)
     else:
-        _run_drain(spark, writer.trigger(availableNow=True))
+        _run_drain(
+            spark, writer.trigger(availableNow=True), partitions=n_parts
+        )
     return acc
+
+
+def _snapshot_df(spark: SparkSession, acc, columns, schema) -> DataFrame:
+    """Key-sorted {key: value-tuple} snapshot → DataFrame through
+    pandas, so createDataFrame takes the Arrow fast path instead of a
+    py4j row upload (the drain gates' snapshots are 1k-12k rows at
+    bench volume)."""
+    import pandas as pd
+
+    items = sorted(acc.items())
+    data = {columns[0]: [k for k, _ in items]}
+    for i, c in enumerate(columns[1:]):
+        data[c] = [v[i] for _, v in items]
+    return spark.createDataFrame(pd.DataFrame(data), schema)
+
+
+def _invoice_state_snapshot_df(spark: SparkSession, acc) -> DataFrame:
+    """Shared assembly for the three value-state gates: the drained
+    {InvoiceNo: (mn, mx, number_items, lines)} snapshot as a DataFrame
+    in the gates' hashed column shape. Built through pandas so
+    createDataFrame takes the Arrow fast path instead of a py4j row
+    upload (~12k rows per gate at bench volume)."""
+    import pandas as pd
+
+    items = sorted(acc.items())
+    pdf = pd.DataFrame(
+        {
+            "InvoiceNo": [k for k, _ in items],
+            "mn": [v[0] for _, v in items],
+            "mx": [v[1] for _, v in items],
+            "number_items": [int(v[2]) for _, v in items],
+            "lines": [int(v[3]) for _, v in items],
+        }
+    )
+    out = spark.createDataFrame(
+        pdf,
+        "InvoiceNo string, mn double, mx double, number_items long, lines int",
+    )
+    return out.select(
+        "InvoiceNo",
+        F.col("mn").alias("min_unit_price"),
+        F.col("mx").alias("max_unit_price"),
+        "number_items",
+        "lines",
+    )
 
 
 @query(
@@ -479,24 +540,11 @@ def q_streaming_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver/parity never set the env var, so they stage full volume.
     p = _drain_input_diet(p)
     acc = run_custom_state_drain(spark, p)
-    rows = [
-        (k, mn, mx, int(ni), int(ln)) for k, (mn, mx, ni, ln) in sorted(acc.items())
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "InvoiceNo string, mn double, mx double, number_items long, lines int",
-    )
     # min/max are the IDENTICAL IEEE double on both engines (same
     # division, same parquet round-trip), so they ship unrounded —
     # the weighted_invoice_features convention; a divergent pre-round
     # (Spark HALF_UP vs DuckDB) flips .5-boundary rows.
-    return out.select(
-        "InvoiceNo",
-        F.col("mn").alias("min_unit_price"),
-        F.col("mx").alias("max_unit_price"),
-        "number_items",
-        "lines",
-    )
+    return _invoice_state_snapshot_df(spark, acc)
 
 
 @query(
@@ -537,21 +585,7 @@ def q_streaming_state_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = run_custom_state_drain(
             spark, p, transform=transform_invoice_state, prefix="state_v2"
         )
-    rows = [
-        (k, mn, mx, int(ni), int(ln))
-        for k, (mn, mx, ni, ln) in sorted(acc.items())
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "InvoiceNo string, mn double, mx double, number_items long, lines int",
-    )
-    return out.select(
-        "InvoiceNo",
-        F.col("mn").alias("min_unit_price"),
-        F.col("mx").alias("max_unit_price"),
-        "number_items",
-        "lines",
-    )
+    return _invoice_state_snapshot_df(spark, acc)
 
 
 @query(
@@ -612,21 +646,7 @@ def q_streaming_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             prefix="state_ttl",
             stop_after_files=True,
         )
-    rows = [
-        (k, mn, mx, int(ni), int(ln))
-        for k, (mn, mx, ni, ln) in sorted(acc.items())
-    ]
-    out = spark.createDataFrame(
-        rows,
-        "InvoiceNo string, mn double, mx double, number_items long, lines int",
-    )
-    return out.select(
-        "InvoiceNo",
-        F.col("mn").alias("min_unit_price"),
-        F.col("mx").alias("max_unit_price"),
-        "number_items",
-        "lines",
-    )
+    return _invoice_state_snapshot_df(spark, acc)
 
 
 def run_timer_state_drain(
@@ -653,13 +673,14 @@ def run_timer_state_drain(
     data_batches = [0]
 
     def sink(bdf, bid):
-        rows = bdf.collect()
-        if rows:
+        # Arrow transfer + columnar access (see run_custom_state_drain).
+        pdf = bdf.toPandas()
+        if len(pdf):
             data_batches[0] += 1
-        for r in rows:
-            acc[r["InvoiceNo"]] = (
-                int(r["n_rows"]), int(r["qty_sum"]), int(r["n_fires"]),
-            )
+        for inv, nr, qs, nf in zip(
+            pdf["InvoiceNo"], pdf["n_rows"], pdf["qty_sum"], pdf["n_fires"]
+        ):
+            acc[inv] = (int(nr), int(qs), int(nf))
         if bid >= n_files - 1 and data_batches[0] >= n_files:
             drained.set()
 
@@ -669,7 +690,10 @@ def run_timer_state_drain(
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt)
     )
-    _drive_until_drained(spark, writer, drained, "timer")
+    _drive_until_drained(
+        spark, writer, drained, "timer",
+        partitions=_drain_state_partitions(spark, python_state=True),
+    )
     return acc
 
 
@@ -707,11 +731,9 @@ def q_streaming_state_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _drain_input_diet(p)
     with rocksdb_provider(spark):
         acc = run_timer_state_drain(spark, p)
-    rows = [
-        (k, nr, qs, nf) for k, (nr, qs, nf) in sorted(acc.items())
-    ]
-    return spark.createDataFrame(
-        rows,
+    return _snapshot_df(
+        spark, acc,
+        ["InvoiceNo", "n_rows", "qty_sum", "n_fires"],
         "InvoiceNo string, n_rows long, qty_sum long, n_fires int",
     )
 
@@ -781,13 +803,17 @@ def q_streaming_state_list_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc: dict[str, tuple[int, int, int, int]] = {}
 
         def sink(bdf, _bid):
-            for r in bdf.collect():
-                acc[r["InvoiceNo"]] = (
-                    int(r["n_batches"]),
-                    int(r["weighted_qty"]),
-                    int(r["n_bands"]),
-                    int(r["band_checksum"]),
-                )
+            # Arrow transfer + columnar access (see
+            # run_custom_state_drain).
+            pdf = bdf.toPandas()
+            for inv, nb, wq, nband, bc in zip(
+                pdf["InvoiceNo"],
+                pdf["n_batches"],
+                pdf["weighted_qty"],
+                pdf["n_bands"],
+                pdf["band_checksum"],
+            ):
+                acc[inv] = (int(nb), int(wq), int(nband), int(bc))
 
         ckpt = fresh_checkpoint("stream_state_list_map_ckpt_")
         writer = (
@@ -796,13 +822,13 @@ def q_streaming_state_list_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
         )
-        _run_drain(spark, writer)
-    rows = [
-        (k, nb, wq, nband, bc)
-        for k, (nb, wq, nband, bc) in sorted(acc.items())
-    ]
-    return spark.createDataFrame(
-        rows,
+        _run_drain(
+            spark, writer,
+            partitions=_drain_state_partitions(spark, python_state=True),
+        )
+    return _snapshot_df(
+        spark, acc,
+        ["InvoiceNo", "n_batches", "weighted_qty", "n_bands", "band_checksum"],
         "InvoiceNo string, n_batches int, weighted_qty long, "
         "n_bands int, band_checksum long",
     )
@@ -1352,11 +1378,21 @@ def _run_full_pipeline_gate(
         },
     )
     # _run_drain's state-partition sizing, inlined: run_pipeline starts
-    # its own queries, so the conf must wrap the whole topology.
+    # its own queries, so the conf must wrap the whole topology. The
+    # topology runs its queries CONCURRENTLY, so each query owns
+    # cores/n_queries — sizing each query's state partitions to that
+    # share keeps total in-flight tasks ≈ cores instead of 4× cores
+    # (measured: the 4-query drain fell 13.8 s → 8.7 s at 32 cores
+    # when per-query partitions went 32 → 8, identical output).
+    n_queries = 3 if "router" in prefix else 4
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(min(32, spark.sparkContext.defaultParallelism)),
+        str(
+            _drain_state_partitions(
+                spark, python_state=True, concurrent=n_queries
+            )
+        ),
     )
     queries = []
     try:
