@@ -320,10 +320,21 @@ def main() -> None:
     # hook) — the drain gates. Timed in a fresh subprocess JVM (module
     # docstring); their times are only comparable between runs with the
     # same diet_keep_1_in setting.
+    # MEASUREMENT FIX (r9): the two full-pipeline topology gates call
+    # the diet hook through their shared body
+    # (plans/drains._run_full_pipeline_gate), which the direct source
+    # inspection missed — so their IN-BENCH rows were diet-affected yet
+    # counted in value_full_volume and timed in the fatigued parent JVM
+    # instead of the fresh-JVM min-of-3 drain protocol. The r8-era
+    # numbers for streaming_full_pipeline / _router therefore carried
+    # both biases (committed r9 baseline: 12.29 s / 10.48 s in-bench);
+    # from this round they are classified drain gates like every other
+    # dieted query. Detection now also matches the shared-body call.
     diet_capable = {
         name
         for name, fn in QUERIES.items()
         if "_drain_input_diet(" in inspect.getsource(fn)
+        or "_run_full_pipeline_gate(" in inspect.getsource(fn)
     }
     batch_names = sorted(set(QUERIES) - diet_capable)
 

@@ -642,9 +642,17 @@ def jaccard_prefix_pairs(
             Window.partitionBy("doc_id").orderBy(F.asc("df_h"), F.asc("h"))
         ),
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "h")
+    # Cache the prefix index: it feeds BOTH sides of the candidate
+    # self-join, and without materialization Spark builds the whole
+    # inverted index (explode → dfreq join → per-doc window sort)
+    # twice — the r9 before-plan showed two identical Window+Exchange
+    # subtrees, one per join side (guide §2.4: share one exchange).
+    prefix = scoped_cache(
+        ranked.filter(
+            F.col("rk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select("doc_id", "h")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))

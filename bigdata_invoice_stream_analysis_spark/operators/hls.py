@@ -373,6 +373,7 @@ def hls_segments(files):
             parse_m3u8,
         )
 
+        memo: dict[tuple, dict] = {}
         for pdf in it:
             out = {k: [] for k in cols}
 
@@ -389,7 +390,16 @@ def hls_segments(files):
             for fid, text, url in zip(pdf["file_id"], pdf["text"],
                                       urls):
                 try:
-                    m = parse_m3u8(text, base_url=url)
+                    # Parse each DISTINCT (text, base_url) once per
+                    # task (guide §8): manifests recur across rows
+                    # (CDN re-crawls, codebooked fixtures) and the
+                    # parse is a pure function of both inputs. Task-
+                    # closure scope only; failures are not memoized.
+                    mk = (text, url)
+                    m = memo.get(mk)
+                    if m is None:
+                        m = parse_m3u8(text, base_url=url)
+                        memo[mk] = m
                 except (ValueError, OverflowError) as exc:
                     emit(fid, -1, error=str(exc)[:120])
                     continue

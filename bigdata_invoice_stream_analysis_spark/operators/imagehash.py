@@ -137,21 +137,39 @@ def image_phash(media: DataFrame) -> DataFrame:
         )
 
         cols = [f.name for f in out_schema.fields]
-        for pdf in it:
-            out = {k: [] for k in cols}
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(p)
+        # Decode+hash each DISTINCT payload once per task (guide §8 —
+        # decode heavy bytes once, reuse the lightweight result):
+        # repeated blobs are the norm in image corpora (re-uploads,
+        # codebooked fixtures) and both hashes are pure functions of
+        # the bytes. Task-closure scope only — nothing outlives the
+        # task or crosses queries.
+        memo: dict[bytes, tuple] = {}
+
+        def stats(raw: bytes) -> tuple:
+            got = memo.get(raw)
+            if got is None:
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     img = decode_png(raw)
                 else:
                     img = decode_pnm(raw)
                 args = (img["pixels"], img["width"], img["height"],
                         img["channels"])
+                got = (
+                    img["width"], img["height"],
+                    _signed(_dh(*args)), _signed(_ah(*args)),
+                )
+                memo[raw] = got
+            return got
+
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, dh, ah = stats(bytes(p))
                 out["media_id"].append(mid)
-                out["width"].append(img["width"])
-                out["height"].append(img["height"])
-                out["dhash"].append(_signed(_dh(*args)))
-                out["ahash"].append(_signed(_ah(*args)))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append(dh)
+                out["ahash"].append(ah)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=out_schema)

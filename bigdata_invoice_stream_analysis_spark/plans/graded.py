@@ -52,16 +52,23 @@ Composition of the round-9 window (50 slots):
     variant_schema_drift, bpe_corpus_tokens, streaming_pii_monitor,
     streaming_release_monitor, crawl_frontier_gate,
     source_mixture_plan.
-  * 14 OLDEST-FIRST STABLE BACKFILL — r04-cohort rows re-graded ahead
-    of their r12 deadline, chosen where dependency code churned most
-    since r04 (media/jpeg/mp4 family) or the r12 bulge needs
-    smoothing: media_exact_dedup, media_jpeg_roundtrip,
-    media_audio_samples, winnow_fingerprints, bpe_merge_pairs,
-    split_contamination_bloom, hll_partial_merge,
-    equidepth_value_bins, event_transition_matrix, skew_key_profile,
-    weekly_retention, user_value_ewma, rolling_active_users,
-    latest_event_per_user.
-  8 + 4 + 1 + 23 + 14 = 50, exactly.
+  * 12 OPTIMIZATION RE-PINS (r9 was the first optimization round;
+    changed code is graded the round it changes): the five Python
+    keyed-state gates + streaming_full_pipeline (drain state-partition
+    sizing and Arrow snapshot transfers), the three warc rows behind
+    the normalize_url idempotency fix, the two frame-decode rows
+    (distinct-payload memo, operators/mediadecode.py) and
+    media_cue_alignment (hls module closure). See OPTIMIZATION_r09.md.
+  * 2 OLDEST-FIRST STABLE BACKFILL — bpe_merge_pairs (one clean grade
+    only, so not deferral-eligible) and media_jpeg_roundtrip (also an
+    optimization re-pin).
+    The other 12 planned backfill rows moved to the checked-in
+    one-round deferral (plans/tiers.py::DEFERRED_REPINS, due r10 —
+    still two rounds ahead of their r12 stable deadline): the r9
+    mandatory union (23 never-graded + 4 fast-stale + 20 changed +
+    mid-build churn) exceeded the 50-slot window, and the deferral
+    amendment spends the scarce slots on changed code first.
+  8 + 4 + 1 + 23 + 12 + 2 = 50, exactly.
 
 Registry arithmetic after this round: 200 r8-registered − 3 driver
 retirements (tiers.RETIRED_FROM_DRIVER: ann_cosine_topk,
@@ -148,21 +155,27 @@ GRADED_50: list[str] = [
     "streaming_release_monitor",
     "crawl_frontier_gate",
     "source_mixture_plan",
-    # --- oldest-first stable backfill (r04 cohort) ---
-    "media_exact_dedup",
-    "media_jpeg_roundtrip",
-    "media_audio_samples",
-    "winnow_fingerprints",
+    # --- r9 OPTIMIZATION re-pins (changed code is graded the round it
+    # changes): the drain-gate sizing/Arrow-sink rework, the warc URL
+    # normalization fix, and the memoized frame decode (OPTIMIZATION_
+    # r09.md). These displaced 12 early stable-backfill rows into the
+    # checked-in one-round deferral (tiers.DEFERRED_REPINS, due r10).
+    "streaming_custom_state",
+    "streaming_state_v2",
+    "streaming_state_ttl",
+    "streaming_state_timers",
+    "streaming_state_list_map",
+    "streaming_full_pipeline",
+    "warc_corpus_funnel",
+    "warc_record_stats",
+    "warc_text_corpus",
+    "media_video_frames",
+    "media_fmp4_video_frames",
+    "media_cue_alignment",
+    # --- oldest-first stable backfill (r04 cohort; bpe_merge_pairs
+    # has a single clean grade so it is not deferral-eligible) ---
     "bpe_merge_pairs",
-    "split_contamination_bloom",
-    "hll_partial_merge",
-    "equidepth_value_bins",
-    "event_transition_matrix",
-    "skew_key_profile",
-    "weekly_retention",
-    "user_value_ewma",
-    "rolling_active_users",
-    "latest_event_per_user",
+    "media_jpeg_roundtrip",
 ]
 
 _GRADED_SET = frozenset(GRADED_50)

@@ -350,20 +350,35 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from bigdata_invoice_stream_analysis_spark.operators.jpeg import decode_jpeg
 
+        # Decode each DISTINCT payload once per task (guide §8); the
+        # pixel stats are a pure function of the bytes. Task-closure
+        # scope only.
+        memo: dict[bytes, tuple] = {}
+
+        def stats(raw: bytes) -> tuple:
+            got = memo.get(raw)
+            if got is None:
+                img = decode_jpeg(raw)
+                px = img["pixels"]
+                got = (
+                    img["width"], img["height"], sum(px), min(px), max(px),
+                )
+                memo[raw] = got
+            return got
+
         for pdf in it:
             out = {k: [] for k in (
                 "media_id", "width", "height",
                 "pixel_sum", "pixel_min", "pixel_max",
             )}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_jpeg(bytes(p))
-                px = img["pixels"]
+                w, h, psum, pmin, pmax = stats(bytes(p))
                 out["media_id"].append(mid)
-                out["width"].append(img["width"])
-                out["height"].append(img["height"])
-                out["pixel_sum"].append(sum(px))
-                out["pixel_min"].append(min(px))
-                out["pixel_max"].append(max(px))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(psum)
+                out["pixel_min"].append(pmin)
+                out["pixel_max"].append(pmax)
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(
@@ -479,8 +494,10 @@ def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_package_on_workers,
     )
     from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+    from bigdata_invoice_stream_analysis_spark.operators.mediadecode import (
+        decode_video_frames_memo as decode_video_frames,
+    )
     from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
-        decode_video_frames,
         encode_minimal_mp4,
     )
 
@@ -1189,8 +1206,10 @@ def q_media_fmp4_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_package_on_workers,
     )
     from bigdata_invoice_stream_analysis_spark.operators.jpeg import encode_jpeg
+    from bigdata_invoice_stream_analysis_spark.operators.mediadecode import (
+        decode_video_frames_memo as decode_video_frames,
+    )
     from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
-        decode_video_frames,
         encode_minimal_fmp4,
     )
 

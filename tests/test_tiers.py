@@ -109,13 +109,57 @@ def test_changed_rows_hold_a_window_slot_this_round():
     """The standing changed-code re-pin rule, enforced: every row
     whose fingerprint was pinned THIS round (i.e. its code changed or
     it registered this round) must be in this round's grading
-    window."""
+    window — or, when the round's mandatory set overflows the 50-slot
+    window, in the bounded one-round deferral
+    (tiers.DEFERRED_REPINS, eligibility asserted separately)."""
     pins = tiers.load_pins()
     missing = sorted(
         n for n, p in pins.items()
-        if p["round"] >= GRADED_ROUND and n not in GRADED_50
+        if p["round"] >= GRADED_ROUND
+        and n not in GRADED_50
+        and tiers.DEFERRED_REPINS.get(n) != GRADED_ROUND + 1
     )
     assert not missing, f"changed rows with no window slot: {missing}"
+
+
+def test_deferred_repins_are_eligible_and_bounded():
+    """The r9 deferral amendment's guardrails: a deferral is only
+    legal when the row is STABLE tier (never FAST), meets the stable
+    tier's own evidence bar (at least one clean hash-match driver
+    grade, zero driver failures ever — the same bar stable cadence is
+    earned at), is not never-graded, would not breach its stable
+    staleness bound by its due round, and is due EXACTLY one round
+    after the window that displaced it. Once GRADED_ROUND reaches a
+    row's due round, the row must hold a window slot (the debt cannot
+    roll)."""
+    hist = _grade_history()
+    for name, due in tiers.DEFERRED_REPINS.items():
+        assert name not in tiers.FAST_TIER, f"{name}: FAST cannot defer"
+        rows = hist.get(name)
+        assert rows, f"{name}: never-graded rows cannot defer"
+        n_hash = sum(1 for _, r in rows if r.get("hash_match"))
+        n_fail = sum(
+            1 for _, r in rows
+            if r.get("err") not in (None, "no_oracle")
+            or r.get("hash_match") is False
+            or r.get("rows_match") is False
+        )
+        assert n_hash >= 1 and n_fail == 0, (
+            f"{name}: deferral needs >=1 clean grade, 0 failures "
+            f"(has hash={n_hash}, fail={n_fail})"
+        )
+        newest = max(rnd for rnd, _ in rows)
+        assert newest + tiers.STABLE_BOUND >= due, (
+            f"{name}: deferral to r{due} would breach the stable bound"
+        )
+        assert due <= GRADED_ROUND + 1, (
+            f"{name}: deferral may only reach the NEXT round"
+        )
+        if GRADED_ROUND >= due:
+            assert name in GRADED_50, (
+                f"{name}: deferred re-grade came due at r{due} and "
+                f"must hold a window slot"
+            )
 
 
 def test_no_pin_round_from_the_future():
