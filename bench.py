@@ -81,7 +81,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 from bigdata_invoice_stream_analysis_spark.cache import release_caches
-from bigdata_invoice_stream_analysis_spark.plans.queries import QUERIES
+from bigdata_invoice_stream_analysis_spark.plans.queries import (
+    DRAIN_GATES,
+    QUERIES,
+)
 from bigdata_invoice_stream_analysis_spark.session import get_spark
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -314,28 +317,18 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRAIN_KEEP_1_IN", "8")
     diet_keep = int(os.environ.get("SPARK_GRAFT_DRAIN_KEEP_1_IN", "1") or "1")
 
-    import inspect
-
     # Queries whose streaming input CAN be dieted (they call the diet
     # hook) — the drain gates. Timed in a fresh subprocess JVM (module
     # docstring); their times are only comparable between runs with the
     # same diet_keep_1_in setting.
-    # MEASUREMENT FIX (r9): the two full-pipeline topology gates call
-    # the diet hook through their shared body
-    # (plans/drains._run_full_pipeline_gate), which the direct source
-    # inspection missed — so their IN-BENCH rows were diet-affected yet
-    # counted in value_full_volume and timed in the fatigued parent JVM
-    # instead of the fresh-JVM min-of-3 drain protocol. The r8-era
-    # numbers for streaming_full_pipeline / _router therefore carried
-    # both biases (committed r9 baseline: 12.29 s / 10.48 s in-bench);
-    # from this round they are classified drain gates like every other
-    # dieted query. Detection now also matches the shared-body call.
-    diet_capable = {
-        name
-        for name, fn in QUERIES.items()
-        if "_drain_input_diet(" in inspect.getsource(fn)
-        or "_run_full_pipeline_gate(" in inspect.getsource(fn)
-    }
+    # r10 (ADVICE): classification is now POSITIVE — the checked-in
+    # plans/queries.DRAIN_GATES set — instead of substring-scanning
+    # builder sources, which silently misclassified the two
+    # full-pipeline twins in r8 when they reached the diet hook through
+    # a shared helper. tests/test_bench_gates.py recomputes the
+    # transitive source scan and fails on any drift between the scan
+    # and the set.
+    diet_capable = set(DRAIN_GATES)
     batch_names = sorted(set(QUERIES) - diet_capable)
 
     # Prior round's per-query map, read BEFORE this run overwrites the

@@ -372,8 +372,15 @@ def hls_segments(files):
         from bigdata_invoice_stream_analysis_spark.operators.hls import (
             parse_m3u8,
         )
+        from bigdata_invoice_stream_analysis_spark.operators.memo import (
+            BoundedMemo,
+            text_key,
+        )
 
-        memo: dict[tuple, dict] = {}
+        # Bounded digest-keyed memo (operators/memo.py): retains only
+        # digest keys + parsed dicts, never the manifest text; capped
+        # so high-cardinality corpora cannot grow it unbounded.
+        memo = BoundedMemo()
         for pdf in it:
             out = {k: [] for k in cols}
 
@@ -395,11 +402,10 @@ def hls_segments(files):
                     # (CDN re-crawls, codebooked fixtures) and the
                     # parse is a pure function of both inputs. Task-
                     # closure scope only; failures are not memoized.
-                    mk = (text, url)
+                    mk = text_key(text, url)
                     m = memo.get(mk)
                     if m is None:
-                        m = parse_m3u8(text, base_url=url)
-                        memo[mk] = m
+                        m = memo.put(mk, parse_m3u8(text, base_url=url))
                 except (ValueError, OverflowError) as exc:
                     emit(fid, -1, error=str(exc)[:120])
                     continue

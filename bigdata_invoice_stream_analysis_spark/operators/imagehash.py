@@ -141,12 +141,20 @@ def image_phash(media: DataFrame) -> DataFrame:
         # decode heavy bytes once, reuse the lightweight result):
         # repeated blobs are the norm in image corpora (re-uploads,
         # codebooked fixtures) and both hashes are pure functions of
-        # the bytes. Task-closure scope only — nothing outlives the
-        # task or crosses queries.
-        memo: dict[bytes, tuple] = {}
+        # the bytes. Bounded digest-keyed memo (operators/memo.py):
+        # retains only 16-byte keys + stat tuples, never the payload
+        # bytes; capped so high-cardinality corpora cannot grow it
+        # unbounded. Task-closure scope only.
+        from bigdata_invoice_stream_analysis_spark.operators.memo import (
+            BoundedMemo,
+            payload_key,
+        )
+
+        memo = BoundedMemo()
 
         def stats(raw: bytes) -> tuple:
-            got = memo.get(raw)
+            k = payload_key(raw)
+            got = memo.get(k)
             if got is None:
                 if raw[:8] == b"\x89PNG\r\n\x1a\n":
                     img = decode_png(raw)
@@ -154,11 +162,10 @@ def image_phash(media: DataFrame) -> DataFrame:
                     img = decode_pnm(raw)
                 args = (img["pixels"], img["width"], img["height"],
                         img["channels"])
-                got = (
+                got = memo.put(k, (
                     img["width"], img["height"],
                     _signed(_dh(*args)), _signed(_ah(*args)),
-                )
-                memo[raw] = got
+                ))
             return got
 
         for pdf in it:

@@ -43,14 +43,22 @@ def decode_video_frames_memo(media, every_n: int = 1):
     def batches(it):
         import pandas as pd
 
+        from bigdata_invoice_stream_analysis_spark.operators.memo import (
+            BoundedMemo,
+            payload_key,
+        )
         from bigdata_invoice_stream_analysis_spark.operators.mp4 import (
             decode_mjpeg_frames,
         )
 
-        memo: dict[bytes, list[tuple]] = {}
+        # Bounded digest-keyed memo (operators/memo.py): retains only
+        # 16-byte keys + stat tuples, never the payload bytes, and caps
+        # entries so high-cardinality corpora cannot grow it unbounded.
+        memo = BoundedMemo()
 
         def frame_rows(p: bytes) -> list[tuple]:
-            rows = memo.get(p)
+            k = payload_key(p)
+            rows = memo.get(k)
             if rows is None:
                 rows = []
                 for fr in decode_mjpeg_frames(p, every_n=every_n):
@@ -59,7 +67,7 @@ def decode_video_frames_memo(media, every_n: int = 1):
                         fr["frame_idx"], fr["pts"], fr["width"],
                         fr["height"], sum(px), min(px), max(px),
                     ))
-                memo[p] = rows
+                memo.put(k, rows)
             return rows
 
         for pdf in it:

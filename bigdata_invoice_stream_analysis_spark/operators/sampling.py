@@ -144,22 +144,32 @@ def source_mixture_plan(
     total = per_source.select(
         F.sum("n_tokens").alias("total_tokens")
     )
+    # Half-up rounding via FLOOR(x + 0.5) rather than ROUND (r10): the
+    # engines' ROUND implementations are a cross-engine hazard class
+    # (Spark rounds HALF_UP over the decimal shortest-repr; a DuckDB
+    # build rounding doubles half-to-even would flip any exact-.5
+    # value), while FLOOR is correctly rounded IEEE in both engines on
+    # the identical double input — so the quantized grid is
+    # bit-reproducible no matter which ROUND the other engine ships.
+    # Identical values at every tested SF (no .5-boundary inputs
+    # exist); the form is pinned so none can ever diverge.
     scaled = per_source.crossJoin(F.broadcast(total)).select(
         source_col, "n_docs", "n_tokens",
-        F.round(
+        F.floor(
             F.lit(1e6) * F.col("n_tokens") / F.col("total_tokens")
+            + F.lit(0.5)
         ).cast("long").alias("token_share_ppm"),
-        F.round(
+        F.floor(
             F.lit(1e9) * F.sqrt(
                 F.col("n_tokens") / F.col("total_tokens")
-            )
+            ) + F.lit(0.5)
         ).cast("long").alias("w_quant"),
     )
     wsum = scaled.select(F.sum("w_quant").alias("w_sum"))
     return scaled.crossJoin(F.broadcast(wsum)).select(
         source_col, "n_docs", "n_tokens", "token_share_ppm",
-        F.round(
-            F.lit(1e6) * F.col("w_quant") / F.col("w_sum")
+        F.floor(
+            F.lit(1e6) * F.col("w_quant") / F.col("w_sum") + F.lit(0.5)
         ).cast("long").alias("mix_weight_ppm"),
     )
 
@@ -179,18 +189,19 @@ WITH per_source AS (
 ),
 scaled AS (
   SELECT source, n_docs, n_tokens,
-         CAST(ROUND(1e6 * n_tokens /
-              (SELECT SUM(n_tokens) FROM per_source)) AS BIGINT)
+         CAST(FLOOR(1e6 * n_tokens /
+              (SELECT SUM(n_tokens) FROM per_source) + 0.5) AS BIGINT)
            AS token_share_ppm,
-         CAST(ROUND(1e9 * SQRT(n_tokens /
-              (SELECT SUM(n_tokens) FROM per_source))) AS BIGINT)
+         CAST(FLOOR(1e9 * SQRT(n_tokens /
+              (SELECT SUM(n_tokens) FROM per_source)) + 0.5) AS BIGINT)
            AS w_quant
   FROM per_source
 )
-SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        token_share_ppm,
-       CAST(ROUND(1e6 * w_quant /
-            (SELECT SUM(w_quant) FROM scaled)) AS BIGINT)
+       CAST(FLOOR(1e6 * w_quant /
+            (SELECT SUM(w_quant) FROM scaled) + 0.5) AS BIGINT)
          AS mix_weight_ppm
 FROM scaled
 """

@@ -238,20 +238,47 @@ def prepared_purchase_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated, typed, timestamped, plus the ``line_no % 3`` bucket key
     that spreads an invoice's lines across micro-batches. Shared by the
     graded gate and scripts/scaling_probe.py (one builder — the probe
-    times the exact shipped input, and the two can't drift)."""
-    from bigdata_invoice_stream_analysis_spark.functions.time_fns import (
-        parse_invoice_ts,
+    times the exact shipped input, and the two can't drift).
+
+    r10 staging trim (guide §1.2 "don't compute things you throw
+    away"): the r9 shape built the FULL purchase projection
+    (purchase_rows) and then filtered + re-parsed — the two gate
+    filters are pure functions of single scan columns (``InvoiceNo
+    NOT LIKE 'C%'`` ⟺ o_orderstatus <> 'F'; ``CustomerID <> ''`` ⟺
+    l_orderkey % 97 <> 0), so they now push to the scans BEFORE the
+    join, and ``ts`` derives directly from the join columns instead
+    of the date_format→try_to_timestamp string roundtrip (order_ts is
+    minute-granular with seconds == 0, so parse(format(x)) == x —
+    verified exact under UTC and DST session timezones, and every
+    gate's oracle re-derives the same instants from the PURCHASE_CTE
+    strings). Output rows identical to the r9 shape (pinned by
+    tests/test_drains_staging.py and every gate's oracle). Measured
+    (sf0.1, 32 cores, noop sink, warm): full-volume staging compute
+    1.84 → 1.28 s — the driver's correctness path pays this ×5 gates —
+    and the dieted bench path ~0.6 → ~0.5 s (the diet filter now
+    pushes to the lineitem scan too: InvoiceNo is a pure l_orderkey
+    cast after the pre-filters)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 != 0
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    )
+    from bigdata_invoice_stream_analysis_spark.sources.tables import (
+        ensure_min_parallelism,
     )
 
-    return purchase_rows(spark, sf_dir).filter(
-        ~F.col("InvoiceNo").startswith("C") & (F.col("CustomerID") != "")
-    ).select(
-        "InvoiceNo",
-        "CustomerID",
-        F.col("Quantity").cast("double").alias("Quantity"),
-        "UnitPrice",
-        parse_invoice_ts(F.col("InvoiceDate")).alias("ts"),
-        (F.col("line_no") % 3).alias("bkt"),
+    j = ensure_min_parallelism(li.join(o, li.l_orderkey == o.o_orderkey), spark)
+    order_ts = F.timestamp_add(
+        "MINUTE", (F.col("o_orderkey") % 1440).cast("int"), F.col("o_orderdate")
+    )
+    return j.select(
+        F.col("l_orderkey").cast("string").alias("InvoiceNo"),
+        F.col("o_custkey").cast("string").alias("CustomerID"),
+        F.col("l_quantity").cast("int").cast("double").alias("Quantity"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("UnitPrice"),
+        order_ts.alias("ts"),
+        (F.col("l_linenumber") % 3).alias("bkt"),
     )
 
 
@@ -1294,7 +1321,9 @@ def q_streaming_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     both watermark/update bounded; scoring is plan-literal codegen."""
     from bigdata_invoice_stream_analysis_spark.streaming.app import run_pipeline
 
-    return _run_full_pipeline_gate(spark, sf_dir, run_pipeline, "full_pipe")
+    return _run_full_pipeline_gate(
+        spark, sf_dir, run_pipeline, "full_pipe", n_queries=4
+    )
 
 
 @query("streaming_full_pipeline_router", oracle=FULL_PIPELINE_ORACLE)
@@ -1319,12 +1348,12 @@ def q_streaming_full_pipeline_router(
     )
 
     return _run_full_pipeline_gate(
-        spark, sf_dir, run_pipeline_router, "full_pipe_router"
+        spark, sf_dir, run_pipeline_router, "full_pipe_router", n_queries=3
     )
 
 
 def _run_full_pipeline_gate(
-    spark: SparkSession, sf_dir: str, runner, prefix: str
+    spark: SparkSession, sf_dir: str, runner, prefix: str, n_queries: int
 ) -> DataFrame:
     """Shared drain/read/flatten body for the two full-pipeline
     topology gates: stage event-time-ordered line buckets, run the
@@ -1380,17 +1409,24 @@ def _run_full_pipeline_gate(
     # _run_drain's state-partition sizing, inlined: run_pipeline starts
     # its own queries, so the conf must wrap the whole topology. The
     # topology runs its queries CONCURRENTLY, so each query owns
-    # cores/n_queries — sizing each query's state partitions to that
-    # share keeps total in-flight tasks ≈ cores instead of 4× cores
-    # (measured: the 4-query drain fell 13.8 s → 8.7 s at 32 cores
-    # when per-query partitions went 32 → 8, identical output).
-    n_queries = 3 if "router" in prefix else 4
+    # cores/n_queries (passed explicitly by the two gate wrappers —
+    # r10 ADVICE: the old `"router" in prefix` substring inference
+    # silently mis-divided for any new caller). r9 sized each query's
+    # share as a PYTHON-state gate (owned cores), but every stateful
+    # stage in this topology is a JVM aggregation (legacy_state=False →
+    # invoice_updates is a groupBy agg; the cancellation window is a
+    # JVM window agg; scoring is stateless codegen), and the r9 driver
+    # scaling block showed the tell: 0.68/0.71 low/high ratios — the
+    # 8-core run BEAT the 32-core run because 8 parts/query × 4
+    # queries over-provisioned JVM state stores. JVM-gate sizing
+    # (owned/4, floor 2) applies; before/after numbers in
+    # OPTIMIZATION_r10.md.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(
             _drain_state_partitions(
-                spark, python_state=True, concurrent=n_queries
+                spark, python_state=False, concurrent=n_queries
             )
         ),
     )

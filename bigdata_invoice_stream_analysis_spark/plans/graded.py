@@ -1,4 +1,41 @@
-"""Curated driver grading window — round 9.
+"""Curated driver grading window — round 10 (optimization round 2 of 2).
+
+Composition of the round-10 window (50 slots):
+
+  * 23 CHANGED-CODE RE-PINS (changed code is graded the round it
+    changes; fingerprints regenerated against the r9-HEAD baseline
+    with the NEW alias-aware closure, so only rows whose closure
+    CONTENT actually changed this round re-pin — the algorithm change
+    itself does not force re-grades of untouched rows):
+      - the two r9 driver-failing rows, hardened (streaming_pii_monitor
+        oracle sums CAST to BIGINT; source_mixture_plan quantization
+        moved to rounding-mode-independent FLOOR(x+0.5) on both
+        engines) — VERDICT r9 item 1 requires both in this window;
+      - the 6 sampling.py-closure rows dragged in by that edit
+        (decontaminated_train_docs, entity_hash_sample,
+        group_aware_split, quality_weighted_sample, split_contamination,
+        split_contamination_bloom, stratified_split — results
+        unchanged, closure changed);
+      - the 6 bounded-memo rows (media_video_frames,
+        media_fmp4_video_frames, image_phash_audit,
+        media_jpeg_roundtrip, hls_segment_alignment + the
+        content-triage pair via the sniff→hls closure);
+      - the 5 Python keyed-state gates (staging trim:
+        prepared_purchase_lines pre-filters + direct ts derivation);
+      - the 2 full-pipeline twins (topology sizing python_state →
+        JVM rule; explicit n_queries).
+  * 11 DEFERRED_REPINS due this round (tiers.py r9 amendment — the
+    12th, split_contamination_bloom, is already in the changed set).
+  * 16 OLDEST-FIRST STABLE BACKFILL — r04-cohort rows (newest grade
+    r04, stable deadline r12); 16 of the remaining 18 go now, the
+    last 2 (temporal_split_audit, zorder_layout_profile) in r11,
+    still a round ahead of their bound.
+  23 + 11 + 16 = 50, exactly. No row is tier-stale this round
+  (fast newest ≥ r8; stable newest ≥ r4) and none is never-graded.
+
+Previous round's composition below for the historical record.
+
+Curated driver grading window — round 9 (historical).
 
 The correctness driver grades EXACTLY the first 50 entries of
 ``__spark_entry__.queries()`` in iteration order (measured r01/r02:
@@ -111,9 +148,67 @@ from bigdata_invoice_stream_analysis_spark.plans.tiers import RETIRED_FROM_DRIVE
 
 # The round this window was curated FOR: freshness checks compare the
 # window against driver rows from rounds strictly before this one.
-GRADED_ROUND = 9
+GRADED_ROUND = 10
 
 GRADED_50: list[str] = [
+    # --- changed-code re-pins (module docstring) ---
+    "content_triage",
+    "decontaminated_train_docs",
+    "entity_hash_sample",
+    "group_aware_split",
+    "hls_segment_alignment",
+    "image_phash_audit",
+    "media_fmp4_video_frames",
+    "media_jpeg_roundtrip",
+    "media_video_frames",
+    "quality_weighted_sample",
+    "source_mixture_plan",
+    "split_contamination",
+    "split_contamination_bloom",
+    "stratified_split",
+    "streaming_content_triage",
+    "streaming_custom_state",
+    "streaming_full_pipeline",
+    "streaming_full_pipeline_router",
+    "streaming_pii_monitor",
+    "streaming_state_list_map",
+    "streaming_state_timers",
+    "streaming_state_ttl",
+    "streaming_state_v2",
+    # --- deferred re-pins due r10 (tiers.DEFERRED_REPINS) ---
+    "equidepth_value_bins",
+    "event_transition_matrix",
+    "hll_partial_merge",
+    "latest_event_per_user",
+    "media_audio_samples",
+    "media_exact_dedup",
+    "rolling_active_users",
+    "skew_key_profile",
+    "user_value_ewma",
+    "weekly_retention",
+    "winnow_fingerprints",
+    # --- oldest-first stable backfill (r04 cohort, deadline r12) ---
+    "approx_value_percentiles",
+    "cdc_merge_upsert",
+    "compaction_bin_packing",
+    "contrastive_negatives",
+    "customer_order_gap_stats",
+    "embedding_gram_matrix",
+    "fuzzy_name_matches",
+    "idle_rich_customers",
+    "nation_market_share",
+    "shipping_priority",
+    "signup_funnel",
+    "small_qty_revenue",
+    "sole_fault_supplier",
+    "status_priority_grouping_sets",
+    "streaming_hll_users",
+    "streaming_value_percentiles",
+]
+
+# Round-9 window, kept verbatim for the historical record (the module
+# docstring's r9 section refers to it).
+GRADED_50_R9: list[str] = [
     # --- returning §2 pins (thinned r8, promised back r9) ---
     "invalid_lines",                   # P1
     "route_counts",                    # P2 P3

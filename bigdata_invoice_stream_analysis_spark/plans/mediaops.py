@@ -349,21 +349,27 @@ def q_media_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from bigdata_invoice_stream_analysis_spark.operators.jpeg import decode_jpeg
+        from bigdata_invoice_stream_analysis_spark.operators.memo import (
+            BoundedMemo,
+            payload_key,
+        )
 
         # Decode each DISTINCT payload once per task (guide §8); the
-        # pixel stats are a pure function of the bytes. Task-closure
-        # scope only.
-        memo: dict[bytes, tuple] = {}
+        # pixel stats are a pure function of the bytes. Bounded
+        # digest-keyed memo (operators/memo.py): retains only 16-byte
+        # keys + stat tuples, never the payload bytes, and caps
+        # entries. Task-closure scope only.
+        memo = BoundedMemo()
 
         def stats(raw: bytes) -> tuple:
-            got = memo.get(raw)
+            k = payload_key(raw)
+            got = memo.get(k)
             if got is None:
                 img = decode_jpeg(raw)
                 px = img["pixels"]
-                got = (
+                got = memo.put(k, (
                     img["width"], img["height"], sum(px), min(px), max(px),
-                )
-                memo[raw] = got
+                ))
             return got
 
         for pdf in it:

@@ -1612,6 +1612,38 @@ def _run_drain(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# POSITIVE drain-gate classification (r10 ADVICE: bench.py used to
+# infer gate-ness by substring-scanning builder sources for the diet
+# hook, which silently misclassified the two full-pipeline twins when
+# they called it through a shared helper — r9's measurement fix). The
+# checked-in set is the single source of truth bench.py reads;
+# tests/test_bench_gates.py recomputes the transitive source scan and
+# fails on any drift, so a new gate (or a refactor through another
+# helper) shows up as a test failure instead of a silent
+# misclassification into the wrong timing protocol.
+DRAIN_GATES: frozenset[str] = frozenset({
+    "streaming_centroid_anomalies",
+    "streaming_content_triage",
+    "streaming_custom_state",
+    "streaming_dedup_fingerprints",
+    "streaming_error_purchase_join",
+    "streaming_error_windows",
+    "streaming_full_pipeline",
+    "streaming_full_pipeline_router",
+    "streaming_heavy_hitters",
+    "streaming_hll_users",
+    "streaming_pii_monitor",
+    "streaming_release_monitor",
+    "streaming_sessions",
+    "streaming_state_list_map",
+    "streaming_state_timers",
+    "streaming_state_ttl",
+    "streaming_state_v2",
+    "streaming_user_totals",
+    "streaming_value_percentiles",
+})
+
+
 def _drain_input_diet(stream: DataFrame) -> DataFrame:
     """BENCH-ONLY input diet for the streaming drain gates: when
     SPARK_GRAFT_DRAIN_KEEP_1_IN=k (>1) is set — bench.py sets 8 in its

@@ -2586,9 +2586,11 @@ WITH media AS (
 cb(k, n_emails, n_ipv4, n_phones, n_ssn, n_card_valid, has_pii)
   AS (VALUES {values})
 SELECT has_pii, COUNT(*) AS n_docs,
-       SUM(n_emails) AS sum_emails, SUM(n_ipv4) AS sum_ipv4,
-       SUM(n_phones) AS sum_phones, SUM(n_ssn) AS sum_ssn,
-       SUM(n_card_valid) AS sum_card_valid
+       CAST(SUM(n_emails) AS BIGINT) AS sum_emails,
+       CAST(SUM(n_ipv4) AS BIGINT) AS sum_ipv4,
+       CAST(SUM(n_phones) AS BIGINT) AS sum_phones,
+       CAST(SUM(n_ssn) AS BIGINT) AS sum_ssn,
+       CAST(SUM(n_card_valid) AS BIGINT) AS sum_card_valid
 FROM media JOIN cb USING (k)
 GROUP BY has_pii
 """

@@ -27,6 +27,12 @@ import tempfile
 
 _ROOT: str | None = None
 
+# /dev/shm must have at least this much free before scratch prefers it
+# (a few GB: the largest observed drain scratch footprint is well under
+# 1 GB at bench volume; 4 GB leaves headroom without demanding a
+# server-sized tmpfs).
+_SHM_MIN_FREE_BYTES = 4 << 30
+
 
 def _scratch_base() -> str | None:
     """Directory to create the per-process scratch root under.
@@ -43,13 +49,26 @@ def _scratch_base() -> str | None:
     production deployment points this at fast local SSD via the env
     var (checkpoints that must SURVIVE go to durable storage and are
     not scratch). Falls back to the tempfile default when neither is
-    available."""
+    available.
+
+    The /dev/shm preference is gated on a free-space floor (r10,
+    ADVICE): Docker's default /dev/shm is 64 MB, and drain
+    checkpoints + staged buckets can exceed that — an ungated
+    preference would turn previously-passing drains into ENOSPC
+    failures in common container environments, and RAM-backed scratch
+    competes with executor memory. The explicit env override is never
+    second-guessed."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
     if env:
         return env
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+                return shm
+        except OSError:
+            pass
     return None
 
 

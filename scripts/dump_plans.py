@@ -31,12 +31,19 @@ def main() -> int:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"dump-plans-{tag}")
     rc = 0
+    import contextlib
+    import io
+
     for name in names:
         try:
             df = QUERIES[name](spark, sf_dir)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # Public API only (r10 ADVICE: the private
+            # PythonSQLUtils.explainString reach-in breaks across
+            # Spark versions): capture df.explain() stdout.
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            txt = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             rc = 1

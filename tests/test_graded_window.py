@@ -41,8 +41,11 @@ def test_window_has_50_unique_registered_names():
 
 
 def test_window_entries_have_oracles_except_iterative_ml():
+    # Subset, not equality (r10): the ML trio need not hold a slot in
+    # every window — they rotate on the FAST cadence like any pin —
+    # but nothing else may enter the window oracle-less.
     no_oracle = {n for n in GRADED_50 if n not in ORACLES}
-    assert no_oracle == ROWS_ONLY
+    assert no_oracle <= ROWS_ONLY
 
 
 def test_reorder_loses_no_queries_or_oracles():

@@ -179,7 +179,7 @@ def test_fingerprint_closure_reaches_the_engine():
     import inspect
     import textwrap
 
-    _, segs = tiers._module_segments(inspect.getsourcefile(fn))
+    _, segs, aliases = tiers._module_segments(inspect.getsourcefile(fn))
     seeds: set[str] = set()
     seen: set[str] = set()
     frontier = [inspect.getsource(fn)]
@@ -188,6 +188,8 @@ def test_fingerprint_closure_reaches_the_engine():
         seeds |= tiers._closure_seeds(
             tiers._package_imports(ast.parse(textwrap.dedent(src))))
         for ref in sorted(tiers._names_in(src)):
+            if ref in aliases:
+                seeds |= tiers._closure_seeds({aliases[ref]})
             if ref in segs and ref not in seen:
                 seen.add(ref)
                 frontier.append(segs[ref])
@@ -198,6 +200,39 @@ def test_fingerprint_closure_reaches_the_engine():
         assert any(m.endswith(needle) for m in mods), needle
     # and the infra boundary holds
     assert not any(m in tiers.INFRA_EXEMPT for m in mods)
+
+
+def test_fingerprint_closure_covers_module_level_imports():
+    """The r9-documented gap, closed in r10: a builder that reaches an
+    engine module through a MODULE-level import alias (e.g.
+    ``from pkg.operators import dedup as DD`` at the top of
+    plans/pipelines.py, referenced as ``DD.jaccard_prefix_pairs``)
+    must carry that module in its fingerprint closure, so an engine
+    edit there forces the same-round re-pin like any other."""
+    import ast
+    import inspect
+    import textwrap
+
+    from bigdata_invoice_stream_analysis_spark.plans.queries import QUERIES
+
+    fn = QUERIES["jaccard_prefix_filter"]
+    _, segs, aliases = tiers._module_segments(inspect.getsourcefile(fn))
+    assert "DD" in aliases and aliases["DD"].endswith("operators.dedup")
+    seeds: set[str] = set()
+    seen: set[str] = set()
+    frontier = [inspect.getsource(fn)]
+    while frontier:
+        src = frontier.pop()
+        seeds |= tiers._closure_seeds(
+            tiers._package_imports(ast.parse(textwrap.dedent(src))))
+        for ref in sorted(tiers._names_in(src)):
+            if ref in aliases:
+                seeds |= tiers._closure_seeds({aliases[ref]})
+            if ref in segs and ref not in seen:
+                seen.add(ref)
+                frontier.append(segs[ref])
+    closure = tiers._transitive_closure(seeds)
+    assert any(m.endswith("operators.dedup") for m in closure)
 
 
 def test_fingerprint_is_deterministic():
